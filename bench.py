@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() materializes every
+partition) after a warm-up of the session; per-query wall time excludes
+session startup, which a long-lived cluster amortizes anyway.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cognitive_score_bigdata_spark.queries import load_registry
+from cognitive_score_bigdata_spark.session import get_spark
+
+# Headline set: flagship + the shapes that dominate at scale (big-table
+# aggregate, joins, windows, dedup, ANN). Names must exist in the registry.
+HEADLINE = [
+    "flagship_dashboard",
+    "flagship_stats",
+    "agg_group_q1",
+    "join_inner_broadcast",
+    "join_left_composite",
+    "join_asof",
+    "window_latest_per_key",
+    "agg_latest_per_key",
+    "window_rolling_avg",
+    "text_exact_dedup",
+    "text_ngram_jaccard",
+    "vector_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_registry()
+    spark = get_spark("csb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/codegen paths so query timings measure the plans.
+    registry["flagship_stats"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

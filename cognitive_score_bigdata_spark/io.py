@@ -1,0 +1,60 @@
+"""Table loading for the driver testdata and derived tables.
+
+Testdata parquet (``/root/testdata/sf*/``) stamps TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong`` most columns surface as
+``timestamp_ntz`` but some (``events.ts``) surface as raw nano-epoch
+longs. ``load_table`` normalizes those to ``timestamp_ntz`` so queries and
+the DuckDB oracle (which reads nanos natively) see identical instants —
+the generators emit microsecond-resolution values, so the ns→µs conversion
+is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns that the nanosAsLong flag leaves as raw nano-epoch longs.
+_NANO_LONG_COLUMNS = {"events": ("ts",)}
+
+
+def _nanos_long_to_ntz(col: str):
+    # Integer nanos → integer micros → TIMESTAMP_LTZ → NTZ (identity under
+    # the UTC session tz). Must be integer DIV: nano-epochs (~1.7e18)
+    # exceed double's 53-bit mantissa, so `/ 1000` would round off ±1µs.
+    return F.timestamp_micros(F.expr(f"`{col}` DIV 1000")).cast(T.TimestampNTZType())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing timestamp physical types."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_LONG_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, _nanos_long_to_ntz(col))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,63 @@
+"""Query registry: every operator the engine claims, with its oracle.
+
+Each :class:`QuerySpec` pairs a PySpark implementation (``fn(spark,
+sf_dir) -> DataFrame``) with the ANSI-SQL string a DuckDB oracle runs on
+the same parquet tables. The driver's correctness harness compares the two
+by row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double aggregations go through an exact ``DECIMAL(28,6)`` accumulator on
+  both sides (addition order then can't perturb low bits);
+- top-k orderings always carry a unique tiebreaker column.
+
+Specs with ``oracle=None`` are genuinely non-SQL-expressible (streaming
+state, LSH, iterative algorithms); the driver records a weaker rows-only
+check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a query implementation to the global registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def load_registry() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: they register) and return."""
+    from cognitive_score_bigdata_spark.queries import (  # noqa: F401
+        aggregations,
+        flagship,
+        joins,
+        projections,
+        setops,
+        scalar_funcs,
+        textops,
+        vectorops,
+        windows,
+    )
+
+    return REGISTRY

@@ -1,0 +1,175 @@
+"""Text-analysis queries over the documents table (training-data
+pipeline operators: token stats, quality scoring, language ID,
+fingerprinting, exact dedup, n-gram Jaccard similarity).
+
+These are the SQL-expressible members; MinHash-LSH / SimHash live in
+operators/dedup.py with rows-only checks (sketches aren't portable SQL).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.functions import text as TX
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS char_len,
+           CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(text, ' +'))) AS BIGINT)
+             AS n_distinct_tokens
+    FROM documents
+    """,
+    doc="token counting (whitespace tokenizer) — token-budget accounting "
+    "for corpus prep",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.char_len("text").alias("char_len"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+             / len(string_split_regex(text, ' +')) AS uniq_ratio,
+           0.5 * (CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+                  / len(string_split_regex(text, ' +')))
+           + 0.5 * least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE)
+                         / 100.0, 1.0) AS quality
+    FROM documents
+    """,
+    doc="document quality scoring (type-token ratio + length prior) — "
+    "the filter stage of a pretraining-data pipeline",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.uniq_ratio("text").alias("uniq_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN ' ' || text || ' ' LIKE '% the %'
+               OR ' ' || text || ' ' LIKE '% and %'
+               OR ' ' || text || ' ' LIKE '% of %' THEN 'en'
+             WHEN ' ' || text || ' ' LIKE '% der %'
+               OR ' ' || text || ' ' LIKE '% und %'
+               OR ' ' || text || ' ' LIKE '% die %' THEN 'de'
+             WHEN ' ' || text || ' ' LIKE '% le %'
+               OR ' ' || text || ' ' LIKE '% et %'
+               OR ' ' || text || ' ' LIKE '% les %' THEN 'fr'
+             WHEN ' ' || text || ' ' LIKE '% el %'
+               OR ' ' || text || ' ' LIKE '% y %'
+               OR ' ' || text || ' ' LIKE '% los %' THEN 'es'
+             ELSE 'und'
+           END AS lang_guess
+    FROM documents
+    """,
+    doc="language ID (stopword-hit heuristic) next to the labeled lang "
+    "column for accuracy eval",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.lang_guess("text").alias("lang_guess")
+    )
+
+
+@register(
+    "text_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="exact deduplication: hash-groupBy on content fingerprint, "
+    "keep min doc_id — one shuffle on the digest, no text comparison",
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(TX.fingerprint("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "text_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+    doc="n-gram (unigram-set) Jaccard near-dup pairs within a source "
+    "partition — the exact counterpart the MinHash-LSH path approximates",
+)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(TX.tokens("text"))).alias("tok"),
+        )
+    ).alias("tok")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -1,0 +1,84 @@
+"""Shared fixtures: one SparkSession per test session, a DuckDB oracle
+connection factory, and the Spark↔DuckDB comparison helper that mirrors
+the driver's correctness gate (row count + schema-compatible values +
+order-insensitive exact comparison)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cognitive_score_bigdata_spark.io import TESTDATA_TABLES
+from cognitive_score_bigdata_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("csb-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form for order-insensitive comparison."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("string")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif s.dtype == object or pd.api.types.is_string_dtype(s):
+            df[c] = s.astype("string")
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != "
+        f"{sorted(oracle_pdf.columns)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+            assert eq.all(), (
+                f"{name}: float column {c} diverges; max abs diff "
+                f"{np.nanmax(np.abs(av - bv))}"
+            )
+        else:
+            mism = ~(
+                (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            )
+            assert not mism.any(), (
+                f"{name}: column {c} mismatch at rows "
+                f"{a.index[mism][:5].tolist()}: spark={a[c][mism][:3].tolist()} "
+                f"oracle={b[c][mism][:3].tolist()}"
+            )

@@ -1,0 +1,47 @@
+"""Mirror of the driver's correctness gate: every registered query with
+an oracle must match DuckDB exactly (row count + columns + values) on the
+same parquet tables. Queries without an oracle get a rows-run smoke
+check."""
+
+from __future__ import annotations
+
+import pytest
+
+from cognitive_score_bigdata_spark.queries import load_registry
+from tests.conftest import SF_DIR, assert_frames_match
+
+REGISTRY = load_registry()
+WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
+NO_ORACLE = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, oracle_con, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.fn(spark, SF_DIR).toPandas()
+    oracle_pdf = oracle_con.execute(spec.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
