@@ -1,0 +1,82 @@
+"""Batch ETL parity tests (SURVEY §2 S1/S10, F6, J4, P4, P6, F10):
+generate CPMS-shaped CSVs with the reference's quirks, run the loader,
+assert ownership resolution, orphan filtering, rename, and partitioned
+output."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cognitive_score_bigdata_spark.sources.cpms_etl import (
+    read_users,
+    load_cognitive_scores,
+    load_tracking_risks,
+    run_etl,
+)
+from cognitive_score_bigdata_spark.sources.fixtures import generate_cpms_csvs
+
+
+@pytest.fixture(scope="module")
+def etl(spark, tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("cpms_csv")
+    out_dir = tmp_path_factory.mktemp("cpms_tables")
+    expected = generate_cpms_csvs(str(data_dir), n_users=30, seed=42)
+    counts = run_etl(
+        spark,
+        f"{data_dir}/users.csv",
+        f"{data_dir}/cognitive_scores.csv",
+        f"{data_dir}/tracking_risks.csv",
+        str(out_dir),
+    )
+    return spark, str(data_dir), str(out_dir), expected, counts
+
+
+def test_array_literal_parsing(etl):
+    spark, data_dir, _, expected, _ = etl
+    users = read_users(spark, f"{data_dir}/users.csv")
+    assert dict(users.dtypes)["cognitive_scores"] == "array<string>"
+    total_owned = users.select(
+        F.sum(F.size("cognitive_scores")).alias("n")
+    ).collect()[0]["n"]
+    assert total_owned == expected["owned_scores"]
+
+
+def test_counts_and_orphan_filter(etl):
+    _, _, _, expected, counts = etl
+    assert counts["users"] == expected["n_users"]
+    # orphans present in the CSV but absent from the loaded table (P4)
+    assert expected["csv_scores"] > expected["owned_scores"]
+    assert counts["cognitive_scores"] == expected["owned_scores"]
+    assert counts["tracking_risks"] == expected["owned_risks"]
+
+
+def test_orphans_dropped_by_id(etl):
+    spark, data_dir, _, expected, _ = etl
+    users = read_users(spark, f"{data_dir}/users.csv")
+    scores = load_cognitive_scores(
+        spark, users, f"{data_dir}/cognitive_scores.csv"
+    )
+    loaded_ids = {r["cs_id"] for r in scores.select("cs_id").collect()}
+    assert not (set(expected["orphan_score_ids"]) & loaded_ids)
+
+
+def test_rename_and_schema(etl):
+    spark, data_dir, out_dir, _, _ = etl
+    users = read_users(spark, f"{data_dir}/users.csv")
+    risks = load_tracking_risks(spark, users, f"{data_dir}/tracking_risks.csv")
+    assert "heart_rate" in risks.columns and "hearth_rate" not in risks.columns
+    loaded = spark.read.parquet(f"{out_dir}/tracking_risks")
+    assert "event_date" in loaded.columns  # date-partitioned write
+
+    scores = spark.read.parquet(f"{out_dir}/cognitive_scores")
+    assert dict(scores.dtypes)["timestamp"] == "timestamp"
+    assert dict(scores.dtypes)["cognitive_score"] == "int"
+
+
+def test_every_child_has_valid_owner(etl):
+    spark, data_dir, out_dir, _, _ = etl
+    users = spark.read.parquet(f"{out_dir}/users")
+    scores = spark.read.parquet(f"{out_dir}/cognitive_scores")
+    unmatched = scores.join(users, "user_id", "left_anti").count()
+    assert unmatched == 0
