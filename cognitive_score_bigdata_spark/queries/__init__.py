@@ -58,6 +58,7 @@ def load_registry() -> dict[str, QuerySpec]:
         textops,
         vectorops,
         windows,
+        windows_time,
     )
 
     return REGISTRY

@@ -1,0 +1,169 @@
+"""Streaming pipeline tests (SURVEY §2.9 T1-T7, §3.1): deterministic
+file-source micro-batches exercising enrichment, routing, dual sink,
+event-time latest-state, duplicate suppression, and idempotent re-merge."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from cognitive_score_bigdata_spark.streaming.pipeline import (
+    EVENT_SCHEMA,
+    enrich,
+    route,
+    run_ingest_pipeline,
+    upsert_latest_state,
+)
+
+BASE_TS = 1_700_000_000.0
+
+
+def _tracking(user, ts, hr, steps=100, cal=5, event_id=None):
+    return {
+        "user_id": user,
+        "device_id": f"dev_{user[:8]}",
+        "schema": "tracking_v1",
+        "cognitive_predict": False,
+        "steps": steps,
+        "distance": 0.02,
+        "heart_rate": hr,
+        "calories": cal,
+        "timestamp": str(ts),
+        "event_id": event_id or f"ev-{user}-{ts}",
+    }
+
+
+def _manual(user, ts):
+    return {
+        "user_id": user,
+        "device_id": f"phone_{user[:8]}",
+        "schema": "manual_entry_v1",
+        "cognitive_predict": True,
+        "sleep_duration": 7.5,
+        "stress_level": 4,
+        "caffeine_intake": 100,
+        "screen_time": 3.2,
+        "timestamp": str(ts),
+        "event_id": f"ev-m-{user}-{ts}",
+    }
+
+
+def _write_batch(dir_, name, events):
+    path = os.path.join(dir_, name)
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        k: str(tmp_path / k) for k in ("input", "raw", "state", "chk", "chk2")
+    }
+    os.makedirs(d["input"])
+    return d
+
+
+def _run(spark, d):
+    q = run_ingest_pipeline(
+        spark, d["input"], d["raw"], d["state"], d["chk"], available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_dual_sink_and_event_time_state(spark, dirs):
+    events = [
+        _tracking("alice", BASE_TS + 100, hr=70),
+        _tracking("alice", BASE_TS + 300, hr=90),  # newest for alice
+        _tracking("alice", BASE_TS + 200, hr=80),  # out of order
+        _tracking("bob", BASE_TS + 50, hr=65),
+        _manual("alice", BASE_TS + 400),  # manual entry: not state material
+        {**_tracking("ghost", BASE_TS + 10, hr=99), "user_id": None},  # dropped
+        _tracking("carol", BASE_TS + 10, hr=75, event_id="dup-1"),
+        _tracking("carol", BASE_TS + 10, hr=75, event_id="dup-1"),  # duplicate
+    ]
+    _write_batch(dirs["input"], "batch1.json", events)
+    _run(spark, dirs)
+
+    # Cold path: raw lake is date-partitioned and keeps BOTH shapes
+    raw = spark.read.parquet(dirs["raw"])
+    assert "ingest_date" in raw.columns
+    assert raw.filter(F.col("schema") == "manual_entry_v1").count() == 1
+    # duplicate event_id suppressed before both sinks (T5)
+    assert raw.filter(F.col("event_id") == "dup-1").count() == 1
+
+    # Hot path: one row per user, event-time latest (not arrival order)
+    state = spark.read.parquet(dirs["state"])
+    rows = {r["user_id"]: r for r in state.collect()}
+    assert set(rows) == {"alice", "bob", "carol"}  # null key dropped (P3)
+    assert float(rows["alice"]["heart_rate"]) == 90.0  # ts+300 wins, not +200
+    assert rows["alice"]["bucket"] is not None
+
+
+def test_cross_batch_state_merge(spark, dirs):
+    _write_batch(
+        dirs["input"], "b1.json", [_tracking("alice", BASE_TS + 1000, hr=88)]
+    )
+    _run(spark, dirs)
+    # second batch: one LATE event for alice (must lose) + one new user
+    _write_batch(
+        dirs["input"],
+        "b2.json",
+        [
+            _tracking("alice", BASE_TS + 500, hr=60),
+            _tracking("dave", BASE_TS + 2000, hr=77),
+        ],
+    )
+    q = run_ingest_pipeline(
+        spark, dirs["input"], dirs["raw"], dirs["state"], dirs["chk"]
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(dirs["state"])
+    rows = {r["user_id"]: r for r in state.collect()}
+    assert set(rows) == {"alice", "dave"}
+    assert float(rows["alice"]["heart_rate"]) == 88.0  # late data lost (event time)
+    assert float(rows["dave"]["heart_rate"]) == 77.0
+
+
+def test_upsert_idempotent_replay(spark, dirs):
+    """Replaying the same micro-batch must leave the state unchanged
+    (foreachBatch may redeliver after failure)."""
+    batch = enrich(
+        spark.createDataFrame(
+            [_tracking("erin", BASE_TS + 10, hr=81)], schema=EVENT_SCHEMA
+        )
+    )
+    upsert_latest_state(spark, batch, dirs["state"])
+    first = sorted(map(str, spark.read.parquet(dirs["state"]).collect()))
+    upsert_latest_state(spark, batch, dirs["state"])  # replay
+    second = sorted(map(str, spark.read.parquet(dirs["state"]).collect()))
+    assert first == second
+
+
+def test_routing_and_enrichment(spark):
+    incomplete = {
+        "user_id": "zoe",
+        "device_id": "dev_zoe",
+        "schema": "tracking_v1",
+        "cognitive_predict": False,
+        "steps": 5,
+        "distance": 0.01,
+        "heart_rate": 100,
+        "calories": 2,
+        # no timestamp, no event_id → P9 must default both
+    }
+    df = enrich(
+        spark.createDataFrame(
+            [incomplete, _manual("yan", BASE_TS)], schema=EVENT_SCHEMA
+        )
+    )
+    shapes = route(df)
+    assert shapes["tracking_v1"].count() == 1
+    assert shapes["manual_entry_v1"].count() == 1
+    row = shapes["tracking_v1"].collect()[0]
+    assert row["event_id"] is not None and row["ts"] is not None
