@@ -1,0 +1,215 @@
+"""Near-duplicate detection at corpus scale: MinHash-LSH and SimHash.
+
+Exact dedup is a hash-groupBy (queries/textops.py `text_exact_dedup`);
+these operators find *near* duplicates without comparing all O(n²) pairs,
+which is the only formulation that survives a 100 TB corpus:
+
+- **MinHash + LSH** (banding): shingle → k minhash signatures → b bands
+  of r rows (k = b·r) → exact-match bucket join per band. Candidate pairs
+  are generated only within buckets; P(candidate) ≈ 1-(1-s^r)^b gives the
+  usual S-curve around the similarity threshold.
+- **SimHash**: 64-bit sketch whose Hamming distance tracks cosine/Jaccard
+  similarity of token sets; near-dup candidates = pairs agreeing on at
+  least one of 4 16-bit chunks (any pair within Hamming distance 3 must
+  agree on ≥1 chunk by pigeonhole).
+
+Everything is built-in expressions (xxhash64 / transform / aggregate /
+explode) — no Python in the row path, single shuffle per band join.
+Signatures are deterministic (seeded hash salts), so results are stable
+across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8  # 8 bands x 4 rows -> threshold s ~ (1/b)^(1/r) ~ 0.6
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized document."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " +")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """k independent minhashes: min over shingles of salted xxhash64."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: F.xxhash64(s, F.lit(i)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH-banded near-dup candidates: (id_a, id_b, est_jaccard).
+
+    est_jaccard = fraction of agreeing minhash positions (unbiased
+    estimator of the shingle-set Jaccard). Only pairs sharing at least
+    one full band survive; the band join shuffles on (band, band_hash),
+    never on raw text.
+    """
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias(
+            "__sig"
+        ),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("__sig"), b * rows + r + 1)
+                                for r in range(rows)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sig", "bk.band", "bk.bhash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def simhash_sketch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: (id_col, simhash bigint).
+
+    Per token: xxhash64 → 64 ±1 bit votes; sign of the per-position vote
+    sum becomes the sketch bit. Shaped as explode → hash-aggregate (64
+    SUMs) so Catalyst runs it as one vectorized partial-agg + shuffle on
+    the doc id — the layout that scales, unlike a per-row 64-step fold.
+    Duplicate tokens vote multiple times (multiset weighting, standard).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " +")).alias("__t")
+    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(64)
+        ]
+    )
+    sketch = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sketch = bit if sketch is None else sketch + bit
+    return votes.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming).
+
+    Blocking: 4 16-bit chunks; any pair with hamming ≤ 3 shares ≥1 exact
+    chunk (pigeonhole), so the candidate join is equi on (chunk_idx,
+    chunk_value) — one shuffle, no n² comparison. Final filter computes
+    exact Hamming distance with bit_count(a XOR b).
+    """
+    sh = simhash_sketch(docs, id_col, text_col).select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sh")
+    )
+    chunks = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("ck"),
+                        F.shiftright(F.col("__sh"), 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("cv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "__sh", "c.ck", "c.cv")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,102 @@
+"""Registry entries for near-dup dedup and similarity-search operators
+(the training-data-pipeline extensions, SURVEY §7 PR6).
+
+LSH/sketch operators register without oracles (banded minhash buckets
+aren't SQL); their correctness is pinned by tests against exact
+formulations (tests/test_dedup_similarity.py). The exact formulations
+that ARE portable SQL get full oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from cognitive_score_bigdata_spark.operators.similarity import (
+    cosine_neardup_exact,
+    cosine_neardup_lsh,
+    cosine_topk_numpy,
+)
+from cognitive_score_bigdata_spark.queries import register
+
+NEARDUP_THRESHOLD = 0.46  # testdata embeddings are random; pairs peak ~0.51
+
+
+@register(
+    "vector_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding)
+          >= {NEARDUP_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup pairs, exact O(N²) baseline — ids "
+    "only (cross-engine float widths differ; the pair SET is stable, "
+    "nearest pair sits 3e-4 from the threshold)",
+)
+def vector_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_exact(emb, NEARDUP_THRESHOLD).select("id_a", "id_b")
+
+
+@register(
+    "vector_cosine_topk_fast",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                      c.vec_id ASC) AS BIGINT) AS rnk
+    FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+                                       AND c.vec_id <> q.vec_id
+    QUALIFY rnk <= 10
+    """,
+    doc="brute-force cosine top-k, Arrow/BLAS mapInPandas path — same "
+    "answer as the expression version, 10-100x throughput at scale",
+)
+def vector_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_numpy(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+
+
+@register(
+    "vector_ann_lsh_neardup",
+    oracle=None,  # LSH recall is probabilistic; pinned vs exact in tests
+    doc="sign-LSH blocked near-dup: bucket join + exact verify — the "
+    "plan shape that survives 100 TB (no N² shuffle)",
+)
+def vector_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_lsh(
+        emb, NEARDUP_THRESHOLD, n_planes=6, n_tables=12
+    ).select("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=None,  # banded-minhash candidates aren't SQL-expressible
+    doc="MinHash+LSH near-dup candidates over documents (shingle → "
+    "32 minhashes → 8 bands → bucket join); est_jaccard = sig agreement",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # 64-bit sketch + chunk blocking isn't portable SQL
+    doc="SimHash near-dup pairs over documents (64-bit sketch, 16-bit "
+    "chunk blocking, Hamming ≤ 3 verify via bit_count)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text")
