@@ -27,15 +27,22 @@ HEADLINE = [
     "flagship_dashboard",
     "flagship_stats",
     "agg_group_q1",
+    "analytics_q3_shipping",
+    "analytics_q5_region_volume",
+    "analytics_q10_returns",
     "join_inner_broadcast",
     "join_left_composite",
     "join_asof",
+    "join_lookup_latest_state",
     "window_latest_per_key",
     "agg_latest_per_key",
     "window_rolling_avg",
+    "window_session_30m",
     "text_exact_dedup",
     "text_ngram_jaccard",
+    "dedup_minhash_pairs",
     "vector_cosine_topk",
+    "vector_cosine_topk_fast",
 ]
 
 

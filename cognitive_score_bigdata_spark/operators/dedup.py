@@ -41,17 +41,55 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 def minhash_signature(
     shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> Column:
-    """k independent minhashes: min over shingles of salted xxhash64."""
+    """k independent minhashes: min over shingles of salted xxhash64.
+
+    The salt must be captured via a closure factory: a two-parameter
+    lambda would be treated by ``F.transform`` as an (element, index)
+    lambda and the index would silently replace the salt, collapsing all
+    k hash functions into one.
+    """
+
+    def salted(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda s, i=i: F.xxhash64(s, F.lit(i)),
-                )
-            )
+            F.array_min(F.transform(shingle_col, salted(i)))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_sig_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(__id, __sig array<bigint>) via explode + 32-way MIN hash-agg.
+
+    Preferred over the per-row array-fold (:func:`minhash_signature`)
+    inside multi-consumer plans: the aggregation is a projection-collapse
+    barrier, so downstream band hashes reference the computed column
+    instead of inlining the whole signature expression once per band —
+    and a vectorized partial-MIN hash agg is the shape that scales.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
     )
 
 
@@ -71,12 +109,7 @@ def minhash_candidate_pairs(
     never on raw text.
     """
     rows = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias(
-            "__sig"
-        ),
-    )
+    sig = minhash_sig_table(docs, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "__id",
         "__sig",
@@ -98,22 +131,43 @@ def minhash_candidate_pairs(
         ).alias("bk"),
     ).select("__id", "__sig", "bk.band", "bk.bhash")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    # Pairs are generated bucket-locally: one shuffle on (band, bhash),
+    # collect the (few) members per bucket, emit ordered combinations.
+    # This computes each signature exactly once — a banded self-join
+    # would re-run the whole signature pipeline on both sides and add a
+    # second shuffle. Bucket skew note: a bucket of identical boilerplate
+    # docs yields |bucket|² pairs no matter the formulation; cap upstream
+    # by exact-dedup first (text_exact_dedup) if boilerplate dominates.
+    members = (
+        banded.groupBy("band", "bhash")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__id").alias("id"), F.col("__sig").alias("sig"))
+                )
+            ).alias("ms")
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.size("ms") > 1)
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda m, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda m2: F.struct(
+                            m.id.alias("id_a"),
+                            m2.id.alias("id_b"),
+                            m.sig.alias("sig_a"),
+                            m2.sig.alias("sig_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*").dropDuplicates(["id_a", "id_b"])
+
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),

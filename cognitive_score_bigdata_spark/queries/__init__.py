@@ -50,6 +50,7 @@ def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return."""
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
+        analytics,
         dedup_similarity,
         flagship,
         joins,

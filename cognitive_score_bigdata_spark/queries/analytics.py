@@ -1,0 +1,189 @@
+"""Multi-way analytical queries — the dashboard-at-scale shapes.
+
+The reference's SQL surface is a 3-table join + two scalar aggregates
+(``src/backend/main.py:139-155``); a complete analytics engine must run
+the standard multi-join/agg/top-k shapes those grow into. Expressed on
+the testdata star schema as TPC-H-like plans: dimension chains broadcast,
+fact-side filters pushed to the scan, partial aggregation before the
+shuffle, top-k as TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.joins import latest_per_key_agg
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import dsum, sql_dsum
+
+
+@register(
+    "analytics_q3_shipping",
+    oracle=f"""
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter broadcast into a 3-way "
+    "join, grouped revenue, top-10 by computed measure",
+)
+def analytics_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "analytics_q5_region_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join through the dimension chain "
+    "(region→nation broadcast), local-supplier predicate, grouped "
+    "revenue per nation",
+)
+def analytics_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+@register(
+    "analytics_q10_returns",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, 4-way "
+    "join, top-20",
+)
+def analytics_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_lookup_latest_state",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, arg_max(value, ts) AS last_value, MAX(ts) AS last_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    requests AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT r.user_id,
+           COALESCE(l.last_value, CAST(0 AS DOUBLE)) AS last_value,
+           l.last_ts
+    FROM requests r LEFT JOIN latest l ON r.user_id = l.user_id
+    """,
+    doc="the serving path (J3 lookup join + J5/W1 latest-per-key + P7 "
+    "defaults, main.py:55-93) as one batch plan: requests broadcast-"
+    "joined to the aggregated latest state",
+)
+def join_lookup_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_per_key_agg(
+        events.filter(F.col("event_type") == "view"),
+        "user_id",
+        "ts",
+        ["value"],
+    ).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    requests = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    return requests.join(latest, "user_id", "left").select(
+        "user_id",
+        F.coalesce("last_value", F.lit(0.0)).alias("last_value"),
+        "last_ts",
+    )
