@@ -50,6 +50,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_time_range(
+    spark: SparkSession, sf_dir: str, start_iso: str, end_iso: str
+) -> DataFrame:
+    """Events in [start, end) with the range predicate PUSHED to the scan.
+
+    ``load_table`` converts the nano-epoch long eagerly, and a filter on
+    the converted timestamp cannot push through ``timestamp_micros`` to
+    the parquet reader. Here the bound is translated to nanos and applied
+    to the raw long column first — ``PushedFilters:
+    [GreaterThanOrEqual(ts,...), LessThan(ts,...)]`` on the scan, row
+    groups outside the range never decompress — then converted.
+    """
+    from datetime import datetime, timezone
+
+    def nanos(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.filter(
+            (F.col("ts") >= F.lit(nanos(start_iso)))
+            & (F.col("ts") < F.lit(nanos(end_iso)))
+        ).withColumn("ts", _nanos_long_to_ntz("ts"))
+    else:
+        df = df.filter(
+            (F.col("ts") >= F.lit(start_iso).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end_iso).cast("timestamp_ntz"))
+        )
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 

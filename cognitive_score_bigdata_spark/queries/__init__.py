@@ -52,6 +52,7 @@ def load_registry() -> dict[str, QuerySpec]:
         aggregations,
         analytics,
         dedup_similarity,
+        extensions,
         flagship,
         joins,
         projections,
