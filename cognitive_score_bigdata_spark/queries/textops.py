@@ -134,42 +134,43 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
     """,
     doc="n-gram (unigram-set) Jaccard near-dup pairs within a source "
     "partition — the exact counterpart the MinHash-LSH path approximates",
 )
 def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-set pairs within a source block, verified with array_intersect
+    # on pre-deduped token arrays. A token-posting self-join (the obvious
+    # formulation, and what the oracle SQL does) shuffles
+    # Σ_{token,source} df(token)² rows — quadratic blow-up whenever the
+    # vocabulary is shared, which is exactly the near-dup case. Here the
+    # block join ships each doc's token array once and the intersection
+    # runs JVM-side per pair; on huge corpora, swap the source block for
+    # MinHash-LSH buckets (dedup_minhash_pairs) — same verify stage.
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.array_distinct(TX.tokens("text"))).alias("tok"),
-        )
-    ).alias("tok")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(TX.tokens("text")).alias("toks"),
     )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    a = toks.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = toks.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    n_common = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = n_common.cast("double") / (
+        F.size("toks_a") + F.size("toks_b") - n_common
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= 0.8)
     )
