@@ -8,11 +8,15 @@ the driver's DuckDB-parity correctness harness.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cognitive_score_bigdata_spark.queries import load_registry
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cognitive_score_bigdata_spark.queries import load_registry  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
 

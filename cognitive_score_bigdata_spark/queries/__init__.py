@@ -58,6 +58,7 @@ def load_registry() -> dict[str, QuerySpec]:
         projections,
         setops,
         scalar_funcs,
+        subqueries,
         textops,
         vectorops,
         windows,

@@ -1,0 +1,101 @@
+"""Subquery shapes and remaining relational surface: scalar subquery,
+IN-subquery, SELECT DISTINCT, array-function scalar surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import davg, sql_davg
+
+
+@register(
+    "subquery_scalar_avg_diff",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - (SELECT {sql_davg('o_totalprice', 'a')} FROM orders)
+             AS diff_from_avg
+    FROM orders
+    """,
+    doc="scalar subquery: per-row deviation from a global aggregate — "
+    "planned as broadcast of a 1-row aggregate (no per-row re-eval)",
+)
+def subquery_scalar_avg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg("o_totalprice", "a"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") - F.col("a")).alias("diff_from_avg"),
+        )
+    )
+
+
+@register(
+    "subquery_in_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
+    """,
+    doc="IN-subquery as left-semi join against a filtered dimension",
+)
+def subquery_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    machinery = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return orders.join(
+        F.broadcast(machinery),
+        orders.o_custkey == machinery.c_custkey,
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "proj_distinct",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="SELECT DISTINCT projection (hash aggregate, partial combine)",
+)
+def proj_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).distinct()
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_component,
+           embedding[2:4] AS middle_slice,
+           list_sort(embedding[1:3]) AS sorted_head,
+           list_reverse(embedding[1:3]) AS reversed_head
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="array scalar surface: size, element_at, slice, sort_array, "
+    "reverse — the ops the stringified-ID-array ETL path (F6/J4) builds on",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).alias("first_component"),
+            F.slice("embedding", 2, 3).alias("middle_slice"),
+            F.sort_array(F.slice("embedding", 1, 3)).alias("sorted_head"),
+            F.reverse(F.slice("embedding", 1, 3)).alias("reversed_head"),
+        )
+    )

@@ -49,7 +49,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("Int64")
         elif s.dtype == object or pd.api.types.is_string_dtype(s):
-            df[c] = s.astype("string")
+            sample = s.dropna()
+            if len(sample) and isinstance(
+                sample.iloc[0], (list, tuple, np.ndarray)
+            ):
+                # array-valued cells: canonical tuple-of-str form so
+                # equality and sorting behave elementwise
+                df[c] = s.map(
+                    lambda v: tuple(str(x) for x in v) if v is not None else None
+                ).astype("object")
+            else:
+                df[c] = s.astype("string")
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(
         drop=True
     )

@@ -114,3 +114,56 @@ def test_latest_form_features(spark):
     assert feats["u1"]["sleep_duration"] == 8.0  # latest manual entry wins
     assert feats["u1"]["stress_level"] == 7
     assert feats["u2"]["caffeine_intake"] == 200
+
+
+def test_streaming_scoring(spark, model, tmp_path):
+    """§3.2 streaming form: manual-entry events on the stream are scored
+    against the latest wearable state and appended to the scores table."""
+    import json
+    import os
+
+    from cognitive_score_bigdata_spark.streaming.scoring import score_stream
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "scores")
+    os.makedirs(input_dir)
+
+    # pre-existing wearable state for u1 (as the hot path would write)
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [("u1", Decimal("82.000"), Decimal("7000.000"), Decimal("1400.000"))],
+        "user_id string, heart_rate decimal(18,3), steps decimal(18,3), "
+        "calories decimal(18,3)",
+    ).write.parquet(state_dir)
+
+    events = [
+        {  # scorable request
+            "user_id": "u1", "device_id": "phone_u1",
+            "schema": "manual_entry_v1", "cognitive_predict": True,
+            "sleep_duration": 7.5, "stress_level": 3,
+            "caffeine_intake": 100, "screen_time": 2.5,
+            "timestamp": "1700000100.0", "event_id": "m1",
+        },
+        {  # tracking event: must NOT be scored
+            "user_id": "u2", "device_id": "dev_u2",
+            "schema": "tracking_v1", "cognitive_predict": False,
+            "steps": 5, "distance": 0.01, "heart_rate": 90, "calories": 3,
+            "timestamp": "1700000101.0", "event_id": "t1",
+        },
+    ]
+    with open(f"{input_dir}/b.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    q = score_stream(
+        spark, model, input_dir, state_dir, out_dir, str(tmp_path / "chk")
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == "u1"
+    assert 40 <= rows[0]["score"] <= 100
+    assert rows[0]["status"] in ("Critical", "Normal")
