@@ -189,6 +189,83 @@ def signlsh_buckets(
     return vectors.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer,
+    search only the ``n_probe`` cells nearest each query.
+
+    MLlib KMeans (seeded) learns the coarse centroids; every vector is
+    assigned to its cell once (an indexed column any table can persist),
+    and a query touches |N|·n_probe/n_cells candidates instead of |N|.
+    Recall rises with n_probe; n_probe = n_cells degenerates to exact.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = vectors.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(vec)
+    assigned = km.transform(vec).select(
+        F.col(id_col).alias("neighbor_id"), F.col("prediction").alias("cell")
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+    ).join(assigned, "neighbor_id")
+
+    centers = km.clusterCenters()
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    # rank cells per query by centroid distance, keep n_probe
+    qc = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    _as_double(F.col("__q")),
+                    F.col("center"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "__rc",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("__rc") <= n_probe)
+        .select("query_id", "__q", "cell")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(qc)
+        .join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("__q"), F.col("__c")))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+    )
+
+
 def cosine_neardup_lsh(
     vectors: DataFrame,
     threshold: float = 0.95,

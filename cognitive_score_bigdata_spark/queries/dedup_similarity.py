@@ -21,6 +21,7 @@ from cognitive_score_bigdata_spark.operators.similarity import (
     cosine_neardup_exact,
     cosine_neardup_lsh,
     cosine_topk_numpy,
+    ivf_topk,
 )
 from cognitive_score_bigdata_spark.queries import register
 
@@ -78,6 +79,21 @@ def vector_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_lsh(
         emb, NEARDUP_THRESHOLD, n_planes=6, n_tables=12
     ).select("id_a", "id_b")
+
+
+@register(
+    "vector_ann_ivf_topk",
+    oracle=None,  # approximate by design; recall pinned vs exact in tests
+    doc="IVF approximate top-k: seeded KMeans coarse quantizer, probe "
+    "the 4 nearest of 16 cells per query — candidates shrink to "
+    "n_probe/n_cells of the corpus",
+)
+def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rnk"
+    )
 
 
 @register(

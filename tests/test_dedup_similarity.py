@@ -170,3 +170,31 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         extract_features(media, decoder="real").collect()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe << n_cells must recover most exact neighbors;
+    n_probe == n_cells must be exact."""
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        cosine_topk_exact,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_exact(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact

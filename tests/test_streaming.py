@@ -167,3 +167,70 @@ def test_routing_and_enrichment(spark):
     assert shapes["manual_entry_v1"].count() == 1
     row = shapes["tracking_v1"].collect()[0]
     assert row["event_id"] is not None and row["ts"] is not None
+
+
+def test_stateful_latest_state_stream(spark, tmp_path):
+    """applyInPandasWithState latest-state (T4 state-store form): state
+    survives across separate availableNow runs via the checkpoint, and
+    event-time ordering beats arrival order."""
+    import json
+    import os
+
+    from cognitive_score_bigdata_spark.streaming.pipeline import (
+        enrich,
+        read_event_stream,
+    )
+    from cognitive_score_bigdata_spark.streaming.stateful import (
+        latest_state_stream,
+    )
+
+    input_dir, out_dir, chk = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+    os.makedirs(input_dir)
+
+    def run_batch(events):
+        n = len(os.listdir(input_dir))
+        with open(f"{input_dir}/b{n}.json", "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        stream = latest_state_stream(enrich(read_event_stream(spark, input_dir)))
+
+        def sink(batch, _):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([_tracking("u1", BASE_TS + 300, hr=90)])
+    # second run: LATE event for u1 (must lose to checkpointed state)
+    # plus a new user
+    run_batch(
+        [
+            _tracking("u1", BASE_TS + 100, hr=60),
+            _tracking("u2", BASE_TS + 400, hr=70),
+        ]
+    )
+
+    out = spark.read.parquet(out_dir)
+    # latest emitted row per user is the final state
+    latest = {
+        r["user_id"]: r
+        for r in out.orderBy("ts_micros")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("heart_rate", "ts_micros"), "ts_micros").alias("s")
+        )
+        .select("user_id", "s.heart_rate", "s.ts_micros")
+        .collect()
+    }
+    assert latest["u1"]["heart_rate"] == 90.0  # late event did not regress state
+    assert latest["u2"]["heart_rate"] == 70.0
