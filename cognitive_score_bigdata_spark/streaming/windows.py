@@ -45,6 +45,31 @@ def sliding(
     )
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling count with a watermark (T5+T6 combined).
+
+    In append output mode a window is emitted only once the watermark
+    passes its end; events arriving later than the watermark are dropped
+    from state entirely — the bounded-state guarantee that lets this run
+    forever on an unbounded stream.
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), duration))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 def session(
     df: DataFrame, ts: str, gap: str, keys: list[str], aggs: list[Column]
 ) -> DataFrame:

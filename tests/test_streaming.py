@@ -234,3 +234,68 @@ def test_stateful_latest_state_stream(spark, tmp_path):
     }
     assert latest["u1"]["heart_rate"] == 90.0  # late event did not regress state
     assert latest["u2"]["heart_rate"] == 70.0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """T5/T6 in true streaming mode: with a 10-minute watermark and
+    1-file micro-batches, an event arriving hours late (after the
+    watermark passed its window) is dropped; append mode emits each
+    finalized window exactly once."""
+    from cognitive_score_bigdata_spark.streaming.pipeline import (
+        enrich,
+        read_event_stream,
+    )
+    from cognitive_score_bigdata_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(input_dir)
+
+    HOUR = 3600.0
+    # file order = arrival order (one file per micro-batch)
+    _write_batch(
+        input_dir, "b0.json", [_tracking("u1", BASE_TS + 0 * HOUR, hr=70)]
+    )
+    _write_batch(
+        input_dir,
+        "b1.json",
+        [_tracking("u1", BASE_TS + 2 * HOUR, hr=71)],  # advances watermark
+    )
+    _write_batch(
+        input_dir,
+        "b2.json",
+        [
+            # hours-late event for the first window: beyond watermark → drop
+            _tracking("u1", BASE_TS + 60, hr=72, event_id="late-1"),
+            _tracking("u1", BASE_TS + 3 * HOUR, hr=73),
+        ],
+    )
+
+    events = enrich(
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    )
+    counts = windowed_event_counts(
+        events, duration="5 minutes", watermark="10 minutes"
+    )
+
+    def sink(batch, _):
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir).collect()
+    by_window = {r["window_start"]: r["n_events"] for r in out}
+    first_window = min(by_window)
+    # the late event did NOT land in the first (already-finalized) window
+    assert by_window[first_window] == 1
+    # and each finalized window was emitted exactly once
+    assert len(out) == len(by_window)
