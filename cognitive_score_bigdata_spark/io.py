@@ -41,8 +41,22 @@ def _nanos_long_to_ntz(col: str):
     return F.timestamp_micros(F.expr(f"`{col}` DIV 1000")).cast(T.TimestampNTZType())
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Sessions not built by our factory (e.g. the driver's) raise
+    PARQUET_TYPE_ILLEGAL on events.parquet's TIMESTAMP(NANOS) column,
+    and a non-UTC session timezone would skew the ns→NTZ conversion
+    (it passes through an LTZ cast). Both confs are runtime-settable,
+    so self-heal here."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked down (e.g. spark-connect policy) — reads may still work
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing timestamp physical types."""
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_LONG_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
@@ -68,6 +82,7 @@ def load_events_time_range(
         dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
         return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
 
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.filter(
