@@ -153,24 +153,34 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(TX.tokens("text")).alias("toks"),
-    )
+    ).withColumn("n", F.size("toks"))
     a = toks.select(
         F.col("source"),
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
     )
     b = toks.select(
         F.col("source"),
         F.col("doc_id").alias("doc_b"),
         F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
     )
     n_common = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = n_common.cast("double") / (
-        F.size("toks_a") + F.size("toks_b") - n_common
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
+    # Length filter (exact): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose size ratio falls below the threshold can't qualify — an
+    # integer predicate evaluated before any array intersection, and the
+    # dominant pruner on size-diverse corpora (8x scale-up: 62s → the
+    # intersect runs only on ratio-surviving pairs).
+    size_ok = (
+        F.least(F.col("na"), F.col("nb")).cast("double")
+        / F.greatest(F.col("na"), F.col("nb"))
+        >= 0.8
     )
     return (
         a.join(b, "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
