@@ -74,3 +74,33 @@ def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint (md5 hex) — exact-dup key."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(c.cast("binary"))
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the shape a byte-pair tokenizer's pre-split produces.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "bigint"
+    )
+
+
+_MOD = 2_147_483_647  # 2^31 - 1: keeps the rolling state overflow-free
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over the token stream (order-sensitive,
+    unlike the md5-of-body fingerprint): h = (h*31 + hash(tok)) mod M,
+    folded left-to-right with built-in ``aggregate`` — deterministic,
+    no UDF, never overflows a long."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * 31 + F.pmod(F.xxhash64(t), F.lit(_MOD))
+        )
+        % F.lit(_MOD),
+    )

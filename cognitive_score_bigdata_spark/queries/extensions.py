@@ -193,6 +193,65 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_linenumber, 0.5) AS median_lineno
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact median (interpolated percentile) — safe cross-engine on "
+    "integer-valued inputs where midpoints are exactly representable",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_linenumber, 0.5)").alias("median_lineno"),
+        )
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # t-digest/GK sketches are engine-specific
+    doc="approx_percentile — the sketch that replaces exact sort-based "
+    "quantiles at 100 TB; bounds vs exact pinned in tests",
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+                "approx_median_price"
+            ),
+        )
+    )
+
+
+@register(
+    "scalar_regexp_replace",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_replace(event_type, '^(.)', 'X', 'g') AS head_masked
+    FROM events
+    """,
+    doc="global regexp_replace — Spark is always global; DuckDB needs "
+    "the explicit 'g' flag (a documented cross-engine trap)",
+)
+def scalar_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_replace("event_type", "^(.)", "X").alias("head_masked"),
+    )
+
+
+@register(
     "sample_seeded",
     oracle=None,  # engine RNGs differ; determinism within Spark is tested
     doc="Bernoulli sampling with a fixed seed — corpus subsampling for "

@@ -115,6 +115,37 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish regex token counting (letter runs / digit runs / "
+    "punctuation) — the pre-tokenizer split a byte-pair tokenizer sees",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=None,  # left-fold arithmetic isn't portable SQL (DuckDB BIGINT
+    # overflow errors; no list_reduce in 1.0) — determinism tested instead
+    doc="order-sensitive polynomial rolling hash over the token stream "
+    "(content fingerprint that distinguishes permuted documents, unlike "
+    "md5-of-body on normalized text)",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.rolling_fingerprint("text").alias("rolling_fp")
+    )
+
+
+@register(
     "text_ngram_jaccard",
     oracle="""
     WITH tok AS (

@@ -146,3 +146,38 @@ def test_salted_two_stage_agg_equals_plain(spark):
         ).collect()
     }
     assert two_stage == plain
+
+
+def test_percentile_approx_brackets_exact(spark):
+    """approx_percentile must land within the exact p40-p60 band."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("hi"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["lo"] <= r["approx"] <= r["hi"]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from cognitive_score_bigdata_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[3]  # identical text → identical fingerprint
+    assert fps[1] != fps[2]  # permuted tokens → different fingerprint
