@@ -238,9 +238,15 @@ def test_stateful_latest_state_stream(spark, tmp_path):
 
 def test_watermark_drops_late_events(spark, tmp_path):
     """T5/T6 in true streaming mode: with a 10-minute watermark and
-    1-file micro-batches, an event arriving hours late (after the
-    watermark passed its window) is dropped; append mode emits each
-    finalized window exactly once."""
+    1-file micro-batches, an event arriving after its window's state was
+    finalized AND evicted is dropped; append mode emits each finalized
+    window exactly once.
+
+    Spark semantics pinned here: a late row landing in the same batch
+    where its window is finalized is still aggregated (state not yet
+    evicted); only post-eviction arrivals are dropped — so the late file
+    arrives one batch after the window's emission.
+    """
     from cognitive_score_bigdata_spark.streaming.pipeline import (
         enrich,
         read_event_stream,
@@ -254,7 +260,9 @@ def test_watermark_drops_late_events(spark, tmp_path):
     os.makedirs(input_dir)
 
     HOUR = 3600.0
-    # file order = arrival order (one file per micro-batch)
+    # file order = arrival order (one file per micro-batch); the file
+    # source orders by modification time, so pin distinct mtimes or the
+    # "late" file may be picked up before the watermark advances
     _write_batch(
         input_dir, "b0.json", [_tracking("u1", BASE_TS + 0 * HOUR, hr=70)]
     )
@@ -266,12 +274,21 @@ def test_watermark_drops_late_events(spark, tmp_path):
     _write_batch(
         input_dir,
         "b2.json",
+        # advances further; first window is emitted+evicted this batch
+        [_tracking("u1", BASE_TS + 2.5 * HOUR, hr=72)],
+    )
+    _write_batch(
+        input_dir,
+        "b3.json",
         [
-            # hours-late event for the first window: beyond watermark → drop
-            _tracking("u1", BASE_TS + 60, hr=72, event_id="late-1"),
-            _tracking("u1", BASE_TS + 3 * HOUR, hr=73),
+            # hours-late event for the long-evicted first window → drop
+            _tracking("u1", BASE_TS + 60, hr=73, event_id="late-1"),
+            _tracking("u1", BASE_TS + 3 * HOUR, hr=74),
         ],
     )
+    now = 1_700_000_000
+    for i, name in enumerate(["b0.json", "b1.json", "b2.json", "b3.json"]):
+        os.utime(f"{input_dir}/{name}", (now + 10 * i, now + 10 * i))
 
     events = enrich(
         read_event_stream(spark, input_dir, max_files_per_trigger=1)
