@@ -70,6 +70,8 @@ def flagship_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT COUNT(CASE WHEN o_totalprice < {_CRITICAL} THEN 1 END) AS critical_alerts,
            {sql_davg('o_totalprice', 'avg_price')},
+           CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                      / COUNT(o_totalprice)) AS BIGINT) AS avg_price_int,
            COUNT(*) AS total_orders
     FROM orders
     """,
@@ -78,10 +80,16 @@ def flagship_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def flagship_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    avg_expr = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+        "double"
+    ) / F.count(F.col("o_totalprice"))
     return orders.agg(
         F.count(F.when(F.col("o_totalprice") < _CRITICAL, 1)).alias(
             "critical_alerts"
         ),
         davg("o_totalprice", "avg_price"),
+        # the reference truncates the dashboard average at the edge
+        # (main.py:172: int(avg))
+        F.floor(avg_expr).cast("bigint").alias("avg_price_int"),
         F.count(F.lit(1)).alias("total_orders"),
     )

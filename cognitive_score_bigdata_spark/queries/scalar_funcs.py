@@ -135,6 +135,27 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_base64",
+    oracle="""
+    SELECT event_id,
+           to_base64(encode(event_type)) AS et_b64,
+           decode(from_base64(to_base64(encode(event_type)))) AS et_roundtrip
+    FROM events
+    """,
+    doc="F4/S6 base64 encode/decode — the stream-record decode path "
+    "(stream_processor.py:25) as batch expressions",
+)
+def scalar_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.base64(F.col("event_type").cast("binary")).alias("et_b64"),
+        F.unbase64(F.base64(F.col("event_type").cast("binary")))
+        .cast("string")
+        .alias("et_roundtrip"),
+    )
+
+
+@register(
     "scalar_hash_md5",
     oracle="""
     SELECT doc_id, md5(text) AS text_md5
