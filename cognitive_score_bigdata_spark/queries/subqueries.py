@@ -76,26 +76,29 @@ def proj_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           embedding[1] AS first_component,
-           embedding[2:4] AS middle_slice,
-           list_sort(embedding[1:3]) AS sorted_head,
-           list_reverse(embedding[1:3]) AS reversed_head
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(embedding[2:4] AS DOUBLE[]) AS middle_slice,
+           list_sort(CAST(embedding[1:3] AS DOUBLE[])) AS sorted_head,
+           list_reverse(CAST(embedding[1:3] AS DOUBLE[])) AS reversed_head
     FROM embeddings
     WHERE vec_id < 100
     """,
     doc="array scalar surface: size, element_at, slice, sort_array, "
-    "reverse — the ops the stringified-ID-array ETL path (F6/J4) builds on",
+    "reverse — the ops the stringified-ID-array ETL path (F6/J4) builds "
+    "on. Arrays widened float→double on both engines: exact, and removes "
+    "float32 stringification ambiguity at the compare edge",
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     return (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
         .select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.element_at("embedding", 1).alias("first_component"),
-            F.slice("embedding", 2, 3).alias("middle_slice"),
-            F.sort_array(F.slice("embedding", 1, 3)).alias("sorted_head"),
-            F.reverse(F.slice("embedding", 1, 3)).alias("reversed_head"),
+            F.element_at("embedding", 1).cast("double").alias("first_component"),
+            dbl(F.slice("embedding", 2, 3)).alias("middle_slice"),
+            F.sort_array(dbl(F.slice("embedding", 1, 3))).alias("sorted_head"),
+            F.reverse(dbl(F.slice("embedding", 1, 3))).alias("reversed_head"),
         )
     )
