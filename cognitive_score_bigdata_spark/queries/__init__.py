@@ -62,6 +62,7 @@ def load_registry() -> dict[str, QuerySpec]:
         textops,
         vectorops,
         windows,
+        windows_extra,
         windows_time,
     )
 
