@@ -13,25 +13,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.similarity import cosine
 from cognitive_score_bigdata_spark.queries import register
 
 N_QUERIES = 5
 TOP_K = 10
-
-
-def cosine(a, b):
-    """cos(a,b) as a built-in expression tree (JVM-side, no UDF):
-    zip_with product + sequential double fold."""
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(da, db, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
 
 
 @register(
