@@ -29,13 +29,25 @@ DEFAULT_BANDS = 8  # 8 bands x 4 rows -> threshold s ~ (1/b)^(1/r) ~ 0.6
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of a whitespace-tokenized document."""
+    """Word n-gram shingles of a whitespace-tokenized document.
+
+    Built by zipping the token array with its own shifted copies (one
+    ``zip_with`` per gram position) — O(tokens) per document, versus the
+    naive per-index ``slice`` formulation whose repeated array
+    materialization dominated the MinHash pipeline. ``concat_ws`` skips
+    the nulls that padding introduces, and the final slice trims the
+    trailing short grams (docs shorter than ``n`` keep their single
+    short shingle).
+    """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " +")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+    sh = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1))
+        )
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
 
 
 def minhash_signature(
@@ -50,7 +62,9 @@ def minhash_signature(
     """
 
     def salted(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+        # hash the string once, salt over the long — matches
+        # minhash_sig_table bit-for-bit (see that function's rationale)
+        return lambda s: F.xxhash64(F.xxhash64(s), F.lit(i))
 
     return F.array(
         *[
@@ -78,9 +92,15 @@ def minhash_sig_table(
     sh = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s"),
+    ).select(
+        "__id",
+        # hash the variable-length shingle string ONCE; the k hash
+        # functions re-hash the fixed 8-byte long — k× cheaper than
+        # k string hashes, same independence for minhash purposes
+        F.xxhash64(F.col("__s")).alias("__h"),
     )
     aggs = [
-        F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__m{i}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
     return (

@@ -147,6 +147,44 @@ def analytics_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_q14_promo",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) END
+                     AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — conditional aggregate "
+    "ratio over a fact⋈part join with a pushed date range",
+)
+def analytics_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price)
+    dec = "decimal(28,6)"
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast(dec)).cast("double")
+                / F.sum(disc_price.cast(dec)).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "join_lookup_latest_state",
     oracle="""
     WITH latest AS (
