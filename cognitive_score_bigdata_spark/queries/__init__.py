@@ -51,6 +51,7 @@ def load_registry() -> dict[str, QuerySpec]:
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
         analytics,
+        analytics_tpch,
         dedup_similarity,
         extensions,
         flagship,
