@@ -64,6 +64,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure enough partitions for expensive per-row compute.
+
+    Local parquet testdata is a single row group per file, so scans come
+    up as ONE input partition and everything before the first shuffle
+    (shingling, hashing, Arrow batches) runs on one core. Round-robin
+    repartition to ``defaultParallelism × multiplier`` fixes that for the
+    cost of shuffling the (small) raw rows. On a real cluster the scan
+    already yields >= parallelism splits and this is a no-op — the
+    condition, not the repartition, is the scale-safe part.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_events_time_range(
     spark: SparkSession, sf_dir: str, start_iso: str, end_iso: str
 ) -> DataFrame:

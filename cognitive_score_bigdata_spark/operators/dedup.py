@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from cognitive_score_bigdata_spark.io import fan_out
+
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8  # 8 bands x 4 rows -> threshold s ~ (1/b)^(1/r) ~ 0.6
 
@@ -89,7 +91,7 @@ def minhash_sig_table(
     instead of inlining the whole signature expression once per band —
     and a vectorized partial-MIN hash agg is the shape that scales.
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s"),
     ).select(
@@ -212,7 +214,7 @@ def simhash_sketch(
     the doc id — the layout that scales, unlike a per-row 64-step fold.
     Duplicate tokens vote multiple times (multiset weighting, standard).
     """
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " +")).alias("__t")
     ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
     votes = toks.groupBy(id_col).agg(

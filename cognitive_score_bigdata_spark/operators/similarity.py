@@ -25,6 +25,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from cognitive_score_bigdata_spark.io import fan_out
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -60,8 +62,10 @@ def cosine_topk_exact(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
     )
-    c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+    c = fan_out(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -115,7 +119,9 @@ def cosine_topk_numpy(
                     {"query_id": qid, "neighbor_id": ids, "cos": vals}
                 )
 
-    partials = vectors.select(id_col, vec_col).mapInPandas(score, out_schema)
+    partials = fan_out(vectors.select(id_col, vec_col)).mapInPandas(
+        score, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -132,8 +138,10 @@ def cosine_neardup_exact(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, exact O(N²) formulation —
     the correctness oracle for the LSH path."""
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a")
+    # Non-equi pair join plans as BroadcastNestedLoopJoin; the streamed
+    # side's partitioning is the only parallelism, so fan it out.
+    a = fan_out(
+        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
     )
     b = vectors.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b")
@@ -186,7 +194,9 @@ def signlsh_buckets(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return fan_out(vectors.select(id_col, vec_col)).mapInPandas(
+        assign, out_schema
+    )
 
 
 def ivf_topk(
@@ -210,8 +220,10 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vec = vectors.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
+    vec = fan_out(
+        vectors.select(
+            F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
+        )
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(vec)
     assigned = km.transform(vec).select(

@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.functions import text as TX
-from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
 
 
@@ -180,7 +180,9 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs JVM-side per pair; on huge corpora, swap the source block for
     # MinHash-LSH buckets (dedup_minhash_pairs) — same verify stage.
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # fan_out: tokenization is the only pre-shuffle compute; single-row-
+    # group local files would otherwise run it on one core.
+    toks = fan_out(docs).select(
         "doc_id",
         "source",
         F.array_distinct(TX.tokens("text")).alias("toks"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.operators.similarity import cosine
 from cognitive_score_bigdata_spark.queries import register
 
@@ -40,8 +40,11 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    cand = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
