@@ -30,6 +30,17 @@ HEADLINE = [
     "analytics_q3_shipping",
     "analytics_q5_region_volume",
     "analytics_q10_returns",
+    "analytics_q4_exists_priority",
+    "analytics_q6_selective",
+    "analytics_q7_volume",
+    "analytics_q11_share",
+    "analytics_q12_priority_mix",
+    "analytics_q13_custdist",
+    "analytics_q14_promo",
+    "analytics_q15_top_supplier",
+    "analytics_q18_large_orders",
+    "analytics_q19_disjunctive",
+    "analytics_q22_dormant",
     "join_inner_broadcast",
     "join_left_composite",
     "join_asof",
