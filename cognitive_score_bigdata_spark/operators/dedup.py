@@ -289,3 +289,70 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: label every node with the MIN id reachable
+    through the pair graph — the canonical "pick one survivor per
+    duplicate cluster" step after candidate generation.
+
+    Plain iterative min-label propagation: each round every node adopts
+    the smallest label among itself and its neighbors; converged when no
+    label changes. Rounds needed = graph diameter (near-dup clusters are
+    dense and shallow, typically 2-4). Each round is one shuffle; lineage
+    is cut with localCheckpoint so the plan doesn't grow unboundedly —
+    the same structure (sans the large-star/small-star optimization of
+    Kiveris et al., which kicks in only for adversarially long chains)
+    runs at cluster scale.
+
+    ``pairs`` needs columns (id_a, id_b); ``nodes`` provides one row per
+    ``id_col`` so singletons keep their own id as cluster label.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

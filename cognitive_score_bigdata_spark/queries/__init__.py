@@ -52,6 +52,7 @@ def load_registry() -> dict[str, QuerySpec]:
         aggregations,
         analytics,
         analytics_tpch,
+        corpus,
         dedup_similarity,
         extensions,
         flagship,

@@ -1,0 +1,89 @@
+"""Corpus-pipeline operators: connected-components clustering pinned
+against a pure-Python union-find over the same candidate pairs, and
+seeded-KMeans determinism."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.dedup import (
+    connected_components,
+    minhash_candidate_pairs,
+)
+from cognitive_score_bigdata_spark.queries import load_registry
+from tests.conftest import SF_DIR
+
+
+def _union_find_clusters(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # full path compression, then label = root (min id by construction)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs_df = minhash_candidate_pairs(docs, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    nodes = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert pairs, "expected near-dup candidates in testdata"
+
+    expected = _union_find_clusters(pairs, nodes)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs_df, docs, "doc_id").collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_transitive_chain(spark):
+    # a-b, b-c, and separately d-e: one 3-chain + one 2-cluster + singleton f
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_kmeans_cluster_sizes_deterministic(spark):
+    reg = load_registry()
+    fn = reg["vector_kmeans_cluster_sizes"].fn
+    a = [(r.cluster, r.n) for r in fn(spark, SF_DIR).collect()]
+    b = [(r.cluster, r.n) for r in fn(spark, SF_DIR).collect()]
+    assert a == b
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(n for _, n in a) == n_total
+    assert len(a) <= 8
+
+
+def test_stratified_sample_respects_strata(spark):
+    reg = load_registry()
+    out = reg["sample_stratified"].fn(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # non-'en' strata keep fraction 1.0 — exact; 'en' is strictly downsampled
+    for lang, n in full.items():
+        if lang == "en":
+            assert by_lang.get(lang, 0) < n
+        else:
+            assert by_lang[lang] == n
