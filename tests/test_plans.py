@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the scale posture is part of the
+contract, not an accident of the current Catalyst version.
+
+Each assertion pins a property that matters at 100 TB and that a small
+code change could silently lose: dimension joins stay broadcast, fact
+predicates reach the parquet scan, grouped aggregates keep their
+map-side partial phase, top-k stays TakeOrderedAndProject, and scans
+never read columns the query doesn't touch."""
+
+from __future__ import annotations
+
+import pytest
+
+from cognitive_score_bigdata_spark.plans.audit import audit
+from cognitive_score_bigdata_spark.queries import load_registry
+from tests.conftest import SF_DIR
+
+REGISTRY = load_registry()
+
+
+def _audit(spark, name):
+    return audit(REGISTRY[name].fn(spark, SF_DIR))
+
+
+# (query, min broadcast joins, max sort-merge joins, min partial aggs)
+JOIN_AGG_PLANS = [
+    ("flagship_dashboard", 2, 0, 0),
+    ("analytics_q3_shipping", 1, 0, 1),
+    ("analytics_q5_region_volume", 4, 0, 1),
+    ("analytics_q10_returns", 2, 0, 1),
+    ("analytics_q7_volume", 4, 0, 1),
+    ("analytics_q18_large_orders", 1, 0, 1),
+    ("analytics_q19_disjunctive", 1, 0, 1),
+    ("analytics_q22_dormant", 1, 0, 1),
+    ("join_inner_broadcast", 1, 0, 0),
+]
+
+
+@pytest.mark.parametrize("name,min_bc,max_smj,min_partial", JOIN_AGG_PLANS)
+def test_join_agg_plan_shape(spark, name, min_bc, max_smj, min_partial):
+    a = _audit(spark, name)
+    assert a["n_broadcast_joins"] >= min_bc, a["text"]
+    assert a["n_sortmerge_joins"] <= max_smj, a["text"]
+    assert a["n_partial_aggs"] >= min_partial, a["text"]
+    assert a["batched_scans"] >= 1, "parquet scan must be vectorized"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "analytics_q6_selective",
+        "analytics_q3_shipping",
+        "proj_filter_basic",
+        "scan_time_range_pruned",
+    ],
+)
+def test_predicates_reach_scan(spark, name):
+    a = _audit(spark, name)
+    assert a["pushed_filters"], f"no PushedFilters on any scan:\n{a['text']}"
+
+
+@pytest.mark.parametrize(
+    "name", ["flagship_dashboard", "window_topk_recent", "analytics_q18_large_orders"]
+)
+def test_topk_is_take_ordered(spark, name):
+    a = _audit(spark, name)
+    assert a["has_take_ordered"], a["text"]
+
+
+def test_column_pruning_on_wide_fact(spark):
+    # Q6 touches 4 lineitem columns; the scan must not read the rest.
+    a = _audit(spark, "analytics_q6_selective")
+    assert len(a["read_schemas"]) == 1
+    schema = a["read_schemas"][0]
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in schema, f"unpruned column {col}: {schema}"
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in schema
+
+
+def test_selective_scan_has_no_join_exchange(spark):
+    # Q6 is scan→partial agg→final agg: exactly one exchange (the 1-row
+    # final agg), no join shuffles.
+    a = _audit(spark, "analytics_q6_selective")
+    assert a["n_exchanges"] <= 2, a["text"]
