@@ -33,6 +33,8 @@ HEADLINE = [
     "analytics_q4_exists_priority",
     "analytics_q6_selective",
     "analytics_q7_volume",
+    "analytics_q8_market_share",
+    "analytics_q9_profit",
     "analytics_q11_share",
     "analytics_q12_priority_mix",
     "analytics_q13_custdist",

@@ -423,3 +423,125 @@ def analytics_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", "l_year")
         .agg(dsum(revenue, "revenue"))
     )
+
+
+@register(
+    "analytics_q8_market_share",
+    oracle="""
+    WITH volume AS (
+      SELECT YEAR(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol END)
+                AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM volume GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of regional revenue "
+    "per year — conditional-sum ratio over a 7-way dimension-chain join, "
+    "exact decimal accumulators on both sides of the division",
+)
+def analytics_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2_key"))
+        .select(
+            bigint(F.year("o_orderdate")).alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("vol"))
+                ).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "analytics_q9_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+           {sql_dsum(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - p.p_retailprice * l.l_quantity * 0.4',
+               'profit',
+           )}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation ASC, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit per supplier nation per year (supply "
+    "cost modeled as 40% of part retail price — the testdata schema has "
+    "no partsupp table), LIKE-filtered part dimension broadcast",
+)
+def analytics_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.4
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            bigint(F.year("o_orderdate")).alias("o_year"),
+            profit.alias("__p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("__p"), "profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )

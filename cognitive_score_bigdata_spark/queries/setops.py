@@ -72,15 +72,20 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'signup'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events WHERE event_type = 'view' AND value > 90
     """,
-    doc="EXCEPT (distinct semantics, §2.7 library): signed-up users who "
-    "never purchased",
+    doc="EXCEPT (distinct semantics, §2.7 library): users with a "
+    "high-value purchase but no high-value view (every user has every "
+    "event type in this data, so the value cut keeps it non-trivial)",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "signup").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    a = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "view") & (F.col("value") > 90)
+    ).select("user_id")
     return a.subtract(b)
