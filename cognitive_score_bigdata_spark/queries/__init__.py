@@ -62,6 +62,7 @@ def load_registry() -> dict[str, QuerySpec]:
         scalar_funcs,
         subqueries,
         textops,
+        timeseries,
         vectorops,
         windows,
         windows_extra,
