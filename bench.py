@@ -74,6 +74,11 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
+        # Reclaim dead broadcast/shuffle state from prior queries before
+        # timing: queries late in a long session otherwise inherit the
+        # accumulated heap garbage of every query before them, which
+        # showed up as 5-10x slowdowns on the heavy tail queries.
+        spark._jvm.System.gc()  # noqa: SLF001
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
