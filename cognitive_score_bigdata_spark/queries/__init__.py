@@ -57,6 +57,7 @@ def load_registry() -> dict[str, QuerySpec]:
         extensions,
         flagship,
         joins,
+        mlops,
         projections,
         setops,
         scalar_funcs,
