@@ -64,11 +64,11 @@ def _fake_features(payload: bytes) -> np.ndarray:
 def extract_features(
     media: DataFrame, decoder: str = "fake"
 ) -> DataFrame:
-    """Decode + featurize: (media_id, media_type, n_bytes, sha1,
+    """Decode + featurize: (media_id, media_type, n_bytes, sha256,
     features array<float>). The shuffle-free scan→UDF→project shape is
     what a real embedding-extraction stage compiles to."""
     out_schema = (
-        "media_id long, media_type string, n_bytes long, sha1 string, "
+        "media_id long, media_type string, n_bytes long, sha256 string, "
         f"features array<float>"
     )
 
@@ -89,8 +89,10 @@ def extract_features(
                     "n_bytes": payloads.map(
                         lambda p: 0 if p is None else len(p)
                     ).astype("int64"),
-                    "sha1": payloads.map(
-                        lambda p: hashlib.sha1(p or b"").hexdigest()
+                    # sha256, not sha1: DuckDB ships sha256 so the
+                    # whole Arrow path is oracle-comparable row-for-row
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
                     "features": payloads.map(
                         lambda p: _fake_features(p).tolist()

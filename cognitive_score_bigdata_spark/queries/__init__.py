@@ -58,6 +58,7 @@ def load_registry() -> dict[str, QuerySpec]:
         flagship,
         joins,
         mlops,
+        multimodal_q,
         projections,
         setops,
         scalar_funcs,

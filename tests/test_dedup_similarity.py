@@ -159,9 +159,9 @@ def test_multimodal_plumbing(spark):
     assert len(feats[1]["features"]) == 32
     assert feats[1]["n_bytes"] == 256 and feats[3]["n_bytes"] == 0
     assert abs(sum(feats[2]["features"]) - 1.0) < 1e-6  # normalized histogram
-    # determinism: same payload → same sha1/features
+    # determinism: same payload → same sha256/features
     again = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert again[1]["sha1"] == feats[1]["sha1"]
+    assert again[1]["sha256"] == feats[1]["sha256"]
     assert again[1]["features"] == feats[1]["features"]
 
     frames = frame_sample(media, n_frames=4).collect()
