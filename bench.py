@@ -40,6 +40,7 @@ HEADLINE = [
     "analytics_q13_custdist",
     "analytics_q14_promo",
     "analytics_q15_top_supplier",
+    "analytics_q17_small_qty",
     "analytics_q18_large_orders",
     "analytics_q19_disjunctive",
     "analytics_q22_dormant",

@@ -545,3 +545,46 @@ def analytics_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("__p"), "profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register(
+    "analytics_q17_small_qty",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {sql_dsum('l.l_extendedprice', 'total_price')},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.5 * a.aq
+    """,
+    doc="TPC-H Q17 shape: rows below half their group's average — the "
+    "correlated per-group scalar aggregate becomes a re-aggregated "
+    "self-join on the group key (exact decimal average, so the < "
+    "comparison can't flip between engines)",
+)
+def analytics_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    )
+    avg_qty = lineitem.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count("l_quantity")
+        ).alias("aq")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(avg_qty, lineitem.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            dsum("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
