@@ -181,3 +181,21 @@ def test_rolling_fingerprint_order_sensitive(spark):
     }
     assert fps[1] == fps[3]  # identical text → identical fingerprint
     assert fps[1] != fps[2]  # permuted tokens → different fingerprint
+
+
+def test_fan_out_restores_parallelism_and_noops_when_wide(spark):
+    from cognitive_score_bigdata_spark.io import fan_out
+
+    narrow = spark.range(1000).coalesce(1)
+    fanned = fan_out(narrow)
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert fanned.count() == 1000
+
+    # already-wide input must pass through without an extra shuffle
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    assert fan_out(wide) is wide
