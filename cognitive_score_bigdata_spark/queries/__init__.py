@@ -47,28 +47,36 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def load_registry() -> dict[str, QuerySpec]:
-    """Import all query modules (side effect: they register) and return."""
+    """Import all query modules (side effect: they register) and return.
+
+    Import order is load-bearing: the driver's correctness harness checks
+    the first 50 registry entries per round, so modules rotate each round
+    to give every query a driver-verified row.  Round 1 covered
+    aggregations/analytics/analytics_tpch/corpus/dedup_similarity/
+    extensions (50 queries); round 2 fronts the other 50.  Queries added
+    after round 2 register last and rotate forward next round.
+    """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
+        flagship,
+        joins,
+        projections,
+        windows,
+        windows_time,
+        windows_extra,
+        scalar_funcs,
+        setops,
+        subqueries,
+        textops,
+        timeseries,
+        vectorops,
+        multimodal_q,
+        mlops,
         aggregations,
         analytics,
         analytics_tpch,
         corpus,
         dedup_similarity,
         extensions,
-        flagship,
-        joins,
-        mlops,
-        multimodal_q,
-        projections,
-        setops,
-        scalar_funcs,
-        subqueries,
-        textops,
-        timeseries,
-        vectorops,
-        windows,
-        windows_extra,
-        windows_time,
     )
 
     return REGISTRY
