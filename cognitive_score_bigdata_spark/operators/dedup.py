@@ -270,24 +270,47 @@ def simhash_candidate_pairs(
         ).alias("c"),
     ).select("__id", "__sh", "c.ck", "c.cv")
 
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Pairs are generated bucket-locally, exactly like the MinHash band
+    # join: one shuffle on (ck, cv), collect the members per bucket, emit
+    # ordered combinations. The alias-self-join formulation this replaced
+    # ran the explode→64-SUM sketch aggregation on BOTH join sides plus a
+    # second shuffle; here the sketch is computed once.
+    members = (
+        chunks.groupBy("ck", "cv")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__id").alias("id"), F.col("__sh").alias("sh"))
+                )
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda m, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda m2: F.struct(
+                            m.id.alias("id_a"),
+                            m2.id.alias("id_b"),
+                            m.sh.alias("sh_a"),
+                            m2.sh.alias("sh_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*").dropDuplicates(["id_a", "id_b"])
+
     hamming = F.bit_count(
-        F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ).cast("int")
     return (
-        a.join(
-            b,
-            (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

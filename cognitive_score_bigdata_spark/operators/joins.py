@@ -69,10 +69,14 @@ def asof_join(
     )
 
     # Right rows sort *before* left rows at equal timestamps so the
-    # inclusive (<=) match is visible to the left row.
+    # inclusive (<=) match is visible to the left row. The payload struct
+    # is the final sort key: without it, two right rows sharing (key,
+    # right_ts) reach last() in partition-layout order and the winner
+    # changes across runs — with it, the greatest payload struct wins the
+    # tie deterministically (struct comparison is field-wise, total).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc())
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc(), F.col(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l.unionByName(r, allowMissingColumns=True).withColumn(

@@ -27,6 +27,11 @@ from pyspark.sql import Column, DataFrame, Window
 
 from cognitive_score_bigdata_spark.io import fan_out
 
+# cosine_topk_numpy ships the collected query matrix inside the task
+# closure; past this many query rows the driver collect / closure size is
+# the wrong architecture and the bucketed ANN paths must be used.
+MAX_QUERY_ROWS = 100_000
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -92,7 +97,20 @@ def cosine_topk_numpy(
     Each candidate batch computes cos = C_norm @ Q_norm.T in one matmul,
     takes a partial top-k per partition, and a final exact top-k merge
     runs on the (tiny) union of partials.
+
+    The "small by contract" assumption on ``queries`` is enforced: a
+    query set past ``MAX_QUERY_ROWS`` would OOM the driver (and make the
+    closure broadcast the bottleneck), so the collect is guarded and the
+    caller is pointed at the bucketed paths instead of failing opaquely.
     """
+    probe = queries.select(id_col).limit(MAX_QUERY_ROWS + 1).count()
+    if probe > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"cosine_topk_numpy collects the query matrix to the driver; "
+            f"got > {MAX_QUERY_ROWS} query rows. For large query sets use "
+            f"vector_ann_lsh_neardup / ann_ivf_topk (bucketed, no driver "
+            f"collect) instead."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)

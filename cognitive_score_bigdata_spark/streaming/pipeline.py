@@ -164,6 +164,25 @@ def upsert_latest_state(
     writer.parquet(state_dir)
 
 
+def write_raw_batch(batch: DataFrame, batch_id: int, raw_dir: str) -> None:
+    """Cold-path raw-lake write for one micro-batch, replay-idempotent.
+
+    ``__batch_id`` is a partition column and the write is a dynamic
+    partition OVERWRITE, so a batch replayed after a failure between this
+    write and the checkpoint commit rewrites exactly its own
+    ``__batch_id=N/`` partitions instead of appending duplicates.
+    ``ingest_date`` stays a partition column so cold-path date scans
+    still prune.
+    """
+    (
+        batch.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id", "ingest_date")
+        .parquet(raw_dir)
+    )
+
+
 def run_ingest_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -187,9 +206,10 @@ def run_ingest_pipeline(
     def write_both(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            # cold path: raw append, date-partitioned (implements the
-            # ingestion.py:32-33 intent)
-            batch.write.mode("append").partitionBy("ingest_date").parquet(raw_dir)
+            # cold path: raw lake, date-partitioned (implements the
+            # ingestion.py:32-33 intent), replay-idempotent like the
+            # state upsert
+            write_raw_batch(batch, batch_id, raw_dir)
             # hot path: keyed latest-state upsert
             upsert_latest_state(batch.sparkSession, batch, state_dir)
         finally:

@@ -114,6 +114,33 @@ def test_minhash_on_testdata_matches_exact_high_jaccard(spark):
     assert not missing
 
 
+def test_simhash_sketch_computed_once(spark, neardup_corpus):
+    """The bucket-local pair generation must not re-run the explode→64-SUM
+    sketch aggregation per join side: 3 shuffles total (doc-id sketch agg,
+    (ck,cv) bucket agg, pair dropDuplicates), 3 aggs = 6 partial+final."""
+    plan = (
+        simhash_candidate_pairs(neardup_corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 3
+    assert plan.count("HashAggregate") <= 6
+
+
+def test_numpy_topk_query_size_guard(spark):
+    import cognitive_score_bigdata_spark.operators.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = sim.MAX_QUERY_ROWS
+    sim.MAX_QUERY_ROWS = 3
+    try:
+        with pytest.raises(ValueError, match="query rows"):
+            cosine_topk_numpy(emb, emb.limit(10), k=2)
+    finally:
+        sim.MAX_QUERY_ROWS = old
+
+
 def test_numpy_topk_matches_exact(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)

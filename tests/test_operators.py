@@ -76,6 +76,24 @@ def test_asof_inclusive_and_unmatched(spark):
     assert rows[3] is None  # key with no right rows at all
 
 
+def test_asof_tied_right_ts_deterministic(spark):
+    """Two right rows sharing (key, right_ts): the greatest payload
+    struct must win regardless of partition layout, so repeated runs
+    under different parallelism agree."""
+    left = spark.createDataFrame([(1, "u", 100)], "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 90, "aaa"), ("u", 90, "zzz")], "k string, ts long, tag string"
+    )
+    winners = set()
+    for n in (1, 2, 8):
+        rows = asof_join(
+            left.repartition(n), right.repartition(n), on="k",
+            left_ts="ts", right_ts="ts", right_cols=["tag"],
+        ).collect()
+        winners.add(rows[0]["tag"])
+    assert winners == {"zzz"}
+
+
 def test_latest_per_key_variants_agree(spark):
     events = load_table(spark, SF_DIR, "events")
     via_window = {

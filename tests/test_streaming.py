@@ -16,6 +16,7 @@ from cognitive_score_bigdata_spark.streaming.pipeline import (
     route,
     run_ingest_pipeline,
     upsert_latest_state,
+    write_raw_batch,
 )
 
 BASE_TS = 1_700_000_000.0
@@ -143,6 +144,22 @@ def test_upsert_idempotent_replay(spark, dirs):
     upsert_latest_state(spark, batch, dirs["state"])  # replay
     second = sorted(map(str, spark.read.parquet(dirs["state"]).collect()))
     assert first == second
+
+
+def test_raw_batch_idempotent_replay(spark, dirs):
+    """Replaying a raw-lake micro-batch write must not duplicate rows
+    (failure between the write and the checkpoint commit redelivers),
+    while distinct batch_ids accumulate."""
+    batch = enrich(
+        spark.createDataFrame(
+            [_tracking("erin", BASE_TS + 10, hr=81)], schema=EVENT_SCHEMA
+        )
+    )
+    write_raw_batch(batch, 0, dirs["raw"])
+    write_raw_batch(batch, 0, dirs["raw"])  # replay of the same batch
+    assert spark.read.parquet(dirs["raw"]).count() == 1
+    write_raw_batch(batch, 1, dirs["raw"])  # a genuinely new batch
+    assert spark.read.parquet(dirs["raw"]).count() == 2
 
 
 def test_routing_and_enrichment(spark):
