@@ -64,11 +64,38 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = 10
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = 10,
+    source_format: str = "json",
+    kafka_bootstrap_servers: str | None = None,
+    kafka_topic: str | None = None,
 ) -> DataFrame:
-    """S5: micro-batch stream source. File drop-dir stands in for the
-    HTTP/Kinesis edge (Kafka in prod — same plan shape); ≤N files per
-    trigger mirrors batch_size=10 (hot_path_processor.tf:83)."""
+    """S5: micro-batch stream source. ≤N records per trigger mirrors
+    batch_size=10 (hot_path_processor.tf:83).
+
+    ``source_format="json"`` (default) reads a file drop-dir — the
+    broker-less stand-in used in tests. ``source_format="kafka"`` reads
+    the real broker edge via :mod:`streaming.kafka` (requires the
+    connector jar on the cluster classpath); downstream plan shape is
+    identical either way.
+    """
+    if source_format == "kafka":
+        from cognitive_score_bigdata_spark.streaming.kafka import (
+            read_event_stream_kafka,
+        )
+
+        if not (kafka_bootstrap_servers and kafka_topic):
+            raise ValueError(
+                "source_format='kafka' needs kafka_bootstrap_servers and "
+                "kafka_topic"
+            )
+        return read_event_stream_kafka(
+            spark,
+            kafka_bootstrap_servers,
+            kafka_topic,
+            max_offsets_per_trigger=max_files_per_trigger,
+        ).drop("__kafka_key")
     reader = (
         spark.readStream.format("json")
         .schema(EVENT_SCHEMA)
