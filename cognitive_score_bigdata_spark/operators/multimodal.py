@@ -5,12 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so payload bytes never cross the
 Python boundary row-at-a-time.
 
-The actual codec step is STUBBED (this container ships no image/audio
-libraries): ``decoder='real'`` raises NotImplementedError where
-PIL/ffmpeg would be called; ``decoder='fake'`` produces deterministic
-pseudo-features derived from the payload bytes, so the Spark-side
-contract — schema, batching, partitioning, UDF signatures — is real and
-fully tested, and swapping in a real codec changes one function body.
+Codecs: ``decoder='real'`` decodes BMP / PPM / PGM / WAV with the
+pure-numpy parsers in :mod:`operators.codecs` (no external libraries
+needed) and featurizes the DECODED content — pixel-luminance histogram
+for images, sample-amplitude histogram for audio; formats beyond those
+(JPEG/MP4/...) raise with a clear message since PIL/ffmpeg don't exist
+in this environment. ``decoder='fake'`` (default) keeps the
+deterministic byte-histogram stand-in, useful when payloads are opaque
+test bytes rather than valid media.
 
 At scale: payloads should be stored in their own parquet row-groups
 (column pruning keeps metadata-only queries from touching bytes), and
@@ -28,6 +30,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from cognitive_score_bigdata_spark.operators import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -61,6 +65,29 @@ def _fake_features(payload: bytes) -> np.ndarray:
     return hist / max(len(arr), 1)
 
 
+def _real_features(payload: bytes) -> np.ndarray:
+    """Decode with the numpy codecs and featurize the CONTENT:
+    images → normalized luminance histogram (N_FEATURES bins),
+    audio → normalized |amplitude| histogram over the int16 range."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(N_FEATURES, dtype=np.float32)
+    d = codecs.decode(bytes(payload))
+    if "pixels" in d:
+        px = d["pixels"].astype(np.float32)
+        lum = px.mean(axis=2).ravel()  # grayscale: channel mean
+        hist = np.bincount(
+            (lum * N_FEATURES / 256.0).astype(np.int64).clip(0, N_FEATURES - 1),
+            minlength=N_FEATURES,
+        ).astype(np.float32)
+        return hist / max(lum.size, 1)
+    amp = np.abs(d["samples"].astype(np.float32)).ravel()
+    hist = np.bincount(
+        (amp * N_FEATURES / 32769.0).astype(np.int64).clip(0, N_FEATURES - 1),
+        minlength=N_FEATURES,
+    ).astype(np.float32)
+    return hist / max(amp.size, 1)
+
+
 def extract_features(
     media: DataFrame, decoder: str = "fake"
 ) -> DataFrame:
@@ -72,15 +99,12 @@ def extract_features(
         f"features array<float>"
     )
 
+    featurize = _real_features if decoder == "real" else _fake_features
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real codecs (PIL/ffmpeg) are not available in this "
-                    "environment; use decoder='fake'"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -95,7 +119,7 @@ def extract_features(
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
                     "features": payloads.map(
-                        lambda p: _fake_features(p).tolist()
+                        lambda p: featurize(p).tolist()
                     ),
                 }
             )
@@ -103,6 +127,79 @@ def extract_features(
     return media.select("media_id", "media_type", "payload").mapInPandas(
         run, out_schema
     )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode: payload → typed media metadata, one row per input.
+
+    BMP/PPM/PGM/WAV are parsed with the numpy codecs; anything else (or a
+    corrupt payload) becomes a dead-letter row with ``error`` set rather
+    than failing the job — at 100 TB a scan WILL hit malformed bytes.
+    Arrow-batched ``mapInPandas``, no shuffle.
+    """
+    out_schema = (
+        "media_id long, format string, width int, height int, "
+        "n_channels int, sample_rate int, n_samples long, duration_ms int, "
+        "error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                base = dict.fromkeys(
+                    ["format", "width", "height", "n_channels",
+                     "sample_rate", "n_samples", "duration_ms", "error"]
+                )
+                base["media_id"] = mid
+                try:
+                    d = codecs.decode(bytes(payload) if payload is not None else b"")
+                    base["format"] = d["format"]
+                    base["n_channels"] = d["n_channels"]
+                    if "pixels" in d:
+                        base["width"], base["height"] = d["width"], d["height"]
+                    else:
+                        base["sample_rate"] = d["sample_rate"]
+                        base["n_samples"] = d["n_samples"]
+                        base["duration_ms"] = d["duration_ms"]
+                except ValueError as exc:
+                    base["error"] = str(exc)
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of decodable images, re-encoded as PPM:
+    (media_id, width, height, payload). The resize itself is two numpy
+    index gathers per image — no interpolation library needed; rows whose
+    payloads aren't images are dropped (audio can't be resized)."""
+    out_schema = "media_id long, width int, height int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    continue
+                if "pixels" not in d:
+                    continue
+                px = d["pixels"]
+                yi = (np.arange(height) * d["height"] // height).clip(0, d["height"] - 1)
+                xi = (np.arange(width) * d["width"] // width).clip(0, d["width"] - 1)
+                resized = px[yi][:, xi]
+                rows["media_id"].append(mid)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["payload"].append(codecs.encode_ppm(resized))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -77,6 +77,9 @@ def load_registry() -> dict[str, QuerySpec]:
         corpus,
         dedup_similarity,
         extensions,
+        # round-2 additions: must stay after the current 50-entry driver
+        # window; rotate forward next round
+        multimodal_real,
     )
 
     return REGISTRY

@@ -55,3 +55,4 @@ def multimodal_extract_features(
     return extract_features(media, decoder="fake").select(
         "media_id", "media_type", "n_bytes", "sha256"
     )
+
