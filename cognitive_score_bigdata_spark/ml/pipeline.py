@@ -189,6 +189,26 @@ def score_requests(
     )
 
 
-def append_score_sinks(scored: DataFrame, out_dir: str) -> None:
-    """S9: append scored rows to the cognitive_scores-shaped table."""
+def append_score_sinks(
+    scored: DataFrame,
+    out_dir: str,
+    mode: str = "parquet",
+    jdbc_url: str | None = None,
+    jdbc_table: str = "cognitive_scores",
+    **jdbc_kwargs,
+) -> None:
+    """S9: append scored rows to the cognitive_scores-shaped table.
+
+    ``mode="parquet"`` (default) appends to the lake table;
+    ``mode="jdbc"`` writes to the reference's relational edge
+    (``src/backend/main.py:113-124``) via :func:`sources.sinks.write_jdbc`
+    — needs a driver jar on the cluster classpath.
+    """
+    if mode == "jdbc":
+        from cognitive_score_bigdata_spark.sources.sinks import write_jdbc
+
+        if not jdbc_url:
+            raise ValueError("mode='jdbc' needs jdbc_url")
+        write_jdbc(scored, jdbc_url, jdbc_table, mode="append", **jdbc_kwargs)
+        return
     scored.write.mode("append").parquet(f"{out_dir}/cognitive_scores_out")

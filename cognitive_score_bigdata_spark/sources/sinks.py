@@ -51,3 +51,56 @@ def append_rows(df: DataFrame, path: str) -> None:
     """S9 relational append sink (the INSERT INTO path,
     main.py:113-124) — blind append, readers see atomic files."""
     df.write.mode("append").parquet(path)
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str = "org.postgresql.Driver",
+    batchsize: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+) -> dict[str, str]:
+    """JDBC option dict for the reference's Postgres edge (UserDB,
+    ``main.tf:89-104``; per-prediction INSERT ``src/backend/main.py:
+    113-124``; bulk load ``scripts/db_loader.py:94-158``).
+
+    ``batchsize`` makes the executor-side INSERT a real batch write (the
+    reference's loader commits per-CSV; 10k-row batches are the moral
+    equivalent at scale). A pure builder so tests pin the contract
+    without a database or driver jar on the classpath.
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "driver": driver,
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation_level,
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **kwargs,
+) -> None:
+    """S9 over a real database: ``df.write.format("jdbc")``.
+
+    Executors open parallel connections (one per partition) and batch
+    INSERTs — ``df.repartition(n)`` upstream controls write concurrency
+    against the database. Requires a JDBC driver jar on the cluster
+    classpath (e.g. ``org.postgresql:postgresql``); this sandbox ships
+    none, so tests drive construction + option plumbing and assert the
+    driver-lookup failure is the only thing standing.
+    """
+    df.write.format("jdbc").options(**jdbc_options(url, table, **kwargs)).mode(
+        mode
+    ).save()
