@@ -80,6 +80,7 @@ def load_registry() -> dict[str, QuerySpec]:
         # round-2 additions: must stay after the current 50-entry driver
         # window; rotate forward next round
         multimodal_real,
+        ann_exact,
     )
 
     return REGISTRY

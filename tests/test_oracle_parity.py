@@ -27,8 +27,21 @@ def test_query_matches_oracle(spark, oracle_con, name):
 def test_query_runs(spark, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_DIR)
-    assert df.count() >= 0
+    # non-vacuous: a 0-row result can't witness anything (commit 05d98a8
+    # found three such queries; this pins the audit as a regression test)
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_not_vacuous(oracle_con, name):
+    """A hash-match on 0 rows verifies nothing — every oracle must
+    produce rows at the test scale factor. DuckDB-side only: cheap, and
+    parity (above) transfers the guarantee to the Spark side."""
+    n = oracle_con.execute(
+        f"SELECT count(*) FROM ({REGISTRY[name].oracle})"
+    ).fetchone()[0]
+    assert n > 0, f"{name}: oracle returns 0 rows at test SF — vacuous pass"
 
 
 def test_entry_smoke(spark):
