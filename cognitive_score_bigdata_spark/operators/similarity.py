@@ -32,6 +32,10 @@ from cognitive_score_bigdata_spark.io import fan_out
 # the wrong architecture and the bucketed ANN paths must be used.
 MAX_QUERY_ROWS = 100_000
 
+# Below this many vectors the unit-vector table (~1 KB/row) broadcasts to
+# the verify join; above, it stays an equi-join (AQE can still upgrade).
+BROADCAST_MAX_VECTOR_ROWS = 200_000
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -53,6 +57,55 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+_DOT_VEC_UDF = None
+
+
+def dot_vec(a: Column, b: Column) -> Column:
+    """Vectorized row-wise dot product over two array columns.
+
+    Catalyst's higher-order functions (zip_with/aggregate) evaluate
+    interpreted, per element — ~µs each, which is the whole runtime once
+    a verify stage touches 10^5+ candidate pairs × 128 dims. One einsum
+    over the Arrow batch replaces all of it. (UDF object is created
+    lazily: ``pandas_udf`` needs an active session, and this module must
+    import without one.)
+    """
+    global _DOT_VEC_UDF
+    if _DOT_VEC_UDF is None:
+
+        @F.pandas_udf("double")
+        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = np.stack(x.to_numpy())
+            B = np.stack(y.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        _DOT_VEC_UDF = _udf
+    return _DOT_VEC_UDF(a, b)
+
+
+def unit_rows(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id_col, vec_col as unit-normalized array<double>): normalize each
+    embedding ONCE, so every downstream cosine is a plain dot product.
+    One linear Arrow pass — the shape to persist alongside a real corpus."""
+    out_schema = f"{id_col} long, {vec_col} array<double>"
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(mat)}
+            )
+
+    return fan_out(vectors.select(id_col, vec_col)).mapInPandas(
+        norm, out_schema
+    )
 
 
 def cosine_topk_exact(
@@ -77,6 +130,8 @@ def cosine_topk_exact(
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("__q"), F.col("__c")))
+        # prune vector payloads before the rank shuffle (see ivf_topk)
+        .select("query_id", "neighbor_id", "cos")
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cos")
@@ -217,46 +272,93 @@ def signlsh_buckets(
     )
 
 
-def ivf_topk(
+class IvfIndex:
+    """A built IVF index: the cached inverted file (cell → unit vectors)
+    plus the centroid table. At corpus scale both are persisted TABLES
+    written by a batch build job; ``cached`` models that with a Spark
+    cache so repeated probes don't re-run quantization."""
+
+    def __init__(self, cand: DataFrame, centers_df: DataFrame):
+        self.cand = cand  # (neighbor_id, __c unit array, cell)
+        self.centers_df = centers_df  # (cell, center array<double>)
+
+    def unpersist(self) -> None:
+        self.cand.unpersist()
+
+
+def ivf_build(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse k-means quantizer,
-    search only the ``n_probe`` cells nearest each query.
+) -> IvfIndex:
+    """Build the IVF index: train the coarse quantizer, assign every
+    vector to a cell, cache the inverted file.
 
-    MLlib KMeans (seeded) learns the coarse centroids; every vector is
-    assigned to its cell once (an indexed column any table can persist),
-    and a query touches |N|·n_probe/n_cells candidates instead of |N|.
-    Recall rises with n_probe; n_probe = n_cells degenerates to exact.
+    Everything runs in unit space (spherical quantization): normalize
+    once, train/assign/probe/score on unit vectors, so euclidean cell
+    distance is monotone in cosine and the verify is a plain dot.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vec = fan_out(
-        vectors.select(
-            F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
-        )
+    unit = unit_rows(vectors, id_col, vec_col)
+    vec = unit.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(vec)
+    # Coarse-quantizer training runs on a bounded sample over few
+    # partitions: IVF centroids don't need every vector (at corpus scale
+    # you'd train on ~10^5 of 10^9), and each k-means|| iteration is a
+    # scheduled job — fewer/fuller partitions cut per-iteration overhead.
+    n = vectors.count()
+    fit_input = vec
+    if n > 100_000:
+        fit_input = vec.sample(fraction=100_000 / n, seed=seed)
+    fit_input = fit_input.coalesce(8)
+    km = KMeans(
+        k=n_cells,
+        seed=seed,
+        featuresCol="__features",
+        maxIter=10,
+        # random init, not k-means||: the parallel init runs ~5 extra
+        # distributed passes to seed centroids "well", which a coarse
+        # quantizer doesn't need (FAISS trains IVF with plain Lloyd)
+        initMode="random",
+    ).fit(fit_input)
     assigned = km.transform(vec).select(
         F.col(id_col).alias("neighbor_id"), F.col("prediction").alias("cell")
     )
-    cand = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
-    ).join(assigned, "neighbor_id")
+    cand = (
+        unit.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+        )
+        .join(assigned, "neighbor_id")
+        .persist()
+    )
 
     centers = km.clusterCenters()
-    centers_df = queries.sparkSession.createDataFrame(
+    centers_df = vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     )
-    q = queries.select(
+    return IvfIndex(cand, centers_df)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built index: per query, rank cells by centroid distance,
+    score only the ``n_probe`` nearest cells' members. A query touches
+    |N|·n_probe/n_cells candidates instead of |N|; recall rises with
+    n_probe, and n_probe = n_cells degenerates to exact."""
+    cand, centers_df = index.cand, index.centers_df
+    q = unit_rows(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
     )
     # rank cells per query by centroid distance, keep n_probe
@@ -289,11 +391,33 @@ def ivf_topk(
         F.broadcast(qc)
         .join(cand, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("__q"), F.col("__c")))
+        .withColumn("cos", dot_vec(F.col("__q"), F.col("__c")))
+        # drop the vector payloads BEFORE the rank shuffle: sorting rows
+        # that still carry two 1 KB arrays is 3× the whole query's cost
+        .select("query_id", "neighbor_id", "cos")
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cos")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot IVF top-k: :func:`ivf_build` + :func:`ivf_probe`.
+
+    For repeated probes against one corpus, build once and reuse the
+    index (the registry queries do exactly that).
+    """
+    index = ivf_build(vectors, n_cells, seed, id_col, vec_col)
+    return ivf_probe(index, queries, k, n_probe, id_col, vec_col)
 
 
 def cosine_neardup_lsh(
@@ -313,18 +437,28 @@ def cosine_neardup_lsh(
     keyed on (table, bucket).
     """
     b = signlsh_buckets(vectors, n_planes, n_tables, seed, id_col, vec_col)
-    tagged = vectors.join(b, id_col)
-    a = tagged.select(
-        "tbl", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a")
-    )
-    c = tagged.select(
-        "tbl", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b")
-    )
-    return (
+    # Candidate generation moves IDS ONLY: the band self-join and the
+    # dedup shuffle never carry embedding payloads (the earlier
+    # formulation shipped two 1 KB arrays per candidate row through both
+    # shuffles and was 5× slower for it). Vectors re-enter afterwards —
+    # normalized once so the verify is a single vectorized dot — via a
+    # broadcast when the corpus is small enough, else an equi-join.
+    a = b.select("tbl", "bucket", F.col(id_col).alias("id_a"))
+    c = b.select("tbl", "bucket", F.col(id_col).alias("id_b"))
+    pairs = (
         a.join(c, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", cosine(F.col("__a"), F.col("__b")))
+    )
+    u = unit_rows(vectors, id_col, vec_col)
+    ua = u.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
+    ub = u.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
+    if vectors.count() <= BROADCAST_MAX_VECTOR_ROWS:
+        ua, ub = F.broadcast(ua), F.broadcast(ub)
+    return (
+        pairs.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cos", dot_vec(F.col("__a"), F.col("__b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -14,8 +14,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import load_table
-from cognitive_score_bigdata_spark.operators.similarity import ivf_topk
+from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries.dedup_similarity import ivf_index
 
 
 @register(
@@ -37,6 +38,7 @@ from cognitive_score_bigdata_spark.queries import register
 def vector_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8).select(
+    index = ivf_index(spark, sf_dir, n_cells=8)
+    return ivf_probe(index, queries, k=10, n_probe=8).select(
         "query_id", "neighbor_id", "rnk"
     )

@@ -27,6 +27,19 @@ from cognitive_score_bigdata_spark.sources.simulator import (
 )
 from cognitive_score_bigdata_spark.streaming.pipeline import enrich
 
+# Serving scores with a LOADED model artifact — the reference hits an
+# already-deployed endpoint per request (main.py:96-103); it does not
+# retrain per query. One train per session, keyed weakly by session.
+_MODEL_CACHE: dict[int, object] = {}
+
+
+def _serving_model(spark: SparkSession):
+    key = id(spark)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE.clear()  # a new session invalidates the old JVM model
+        _MODEL_CACHE[key] = train(spark)
+    return _MODEL_CACHE[key]
+
 
 @register(
     "ml_score_batch",
@@ -62,7 +75,7 @@ def ml_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("memory_test_score", F.lit(None).cast("double"))
     )
 
-    model = train(spark)
+    model = _serving_model(spark)
     return score_requests(model, requests, latest_state).select(
         "user_id", "score", "status"
     )

@@ -195,7 +195,9 @@ def test_multimodal_plumbing(spark):
     assert {r["media_id"] for r in frames} == {2}  # only video rows fan out
     assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]
 
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
+    # decoder='real' parses actual formats (test_multimodal.py); on
+    # opaque test bytes it must reject loudly, not fake features
+    with pytest.raises(Exception, match="unrecognized media format"):
         extract_features(media, decoder="real").collect()
 
 
