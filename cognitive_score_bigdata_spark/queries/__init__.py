@@ -81,6 +81,7 @@ def load_registry() -> dict[str, QuerySpec]:
         # window; rotate forward next round
         multimodal_real,
         ann_exact,
+        tpch_rest,
     )
 
     return REGISTRY
