@@ -82,6 +82,7 @@ def load_registry() -> dict[str, QuerySpec]:
         multimodal_real,
         ann_exact,
         tpch_rest,
+        textclean,
     )
 
     return REGISTRY
