@@ -67,6 +67,9 @@ HEADLINE = [
     "multimodal_extract_features",
     "multimodal_decode_real",
     "ml_score_batch",
+    # BLAS-vs-expression crossover pair (same oracle, Q=200)
+    "vector_cosine_topk_expr_q200",
+    "vector_cosine_topk_fast_q200",
 ]
 
 

@@ -83,6 +83,7 @@ def load_registry() -> dict[str, QuerySpec]:
         ann_exact,
         tpch_rest,
         textclean,
+        vector_crossover,
     )
 
     return REGISTRY
