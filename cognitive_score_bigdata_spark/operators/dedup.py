@@ -328,10 +328,10 @@ def connected_components(
     the smallest label among itself and its neighbors; converged when no
     label changes. Rounds needed = graph diameter (near-dup clusters are
     dense and shallow, typically 2-4). Each round is one shuffle; lineage
-    is cut with localCheckpoint so the plan doesn't grow unboundedly —
-    the same structure (sans the large-star/small-star optimization of
-    Kiveris et al., which kicks in only for adversarially long chains)
-    runs at cluster scale.
+    is cut with localCheckpoint so the plan doesn't grow unboundedly.
+    For adversarially long chains (diameter ≫ 10) use
+    :func:`connected_components_star`, which converges in O(log d)
+    rounds via star contraction.
 
     ``pairs`` needs columns (id_a, id_b); ``nodes`` provides one row per
     ``id_col`` so singletons keep their own id as cluster label.
@@ -378,4 +378,92 @@ def connected_components(
             break
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star operation over a symmetric edge list.
+
+    m(u) = min(Γ(u) ∪ {u}). Large-star rewires every neighbor v > u to
+    m(u); small-star rewires every neighbor v < u AND u itself to m(u).
+    No per-node neighbor list is ever materialized — both phases are a
+    hash-agg MIN plus an equi-join, so a celebrity node costs a wide
+    shuffle partition, not an OOM-sized array.
+    """
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    if large:
+        moved = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+    else:
+        moved = (
+            sym.filter(F.col("dst") < F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                mins.select(F.col("src"), F.col("m").alias("dst"))
+            )
+        )
+    return _symmetric(moved).localCheckpoint(eager=True)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): converges in O(log d) rounds versus min-label
+    propagation's O(d), so a 10^6-long chain needs ~20 rounds, not 10^6.
+
+    Same contract as :func:`connected_components`: (id_col, cluster_id)
+    with cluster_id = MIN node id of the component; singletons label
+    themselves. Use this variant when candidate graphs may contain long
+    chains (transitive near-dup bridges); the plain propagation is fine
+    for the shallow dense clusters LSH typically emits.
+    """
+    sym = _symmetric(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    prev_sig = None
+    for i in range(max_iter):
+        sym = _star_round(sym, large=True)
+        sym = _star_round(sym, large=False)
+        sig = tuple(
+            sym.agg(
+                F.count(F.lit(1)), F.sum("src"), F.sum("dst")
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    centers = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(centers, F.col("node") == centers.src, "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.col("node"), F.coalesce("mn", F.col("node"))
+            ).alias("cluster_id"),
+        )
     )

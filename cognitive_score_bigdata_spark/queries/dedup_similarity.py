@@ -132,3 +132,24 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_cluster_docs_star",
+    oracle=None,  # iterative graph algorithm — pinned vs union-find in tests
+    doc="near-dup clustering via large-star/small-star contraction "
+    "(Kiveris et al. SoCC'14): O(log d) rounds vs propagation's O(d), "
+    "the variant that survives adversarially long duplicate chains; "
+    "same labels as dedup_cluster_docs (union-find parity in "
+    "test_corpus.py)",
+)
+def dedup_cluster_docs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return connected_components_star(pairs, docs, "doc_id")

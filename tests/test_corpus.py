@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from cognitive_score_bigdata_spark.io import load_table
 from cognitive_score_bigdata_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
     minhash_candidate_pairs,
 )
 from cognitive_score_bigdata_spark.queries import load_registry
@@ -62,6 +63,48 @@ def test_connected_components_transitive_chain(spark):
         for r in connected_components(pairs, nodes, "doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_star_contraction_matches_union_find(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs_df = minhash_candidate_pairs(docs, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    nodes = [r.doc_id for r in docs.select("doc_id").collect()]
+    expected = _union_find_clusters(pairs, nodes)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs_df, docs, "doc_id").collect()
+    }
+    assert got == expected
+
+
+def test_star_contraction_long_chain_logarithmic(spark):
+    """A 200-node path has diameter 199: min-label propagation needs 199
+    rounds (and demonstrably fails under a 12-round budget), star
+    contraction converges in O(log d) — both capped at 12 iterations."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+    star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(
+            pairs, nodes, "doc_id", max_iter=12
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+
+    plain = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, nodes, "doc_id", max_iter=12
+        ).collect()
+    }
+    assert plain != star  # the O(d) variant cannot finish the chain
 
 
 def test_kmeans_cluster_sizes_deterministic(spark):
