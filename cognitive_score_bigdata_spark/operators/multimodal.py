@@ -202,6 +202,48 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, out_schema)
 
 
+def audio_windows(
+    media: DataFrame, window_ms: int = 25, hop_ms: int = 10
+) -> DataFrame:
+    """REAL audio frame extraction: decode WAV payloads and emit one row
+    per analysis window (the classic 25ms/10ms speech-feature framing):
+    (media_id, win_idx, start_ms, rms, peak). Non-WAV payloads are
+    skipped. 1→N ``mapInPandas`` fan-out; windowing is a numpy stride
+    trick, no Python per-sample loop."""
+    out_schema = (
+        "media_id long, win_idx int, start_ms int, rms double, peak double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "win_idx", "start_ms", "rms", "peak")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    continue
+                if d["format"] != "wav":
+                    continue
+                mono = d["samples"].astype(np.float64).mean(axis=1) / 32768.0
+                wlen = max(int(d["sample_rate"] * window_ms / 1000), 1)
+                hop = max(int(d["sample_rate"] * hop_ms / 1000), 1)
+                n_win = max((len(mono) - wlen) // hop + 1, 0)
+                if n_win == 0:
+                    continue
+                idx = np.arange(wlen)[None, :] + hop * np.arange(n_win)[:, None]
+                frames = mono[idx]  # (n_win, wlen)
+                rows["media_id"].extend([mid] * n_win)
+                rows["win_idx"].extend(range(n_win))
+                rows["start_ms"].extend(
+                    (hop * np.arange(n_win) * 1000 // d["sample_rate"]).tolist()
+                )
+                rows["rms"].extend(np.sqrt((frames**2).mean(axis=1)).tolist())
+                rows["peak"].extend(np.abs(frames).max(axis=1).tolist())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling stub: one output row per sampled 'frame'
     (payload chunk). Exercises the 1→N mapInPandas fan-out shape used by

@@ -12,11 +12,15 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.operators import codecs
-from cognitive_score_bigdata_spark.operators.multimodal import decode_media
+from cognitive_score_bigdata_spark.operators.multimodal import (
+    audio_windows,
+    decode_media,
+)
 from cognitive_score_bigdata_spark.queries import register
 
 
@@ -82,3 +86,33 @@ def _synth_media(docs: DataFrame) -> DataFrame:
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_media(_synth_media(docs))
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH wavs AS (
+      SELECT doc_id, 64 + doc_id % 100 AS n FROM documents
+      WHERE doc_id % 2 = 1
+    ), wins AS (
+      SELECT doc_id, n, unnest(range(0, (n - 40) // 16 + 1)) AS i
+      FROM wavs WHERE n >= 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INTEGER) AS win_idx,
+           CAST(16 * i * 1000 // 8000 AS INTEGER) AS start_ms
+    FROM wins
+    """,
+    doc="REAL audio framing, oracle-checked on its integer-exact "
+    "structure: the synthesized WAVs (64-163 samples at 8 kHz) framed "
+    "with 5 ms windows / 2 ms hop must produce exactly the window "
+    "grid SQL recomputes from the length spec — decode, stride "
+    "windowing and 1→N fan-out all in the loop (rms/peak floats are "
+    "pinned by tests/test_multimodal.py instead)",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wavs = _synth_media(docs.filter(F.col("doc_id") % 2 == 1))
+    return audio_windows(wavs, window_ms=5, hop_ms=2).select(
+        "media_id", "win_idx", "start_ms"
+    )

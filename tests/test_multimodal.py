@@ -10,6 +10,7 @@ import pytest
 from cognitive_score_bigdata_spark.operators import codecs
 from cognitive_score_bigdata_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    audio_windows,
     decode_media,
     extract_features,
     resize_images,
@@ -85,6 +86,31 @@ def test_real_featurize_is_content_based(spark):
         for r in extract_features(media, decoder="fake").collect()
     }
     assert fake[1] != fake[2]
+
+
+def test_audio_windows(spark):
+    """8000 Hz × 250 samples = 31.25 ms of audio → with 25 ms windows and
+    10 ms hop: window 200 samples, hop 80, n_win = (250-200)//80+1 = 1.
+    A constant full-scale signal has rms == peak == 1."""
+    const = np.full(250, 32767, dtype=np.int16)
+    rows = [
+        (1, "audio", codecs.encode_wav(SAMPLES, 8000), (None, None, None, "wav")),
+        (2, "audio", codecs.encode_wav(const, 8000), (None, None, None, "wav")),
+        (3, "image", codecs.encode_bmp(PX), (None, None, None, "bmp")),  # skipped
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_windows(media, window_ms=25, hop_ms=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2}
+    assert len(by_id[1]) == 1 and by_id[1][0]["start_ms"] == 0
+    w2 = by_id[2][0]
+    assert abs(w2["rms"] - 32767 / 32768) < 1e-9
+    assert abs(w2["peak"] - 32767 / 32768) < 1e-9
+    # windows of the random signal: rms <= peak <= 1
+    w1 = by_id[1][0]
+    assert 0 < w1["rms"] <= w1["peak"] <= 1.0
 
 
 def test_resize_images(spark):
