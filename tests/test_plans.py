@@ -33,6 +33,13 @@ JOIN_AGG_PLANS = [
     ("analytics_q19_disjunctive", 1, 0, 1),
     ("analytics_q22_dormant", 1, 0, 1),
     ("join_inner_broadcast", 1, 0, 0),
+    # round-2 TPC-H completions: dims broadcast; the bounded SMJs are the
+    # deliberate fact-side joins (Q2 min-cost self-join on l_partkey, Q21
+    # l2/l3 semi+anti self-joins) that must NOT broadcast at scale
+    ("analytics_q2_min_cost_supplier", 4, 2, 2),
+    ("analytics_q16_supplier_cnt", 2, 0, 1),
+    ("analytics_q20_dominant_supplier", 2, 2, 2),
+    ("analytics_q21_waiting_supplier", 2, 2, 1),
 ]
 
 
@@ -60,7 +67,14 @@ def test_predicates_reach_scan(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["flagship_dashboard", "window_topk_recent", "analytics_q18_large_orders"]
+    "name",
+    [
+        "flagship_dashboard",
+        "window_topk_recent",
+        "analytics_q18_large_orders",
+        "analytics_q2_min_cost_supplier",
+        "analytics_q21_waiting_supplier",
+    ],
 )
 def test_topk_is_take_ordered(spark, name):
     a = _audit(spark, name)
