@@ -1,0 +1,112 @@
+"""Frequency sketches: distributed Misra–Gries heavy hitters.
+
+The classic problem at corpus scale: find every token/domain/url with
+frequency share > φ without aggregating the full item domain (a
+``groupBy(item)`` over 100 TB of tokens shuffles the whole vocabulary;
+the long tail is billions of singletons that are pure shuffle waste).
+
+Two-pass design (Misra–Gries 1982; mergeable-summaries form of Agarwal
+et al. 2013):
+
+1. **Sketch pass** — ``mapInPandas`` keeps a k-counter Misra–Gries
+   summary per partition (per Arrow batch: vectorized ``value_counts``,
+   merged into the running summary, then reduced back to k counters by
+   subtracting the (k+1)-th largest count — the mergeable-summary
+   reduction). Guarantee: any item with partition frequency
+   > n_p/(k+1) survives its partition's summary, so any item with
+   *global* frequency > n/(k+1) survives at least one partition.
+   Output: ≤ partitions × k candidate rows — trivially small.
+2. **Exact verify pass** — broadcast the candidate set back over the
+   stream; one hash aggregation counts ONLY candidate items (everything
+   else collapses into a single NULL group, which doubles as the exact
+   total-count — one shuffle, one pass, no second job for n). Filter
+   ``count > φ·n``.
+
+Because the second pass is exact, the final answer is deterministic and
+independent of partitioning — the sketch only prunes. Correct whenever
+k ≥ 1/φ - 1 (asserted).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+MG_SCHEMA = "item string, est bigint"
+
+
+def _mg_reduce(counters: dict[str, int], k: int) -> dict[str, int]:
+    """Shrink a count map to ≤ k entries (mergeable-summary reduction):
+    subtract the (k+1)-th largest count from everything, drop ≤ 0."""
+    if len(counters) <= k:
+        return counters
+    pivot = sorted(counters.values(), reverse=True)[k]
+    return {i: c - pivot for i, c in counters.items() if c > pivot}
+
+
+def _mg_partial(col: str, k: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, cnt in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            counters = _mg_reduce(counters, k)
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    return gen
+
+
+def mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries, merged: (item, est) with
+    est ≥ true_count - n/(k+1). Superset of every item whose global
+    frequency exceeds n/(k+1)."""
+    return (
+        items.select(F.col(col).alias("item"))
+        .mapInPandas(_mg_partial("item", k), schema=MG_SCHEMA)
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, col: str, phi: float, k: int = 64
+) -> DataFrame:
+    """All items with frequency share > ``phi``, exactly.
+
+    Returns (item, n_occurrences, share) — deterministic regardless of
+    partitioning: the MG sketch only prunes the aggregation domain, the
+    counts that decide membership are exact.
+    """
+    if k < 1.0 / phi - 1:
+        raise ValueError(
+            f"k={k} too small for phi={phi}: need k >= 1/phi - 1 "
+            f"({1.0 / phi - 1:.0f}) or heavy hitters can be missed"
+        )
+    cands = mg_candidates(items, col, k).select("item")
+    # Left join: candidate rows keep their item, the entire tail maps to
+    # one NULL group — per-candidate exact counts AND the exact stream
+    # total from the same single aggregation.
+    tagged = items.join(
+        F.broadcast(cands), items[col] == cands["item"], "left"
+    ).select("item")
+    counts = tagged.groupBy("item").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # Stream total as a global window over `counts` (candidates+1 rows,
+    # trivially small) — a separate .agg() would re-execute the whole
+    # verify subtree a second time since Spark doesn't dedupe shared
+    # subplans without an explicit cache.
+    total = F.sum("n_occurrences").over(Window.partitionBy())
+    return (
+        counts.withColumn("_n_total", total)
+        .filter(F.col("item").isNotNull())
+        .filter(F.col("n_occurrences") > phi * F.col("_n_total"))
+        .select(
+            "item",
+            "n_occurrences",
+            (F.col("n_occurrences") / F.col("_n_total")).alias("share"),
+        )
+    )

@@ -84,6 +84,9 @@ def load_registry() -> dict[str, QuerySpec]:
         tpch_rest,
         textclean,
         vector_crossover,
+        spandedup,
+        sketches,
+        quality,
     )
 
     return REGISTRY

@@ -1,0 +1,136 @@
+"""Rule-based corpus quality filtering and boilerplate detection.
+
+``text_gopher_rules`` is the composite rule filter every pretraining
+pipeline runs before anything expensive (the Gopher/MassiveText and C4
+recipe: word-count bounds, mean-word-length bounds, type-token ratio,
+single-token domination). All rules are integer/ratio arithmetic over
+the token array — pure built-in expressions, evaluated narrow in one
+scan, no shuffle at all; at 100 TB this stage is I/O-bound, exactly as
+it should be.
+
+``text_boilerplate_ngrams`` finds verbatim n-grams shared by many
+documents (navigation chrome, license headers, template text) — the
+corpus-side signal span-dedup and quality filters act on. Per-document
+DISTINCT shingles (narrow) → one hash-agg shuffle on the n-gram →
+document-frequency filter. Linear; the n-gram agg is the same shape as
+word-count, with partial aggregation below the exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.functions import text as TX
+from cognitive_score_bigdata_spark.io import fan_out, load_table
+from cognitive_score_bigdata_spark.queries import register
+
+# Gopher-style bounds, scaled to the testdata's ~20-token documents.
+MIN_WORDS, MAX_WORDS = 5, 5_000
+MIN_MWL, MAX_MWL = 2.0, 12.0
+MIN_TTR = 0.3
+MAX_TOP_SHARE = 0.35
+
+NGRAM = 3
+MIN_DF = 3
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(string_split_regex(text, ' +'),
+                                          x -> length(x))) AS DOUBLE)
+               / len(string_split_regex(text, ' +')) AS mean_word_len,
+             CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+               / len(string_split_regex(text, ' +')) AS ttr,
+             CAST(list_max(list_transform(
+                    list_distinct(string_split_regex(text, ' +')),
+                    x -> len(list_filter(string_split_regex(text, ' +'),
+                                         y -> y = x)))) AS DOUBLE)
+               / len(string_split_regex(text, ' +')) AS top_token_share
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, ttr, top_token_share,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+           AND (mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL})
+           AND ttr >= {MIN_TTR}
+           AND top_token_share <= {MAX_TOP_SHARE} AS keep
+    FROM feats
+    """,
+    doc="Gopher/C4 rule composite: word-count bounds, mean word length, "
+    "type-token ratio, single-token domination — one narrow scan, "
+    "no shuffle",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " +")
+    n_words = F.size(toks).cast("bigint")
+    # Integer sum → double division on both sides: bit-deterministic.
+    mwl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).cast("double")
+        / F.size(toks)
+    )
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda x: F.size(F.filter(toks, lambda y: y == x)),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    feats = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        TX.uniq_ratio("text").alias("ttr"),
+        top_share.alias("top_token_share"),
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MWL, MAX_MWL)
+        & (F.col("ttr") >= MIN_TTR)
+        & (F.col("top_token_share") <= MAX_TOP_SHARE)
+    )
+    return feats.withColumn("keep", keep)
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[(u.i+1):(u.i+{NGRAM})], ' ') AS ngram
+      FROM toks, UNNEST(range(CAST(len(t) - {NGRAM - 1} AS BIGINT))) AS u(i)
+      WHERE len(t) >= {NGRAM}
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df
+    FROM grams GROUP BY ngram HAVING COUNT(*) >= {MIN_DF}
+    """,
+    doc=f"boilerplate detection: sliding {NGRAM}-gram shingles, distinct "
+    f"per doc, document frequency >= {MIN_DF} — per-doc dedup narrow, "
+    "one hash-agg shuffle on the n-gram",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " +")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - NGRAM),
+            lambda i: F.array_join(F.slice(toks, i + 1, NGRAM), " "),
+        )
+    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.filter(F.size(toks) >= NGRAM)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= MIN_DF)
+    )

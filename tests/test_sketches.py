@@ -1,0 +1,83 @@
+"""Sketch + span-dedup operator guarantees that the oracle can't state:
+Misra–Gries candidate-superset property, partition-independence of the
+exact-verify answer, the k-vs-phi precondition, and chunk-dedup
+first-occurrence semantics on a controlled corpus."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.operators.sketches import (
+    heavy_hitters_exact,
+    mg_candidates,
+)
+from cognitive_score_bigdata_spark.queries.spandedup import chunk_dedup
+
+
+def _stream(spark, freqs: dict[str, int], parts: int):
+    rows = [(tok,) for tok, n in sorted(freqs.items()) for _ in range(n)]
+    return spark.createDataFrame(rows, "tok string").repartition(parts)
+
+
+FREQS = {"hot": 400, "warm": 120, "mid": 60, **{f"t{i}": 3 for i in range(140)}}
+N = sum(FREQS.values())  # 1000
+
+
+def test_mg_candidates_superset(spark):
+    """Every item with global freq > n/(k+1) must survive the sketch."""
+    k = 16
+    for parts in (1, 4, 16):
+        cands = {
+            r["item"]
+            for r in mg_candidates(_stream(spark, FREQS, parts), "tok", k).collect()
+        }
+        required = {t for t, n in FREQS.items() if n > N / (k + 1)}
+        assert required <= cands, f"parts={parts}: lost {required - cands}"
+
+
+def test_heavy_hitters_exact_partition_independent(spark):
+    expected = {
+        t: n for t, n in FREQS.items() if n > 0.05 * N
+    }  # hot, warm, mid
+    for parts in (1, 3, 16):
+        got = {
+            r["item"]: r["n_occurrences"]
+            for r in heavy_hitters_exact(
+                _stream(spark, FREQS, parts), "tok", phi=0.05, k=32
+            ).collect()
+        }
+        assert got == expected, f"parts={parts}"
+
+
+def test_heavy_hitters_k_precondition():
+    with pytest.raises(ValueError, match="k=8 too small"):
+        heavy_hitters_exact(None, "tok", phi=0.01, k=8)
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    # doc 0 owns "a b c"; doc 1 repeats it then adds its own chunk;
+    # doc 2 is entirely doc 0's chunk → cleaned to empty string.
+    docs = spark.createDataFrame(
+        [(0, "a b c x y z"), (1, "a b c q r s"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["cleaned_text"] == "a b c x y z"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["cleaned_text"] == "q r s"
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["cleaned_text"] == ""
+
+
+def test_chunk_dedup_partial_trailing_chunk(spark):
+    # 4 tokens → chunks "a b c" + trailing "d"; duplicate trailing chunk
+    # in a later doc is deduped like any full-width chunk.
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "p q r d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["cleaned_text"] == "p q r"
