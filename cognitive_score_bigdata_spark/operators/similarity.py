@@ -286,6 +286,40 @@ class IvfIndex:
         self.cand.unpersist()
 
 
+def _train_centroids(
+    sample: np.ndarray, n_cells: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Plain Lloyd k-means on a bounded in-memory sample — the FAISS
+    recipe for IVF coarse quantizers (train on ~10^5 of 10^9 vectors).
+
+    Deterministic: seeded init, argmin ties break to the lowest cell,
+    empty cells reseed to the currently worst-fit point. One BLAS matmul
+    per iteration; on a 100k × 128 sample this is milliseconds, versus
+    one scheduled Spark job per iteration for a distributed trainer —
+    scheduling overhead, not math, is what that would buy."""
+    if len(sample) < n_cells:
+        raise ValueError(
+            f"IVF needs at least n_cells={n_cells} training vectors, "
+            f"got {len(sample)}"
+        )
+    rng = np.random.RandomState(seed)
+    C = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        # dist² = |x|² + |c|² - 2x·c; |x|² is constant per row → drop it
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (sample @ C.T)
+        assign = d.argmin(axis=1)
+        dmin = d[np.arange(len(sample)), assign]
+        for j in range(n_cells):
+            members = assign == j
+            if members.any():
+                C[j] = sample[members].mean(axis=0)
+            else:
+                far = int(dmin.argmax())
+                C[j] = sample[far]
+                dmin[far] = -np.inf
+    return C
+
+
 def ivf_build(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -293,53 +327,57 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> IvfIndex:
-    """Build the IVF index: train the coarse quantizer, assign every
-    vector to a cell, cache the inverted file.
+    """Build the IVF index: train the coarse quantizer on a bounded
+    driver-side sample, assign every vector to a cell with one Arrow
+    pass against the broadcast centroid matrix, cache the inverted file.
 
     Everything runs in unit space (spherical quantization): normalize
     once, train/assign/probe/score on unit vectors, so euclidean cell
     distance is monotone in cosine and the verify is a plain dot.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    unit = unit_rows(vectors, id_col, vec_col)
-    vec = unit.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
+    The collected training sample is capped at 100k rows (~50 MB at
+    128 dims) — same driver-size contract as ``cosine_topk_numpy``.
+    """
+    # Training sample: collect RAW vectors (no Python stage runs just for
+    # the sample) and normalize driver-side; sorted so collect order
+    # can't perturb the seeded init.
+    n = vectors.count()  # parquet metadata count — no data scan
+    fit = vectors if n <= 100_000 else vectors.sample(
+        fraction=100_000 / n, seed=seed
     )
-    # Coarse-quantizer training runs on a bounded sample over few
-    # partitions: IVF centroids don't need every vector (at corpus scale
-    # you'd train on ~10^5 of 10^9), and each k-means|| iteration is a
-    # scheduled job — fewer/fuller partitions cut per-iteration overhead.
-    n = vectors.count()
-    fit_input = vec
-    if n > 100_000:
-        fit_input = vec.sample(fraction=100_000 / n, seed=seed)
-    fit_input = fit_input.coalesce(8)
-    km = KMeans(
-        k=n_cells,
-        seed=seed,
-        featuresCol="__features",
-        maxIter=10,
-        # random init, not k-means||: the parallel init runs ~5 extra
-        # distributed passes to seed centroids "well", which a coarse
-        # quantizer doesn't need (FAISS trains IVF with plain Lloyd)
-        initMode="random",
-    ).fit(fit_input)
-    assigned = km.transform(vec).select(
-        F.col(id_col).alias("neighbor_id"), F.col("prediction").alias("cell")
-    )
+    rows = fit.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    C = _train_centroids(sample, n_cells, seed)
+
+    out_schema = f"neighbor_id long, __c array<double>, cell int"
+
+    # Normalize + assign fused in ONE Arrow pass: chaining unit_rows into
+    # a second mapInPandas costs a whole extra Python-worker stage for
+    # work that shares the same stacked matrix.
+    def norm_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (mat @ C.T)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "__c": list(mat),
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
     cand = (
-        unit.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
-        )
-        .join(assigned, "neighbor_id")
+        fan_out(vectors.select(id_col, vec_col))
+        .mapInPandas(norm_assign, out_schema)
         .persist()
     )
-
-    centers = km.clusterCenters()
     centers_df = vectors.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell int, center array<double>",
     )
     return IvfIndex(cand, centers_df)
@@ -358,8 +396,14 @@ def ivf_probe(
     |N|·n_probe/n_cells candidates instead of |N|; recall rises with
     n_probe, and n_probe = n_cells degenerates to exact."""
     cand, centers_df = index.cand, index.centers_df
-    q = unit_rows(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    # Query side is small by contract (it broadcasts below) — normalize
+    # with expressions instead of unit_rows, saving a Python-worker stage
+    # for a few hundred rows of work.
+    unit_q = F.transform(
+        _as_double(F.col(vec_col)), lambda x: x / l2_norm(F.col(vec_col))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), unit_q.alias("__q")
     )
     # rank cells per query by centroid distance, keep n_probe
     qc = (
