@@ -70,6 +70,12 @@ HEADLINE = [
     # BLAS-vs-expression crossover pair (same oracle, Q=200)
     "vector_cosine_topk_expr_q200",
     "vector_cosine_topk_fast_q200",
+    # round-2 late additions: span dedup, sketch, quality filters
+    "text_chunk_dedup",
+    "sketch_heavy_hitter_tokens",
+    "text_boilerplate_ngrams",
+    "text_gopher_rules",
+    "dedup_cluster_docs_star",
 ]
 
 
