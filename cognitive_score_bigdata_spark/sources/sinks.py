@@ -104,3 +104,66 @@ def write_jdbc(
     df.write.format("jdbc").options(**jdbc_options(url, table, **kwargs)).mode(
         mode
     ).save()
+
+
+def write_sorted_lake(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on ``range_col`` before writing.
+
+    Each output file then covers a narrow, (near-)disjoint slice of the
+    column's domain, so its parquet footer min/max statistics become
+    selective: a predicate on ``range_col`` skips whole files / row
+    groups at scan time instead of decompressing them. This is the lake
+    layout for the dominant access pattern (time-range queries over an
+    events table): at 100 TB, clustering by event time is the difference
+    between reading one day and reading every file that interleaves all
+    days. The sort inside each file additionally tightens per-row-group
+    stats (parquet writes one stats block per row group, not per file).
+
+    ``repartitionByRange`` samples the column to build balanced range
+    bounds — skew in ``range_col`` yields uneven files only as far as
+    sampling misses it; unlike hash bucketing, identical values always
+    co-locate.
+    """
+    out = (
+        df.repartitionByRange(n_files, range_col)
+        if n_files
+        else df.repartitionByRange(range_col)
+    )
+    out.sortWithinPartitions(range_col).write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    out_path: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_rows_per_file`` files.
+
+    Streaming micro-batches and over-parallel writers leave lakes as
+    thousands of KB-sized files; at scale, scan scheduling and footer
+    reads then dominate I/O (the classic small-file problem). Rewriting
+    with a row-count-derived partition count restores healthy file
+    sizes. Returns the number of files written. In-place compaction
+    (``out_path=None``) stages through a temp dir only conceptually —
+    here it requires an explicit ``out_path`` so a failed rewrite can
+    never destroy the source (rename-into-place is the lake engine's
+    job; this operator stays side-effect-safe).
+    """
+    if out_path is None:
+        raise ValueError(
+            "compact_small_files writes to a NEW path (out_path); "
+            "in-place compaction would destroy the source on failure"
+        )
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
