@@ -11,11 +11,12 @@ Spark-native equivalent used here is fixed-width chunking:
 
 1. tokenize, group tokens into fixed ``CHUNK`` - width spans (narrow,
    per-row compute — no shuffle);
-2. one shuffle partitioned by chunk content, ``row_number`` over
-   (doc_id, pos) so the corpus-wide *first* occurrence of every distinct
-   span survives (deterministic winner);
-3. one shuffle back by doc_id to reassemble the surviving spans in
-   document order.
+2. one partial-aggregated shuffle on chunk content computing
+   ``min(struct(doc_id, pos))`` — the corpus-wide *first* occurrence of
+   every distinct span (deterministic winner, skew-immune: hot spans
+   collapse map-side, see :func:`chunk_dedup`);
+3. one shuffle by doc_id to reassemble the surviving spans in document
+   order, left-joined to per-doc totals.
 
 Two linear shuffles total, no self-join, no quadratic stage — the same
 shape at 100 TB, where the chunk-hash shuffle dominates; there you'd ship
@@ -33,7 +34,7 @@ extension surface next to textops/textclean.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
@@ -79,23 +80,41 @@ def _chunks(docs: DataFrame) -> DataFrame:
 
 def chunk_dedup(docs: DataFrame) -> DataFrame:
     """Span dedup over any (doc_id, text) frame: per doc, n_chunks /
-    n_kept / cleaned_text with corpus-wide duplicate spans removed."""
-    ranked = _chunks(docs).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("chunk").orderBy("doc_id", "pos")
-        ),
+    n_kept / cleaned_text with corpus-wide duplicate spans removed.
+
+    The corpus-wide winner per span is ``min(struct(doc_id, pos))`` —
+    deliberately an AGGREGATION, not a ``row_number() over (partition by
+    chunk)`` window: both are one shuffle on the chunk, but the window
+    must co-locate and sort every occurrence of a hot span in one task
+    (boilerplate appearing in 30% of documents = one straggler sorting
+    30% of the corpus), while the aggregate collapses hot spans to one
+    row per map task via partial aggregation before anything shuffles.
+    Winner rows ARE the kept spans, so no join back to the occurrence
+    table is needed; per-doc totals come from a second narrow aggregate
+    joined on doc_id.
+    """
+    chunks = _chunks(docs)
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    winners = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
     )
-    kept = F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.count(kept).alias("n_kept"),
+    kept = winners.groupBy(F.col("w.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(kept)), lambda s: s["chunk"]
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("w.pos").alias("pos"), "chunk"))
+                ),
+                lambda s: s["chunk"],
             ),
             " ",
         ).alias("cleaned_text"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -129,3 +129,28 @@ def test_salted_join_partitions_by_salt(spark):
     assert "hashpartitioning(k" in plan and "__salt" in plan.split(
         "hashpartitioning(k", 1
     )[1].split(")")[0], f"join shuffle not keyed by salt:\n{plan[:2000]}"
+
+
+def test_chunk_dedup_is_aggregate_not_window(spark):
+    """Span-dedup winners must come from a partial-aggregated min(struct),
+    never a row_number window partitioned by the (skewable) chunk — hot
+    boilerplate spans have to collapse map-side."""
+    a = _audit(spark, "text_chunk_dedup")
+    assert "Window" not in a["text"], a["text"]
+    assert a["n_partial_aggs"] >= 2, a["text"]  # winners + per-doc totals
+
+
+def test_heavy_hitters_verify_join_broadcasts(spark):
+    """The exact-verify pass must broadcast the tiny candidate set over
+    the token stream (a shuffled join here would shuffle the whole
+    corpus by token), and keep its counting aggregate partial."""
+    a = _audit(spark, "sketch_heavy_hitter_tokens")
+    assert a["n_broadcast_joins"] >= 1, a["text"]
+    assert a["n_sortmerge_joins"] == 0, a["text"]
+    assert a["n_partial_aggs"] >= 1, a["text"]
+
+
+def test_boilerplate_ngrams_partial_agg(spark):
+    a = _audit(spark, "text_boilerplate_ngrams")
+    assert a["n_partial_aggs"] >= 1, a["text"]
+    assert a["n_sortmerge_joins"] == 0, a["text"]
