@@ -76,6 +76,7 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "text_gopher_rules",
     "dedup_cluster_docs_star",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -87,6 +87,7 @@ def load_registry() -> dict[str, QuerySpec]:
         spandedup,
         sketches,
         quality,
+        corpus_pipeline,
     )
 
     return REGISTRY

@@ -34,6 +34,48 @@ MAX_TOP_SHARE = 0.35
 NGRAM = 3
 MIN_DF = 3
 
+# Self-contained SQL predicate over a `text` column — the WHERE-clause
+# form of the rules, reused by the composed corpus pipeline's oracle.
+_T = "string_split_regex(text, ' +')"
+GOPHER_WHERE_SQL = (
+    f"len({_T}) BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
+    f" AND CAST(list_sum(list_transform({_T}, x -> length(x))) AS DOUBLE)"
+    f"     / len({_T}) BETWEEN {MIN_MWL} AND {MAX_MWL}"
+    f" AND CAST(len(list_distinct({_T})) AS DOUBLE) / len({_T}) >= {MIN_TTR}"
+    f" AND CAST(list_max(list_transform(list_distinct({_T}),"
+    f"       x -> len(list_filter({_T}, y -> y = x)))) AS DOUBLE)"
+    f"     / len({_T}) <= {MAX_TOP_SHARE}"
+)
+
+
+def gopher_keep() -> F.Column:
+    """The composite keep-predicate over a `text` column (Spark side of
+    GOPHER_WHERE_SQL)."""
+    toks = F.split(F.col("text"), " +")
+    n_words = F.size(toks)
+    mwl = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).cast("double")
+        / F.size(toks)
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda x: F.size(F.filter(toks, lambda y: y == x)),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    return (
+        n_words.between(MIN_WORDS, MAX_WORDS)
+        & mwl.between(MIN_MWL, MAX_MWL)
+        & (ttr >= MIN_TTR)
+        & (top_share <= MAX_TOP_SHARE)
+    )
+
 
 @register(
     "text_gopher_rules",

@@ -117,6 +117,22 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collapse_tokens(ws: F.Column) -> F.Column:
+    """Run-length-collapsed token structs (w, i) from a token array —
+    shared by the single-op query and the composed corpus pipeline."""
+    indexed = F.transform(ws, lambda w, i: F.struct(w.alias("w"), i.alias("i")))
+    return F.filter(
+        indexed,
+        # F.get is 0-based and null out-of-bounds, so i=0 compares the
+        # first token to NULL and coalesce keeps it (no ANSI index error)
+        lambda s: F.coalesce(s.w != F.get(ws, s.i - 1), F.lit(True)),
+    )
+
+
+def collapsed_text(ws: F.Column) -> F.Column:
+    return F.array_join(F.transform(collapse_tokens(ws), lambda s: s.w), " ")
+
+
 @register(
     "text_collapse_repeats",
     oracle="""
@@ -147,13 +163,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.split(F.col("text"), " ")
-    indexed = F.transform(ws, lambda w, i: F.struct(w.alias("w"), i.alias("i")))
-    kept = F.filter(
-        indexed,
-        # F.get is 0-based and null out-of-bounds, so i=0 compares the
-        # first token to NULL and coalesce keeps it (no ANSI index error)
-        lambda s: F.coalesce(s.w != F.get(ws, s.i - 1), F.lit(True)),
-    )
+    kept = collapse_tokens(ws)
     return docs.select(
         "doc_id",
         bigint(F.size(ws)).alias("n_tokens_before"),

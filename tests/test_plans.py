@@ -154,3 +154,13 @@ def test_boilerplate_ngrams_partial_agg(spark):
     a = _audit(spark, "text_boilerplate_ngrams")
     assert a["n_partial_aggs"] >= 1, a["text"]
     assert a["n_sortmerge_joins"] == 0, a["text"]
+
+
+def test_corpus_pipeline_single_dedup_shuffle(spark):
+    """The composed cleaning pipeline must stay one narrow pass + one
+    dedup aggregate: no join, no window, no extra exchange beyond
+    fan_out + the final hash-agg."""
+    a = _audit(spark, "corpus_clean_pipeline")
+    assert "Window" not in a["text"], a["text"]
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
+    assert a["n_partial_aggs"] >= 1, a["text"]
