@@ -11,10 +11,10 @@ Spark-native equivalent used here is fixed-width chunking:
 
 1. tokenize, group tokens into fixed ``CHUNK`` - width spans (narrow,
    per-row compute — no shuffle);
-2. one partial-aggregated shuffle on chunk content computing
-   ``min(struct(doc_id, pos))`` — the corpus-wide *first* occurrence of
-   every distinct span (deterministic winner, skew-immune: hot spans
-   collapse map-side, see :func:`chunk_dedup`);
+2. one shuffle on chunk content with a WindowGroupLimit-rewritten
+   top-1 window — the corpus-wide *first* occurrence of every distinct
+   span (deterministic winner, skew-immune: hot spans pre-collapse to
+   one row per map task below the exchange, see :func:`chunk_dedup`);
 3. one shuffle by doc_id to reassemble the surviving spans in document
    order, left-joined to per-doc totals.
 
@@ -34,7 +34,7 @@ extension surface next to textops/textclean.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
@@ -82,29 +82,53 @@ def chunk_dedup(docs: DataFrame) -> DataFrame:
     """Span dedup over any (doc_id, text) frame: per doc, n_chunks /
     n_kept / cleaned_text with corpus-wide duplicate spans removed.
 
-    The corpus-wide winner per span is ``min(struct(doc_id, pos))`` —
-    deliberately an AGGREGATION, not a ``row_number() over (partition by
-    chunk)`` window: both are one shuffle on the chunk, but the window
-    must co-locate and sort every occurrence of a hot span in one task
-    (boilerplate appearing in 30% of documents = one straggler sorting
-    30% of the corpus), while the aggregate collapses hot spans to one
-    row per map task via partial aggregation before anything shuffles.
-    Winner rows ARE the kept spans, so no join back to the occurrence
-    table is needed; per-doc totals come from a second narrow aggregate
-    joined on doc_id.
+    The corpus-wide winner per span is ``row_number() == 1`` over
+    (partition by chunk, order by doc_id, pos) — filtered right at the
+    window so Catalyst's WindowGroupLimit rewrite collapses each map
+    task to its local first occurrence per span BEFORE the shuffle (see
+    the inline plan note and scripts/span_study.py for the measured
+    comparison against min-aggregation and unfiltered-window forms).
+    Winner rows ARE the kept spans; per-doc totals come narrow off the
+    text column and join on doc_id.
     """
-    chunks = _chunks(docs)
-    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    winners = chunks.groupBy("chunk").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w")
+    # Per-doc totals come straight off the text column (narrow, no
+    # shuffle, no second pass over the exploded chunk table): the chunk
+    # count is ceil(n_tokens / CHUNK) by construction.
+    totals = docs.select(
+        "doc_id",
+        F.ceil(F.size(F.split(F.col("text"), " +")) / F.lit(float(CHUNK)))
+        .cast("bigint")
+        .alias("n_chunks"),
     )
-    kept = winners.groupBy(F.col("w.doc_id").alias("doc_id")).agg(
+    # Winner per span = row_number()==1 filtered IMMEDIATELY after the
+    # window: Spark ≥3.5 plans this as WindowGroupLimit(Partial) BELOW
+    # the exchange + WindowGroupLimit(Final) above it, i.e. every map
+    # task pre-collapses to its local first-occurrence per span before
+    # anything shuffles — a hot boilerplate span ships one row per map
+    # task instead of every occurrence. Measured warm on a 400k-doc
+    # 30%-boilerplate corpus (scripts/span_study.py): this form 2.96 s;
+    # min(struct) aggregation 3.12 s (plans as ObjectHashAggregate →
+    # silent sort-based fallback past 128 distinct keys); unfiltered
+    # window 2.18 s locally but ships ALL occurrences through the
+    # shuffle — bytes scale with occurrences, not distinct spans, and
+    # the hot span's reducer is a straggler at real skew. The rn==1
+    # filter must stay adjacent to the window for the rewrite to fire
+    # (pinned by tests/test_plans.py).
+    winners = (
+        _chunks(docs)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("chunk").orderBy("doc_id", "pos")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    kept = winners.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("w.pos").alias("pos"), "chunk"))
-                ),
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
                 lambda s: s["chunk"],
             ),
             " ",

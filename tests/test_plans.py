@@ -131,13 +131,15 @@ def test_salted_join_partitions_by_salt(spark):
     )[1].split(")")[0], f"join shuffle not keyed by salt:\n{plan[:2000]}"
 
 
-def test_chunk_dedup_is_aggregate_not_window(spark):
-    """Span-dedup winners must come from a partial-aggregated min(struct),
-    never a row_number window partitioned by the (skewable) chunk — hot
-    boilerplate spans have to collapse map-side."""
+def test_chunk_dedup_has_partial_window_group_limit(spark):
+    """Span-dedup winners must keep the WindowGroupLimit(Partial) node
+    BELOW the exchange — that's the map-side pre-collapse that makes hot
+    boilerplate spans ship one row per map task instead of every
+    occurrence (scripts/span_study.py). Moving the rn==1 filter away
+    from the window would silently lose the rewrite."""
     a = _audit(spark, "text_chunk_dedup")
-    assert "Window" not in a["text"], a["text"]
-    assert a["n_partial_aggs"] >= 2, a["text"]  # winners + per-doc totals
+    assert "WindowGroupLimit" in a["text"], a["text"]
+    assert "Partial" in a["text"], a["text"]
 
 
 def test_heavy_hitters_verify_join_broadcasts(spark):
