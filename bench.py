@@ -77,6 +77,7 @@ HEADLINE = [
     "text_gopher_rules",
     "dedup_cluster_docs_star",
     "corpus_clean_pipeline",
+    "multimodal_video_frames",
 ]
 
 

@@ -1,5 +1,5 @@
 """Pure-numpy media codecs: BMP (24-bit BI_RGB), PPM/PGM (binary), WAV
-(PCM16). No image/audio libraries exist in this environment, but these
+(PCM16), Y4M raw video (YUV4MPEG2 mono/420 luma). No image/audio libraries exist in this environment, but these
 three formats are simple enough to parse from their public byte-layout
 specs with numpy alone — which turns the multimodal decode stage from a
 stub into a real codec path for real formats, while exotic formats
@@ -27,6 +27,8 @@ __all__ = [
     "encode_ppm",
     "parse_wav",
     "encode_wav",
+    "parse_y4m",
+    "encode_y4m",
     "decode",
 ]
 
@@ -44,6 +46,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -198,4 +202,88 @@ def decode(payload: bytes) -> dict:
         return parse_bmp(payload)
     if kind in ("ppm", "pgm"):
         return parse_ppm(payload)
+    if kind == "y4m":
+        return parse_y4m(payload)
     return parse_wav(payload)
+
+
+# --- Y4M (YUV4MPEG2): the textual-header raw-video interchange format
+# used by ffmpeg/mplayer/x264. "YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]\n"
+# then per frame "FRAME\n" + raw planes. Cmono = Y plane only (w*h
+# bytes/frame); C420* = Y + quarter-res U,V (w*h*3/2). ------------------
+
+
+def parse_y4m(payload: bytes, frame_stride: int = 1) -> dict:
+    """Parse a YUV4MPEG2 stream; returns metadata + the luma (Y) plane
+    of every ``frame_stride``-th frame as uint8 (n, h, w).
+
+    ``frame_stride`` exists because frame sampling should happen DURING
+    the parse — decoding every frame of a video only to throw most away
+    is the thing a sampling operator exists to avoid."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    width = height = None
+    colorspace = "420jpeg"
+    fps_num, fps_den = 25, 1
+    for tag in payload[10:nl].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:]
+        if k == b"W":
+            width = int(v)
+        elif k == b"H":
+            height = int(v)
+        elif k == b"F":
+            num, den = v.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif k == b"C":
+            colorspace = v.decode()
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace == "mono":
+        frame_size = width * height
+    elif colorspace.startswith("420"):
+        frame_size = width * height * 3 // 2
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+
+    frames, idx, pos, n_frames = [], [], nl + 1, 0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M frame marker")
+        body = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError("truncated Y4M frame")
+        if n_frames % frame_stride == 0:
+            y = np.frombuffer(body[: width * height], dtype=np.uint8)
+            frames.append(y.reshape(height, width))
+            idx.append(n_frames)
+        n_frames += 1
+        pos = fnl + 1 + frame_size
+    return {
+        "format": "y4m",
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": n_frames,
+        "frame_indices": idx,
+        "y_frames": (
+            np.stack(frames) if frames else np.zeros((0, height, width), np.uint8)
+        ),
+    }
+
+
+def encode_y4m(
+    y_frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode luma-only frames (n, h, w) uint8 as Y4M Cmono."""
+    n, h, w = y_frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(y_frames[i].astype(np.uint8).tobytes())
+    return b"".join(out)

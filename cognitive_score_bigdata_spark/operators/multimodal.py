@@ -245,9 +245,9 @@ def audio_windows(
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled 'frame'
-    (payload chunk). Exercises the 1→N mapInPandas fan-out shape used by
-    real frame extraction."""
+    """Generic frame sampling for UNKNOWN containers: one output row per
+    payload chunk (the 1→N mapInPandas fan-out shape). For real frame
+    extraction from a real container, see :func:`video_frames` (Y4M)."""
     out_schema = "media_id long, frame_idx int, frame_bytes binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,3 +268,47 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(run, out_schema)
     )
+
+
+def video_frames(
+    media: DataFrame, frame_stride: int = 1, id_col: str = "media_id"
+) -> DataFrame:
+    """REAL video frame sampling: parse Y4M payloads (pure-numpy codec,
+    operators/codecs.py) and emit one row per ``frame_stride``-th frame
+    with its luma statistics — the 1→N Arrow fan-out of real frame
+    extraction, with sampling INSIDE the parse so skipped frames are
+    never materialized. Unparseable payloads are skipped (the
+    dead-letter path for decode errors is :func:`decode_media`).
+    """
+    out_schema = (
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "n_frames int, mean_luma double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                id_col: [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "mean_luma": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    v = codecs.parse_y4m(bytes(payload), frame_stride)
+                except (ValueError, IndexError):
+                    continue
+                for k, frame in zip(v["frame_indices"], v["y_frames"]):
+                    rows[id_col].append(mid)
+                    rows["frame_idx"].append(k)
+                    rows["width"].append(v["width"])
+                    rows["height"].append(v["height"])
+                    rows["n_frames"].append(v["n_frames"])
+                    rows["mean_luma"].append(float(frame.mean()))
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, "payload").mapInPandas(run, out_schema)

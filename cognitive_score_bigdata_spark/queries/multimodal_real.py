@@ -20,6 +20,7 @@ from cognitive_score_bigdata_spark.operators import codecs
 from cognitive_score_bigdata_spark.operators.multimodal import (
     audio_windows,
     decode_media,
+    video_frames,
 )
 from cognitive_score_bigdata_spark.queries import register
 
@@ -116,3 +117,60 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(wavs, window_ms=5, hop_ms=2).select(
         "media_id", "win_idx", "start_ms"
     )
+
+
+def _synth_videos(docs: DataFrame) -> DataFrame:
+    """Deterministic VALID Y4M videos from doc_id: dims, frame count and
+    each frame's constant luma are pure integer arithmetic on doc_id, so
+    SQL can recompute exactly what a correct parser + frame sampler must
+    emit (a constant-filled frame's mean luma IS that constant)."""
+    out_schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, n = 4 + did % 5, 2 + did % 3, 2 + did % 4
+                frames = np.stack(
+                    [
+                        np.full((h, w), (did * 7 + k * 13) % 256, np.uint8)
+                        for k in range(n)
+                    ]
+                )
+                payloads.append(codecs.encode_y4m(frames, (30, 1)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema)
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+             2 + doc_id % 4 AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ), fr AS (
+      SELECT doc_id, w, h, n, unnest(range(0, n, 2)) AS k FROM vids
+    )
+    SELECT doc_id AS media_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST((doc_id * 7 + k * 13) % 256 AS DOUBLE) AS mean_luma
+    FROM fr
+    """,
+    doc="REAL video frame sampling, oracle-checked: synthesize valid "
+    "Y4M streams whose per-frame constant luma is doc_id-derived, parse "
+    "with the pure-numpy YUV4MPEG2 codec sampling every 2nd frame "
+    "DURING the parse, and hash-match frame grid + dims + mean luma "
+    "against SQL recomputing the spec — de-stubs the video modality",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    vids = _synth_videos(docs.filter(F.col("doc_id") % 3 == 0))
+    return video_frames(vids, frame_stride=2)

@@ -124,3 +124,52 @@ def test_resize_images(spark):
     yi = (np.arange(3) * 6 // 3).clip(0, 5)
     xi = (np.arange(4) * 9 // 4).clip(0, 8)
     assert (d1["pixels"] == PX[yi][:, xi]).all()
+
+
+def test_y4m_codec_round_trip_and_stride():
+    fr = (np.arange(4 * 6 * 8, dtype=np.uint32) % 256).astype(np.uint8).reshape(
+        4, 6, 8
+    )
+    p = codecs.encode_y4m(fr, (24, 1))
+    assert codecs.sniff_format(p) == "y4m"
+    d = codecs.parse_y4m(p)
+    assert (d["width"], d["height"], d["n_frames"], d["fps_num"]) == (8, 6, 4, 24)
+    assert (d["y_frames"] == fr).all()
+    d2 = codecs.parse_y4m(p, frame_stride=3)
+    assert d2["frame_indices"] == [0, 3]
+    assert (d2["y_frames"] == fr[[0, 3]]).all()
+
+
+def test_y4m_parses_420_luma():
+    # A 4:2:0 stream carries Y + quarter-res U,V; the parser must skip
+    # chroma and land on the next FRAME marker correctly.
+    w, h, n = 4, 2, 3
+    y = np.full((h, w), 77, np.uint8)
+    frame = y.tobytes() + bytes([128] * (w * h // 2))  # U+V planes
+    p = f"YUV4MPEG2 W{w} H{h} F25:1 C420jpeg\n".encode() + b"".join(
+        b"FRAME\n" + frame for _ in range(n)
+    )
+    d = codecs.parse_y4m(p)
+    assert d["n_frames"] == n and (d["y_frames"] == 77).all()
+
+
+def test_y4m_rejects_corruption():
+    fr = np.zeros((2, 2, 2), np.uint8)
+    p = codecs.encode_y4m(fr)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.parse_y4m(p[:-2])
+    with pytest.raises(ValueError, match="not a Y4M"):
+        codecs.parse_y4m(b"garbage")
+    with pytest.raises(ValueError, match="colorspace"):
+        codecs.parse_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+
+
+def test_video_frames_skips_unparseable(spark):
+    from cognitive_score_bigdata_spark.operators.multimodal import video_frames
+
+    good = codecs.encode_y4m(np.full((2, 2, 3), 9, np.uint8))
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a video")), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = video_frames(media, frame_stride=1).collect()
+    assert {r["media_id"] for r in out} == {1}
+    assert [r["mean_luma"] for r in out] == [9.0, 9.0]
