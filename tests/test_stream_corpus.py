@@ -1,0 +1,55 @@
+"""Streaming corpus ingest: quality filter + watermarked content dedup
+must drop in-horizon duplicates across micro-batches, keep the first
+occurrence, and filter rule-failing documents — all through a real
+availableNow run with checkpointing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from cognitive_score_bigdata_spark.streaming.corpus import run_corpus_ingest
+
+GOOD = "the quick brown fox jumps over the lazy dog near the river bank today"
+OTHER = "completely different document text with plenty of distinct tokens here now"
+BAD = "tiny"  # fails the Gopher word-count lower bound
+
+
+def _write_batch(input_dir: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(input_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_dedup_and_quality_filter(spark, tmp_path):
+    input_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    _write_batch(
+        input_dir,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": GOOD, "source": "a", "crawl_ts": "2024-01-01T10:00:00"},
+            {"doc_id": 2, "text": GOOD, "source": "b", "crawl_ts": "2024-01-01T10:00:30"},
+            {"doc_id": 3, "text": BAD, "source": "a", "crawl_ts": "2024-01-01T10:00:40"},
+        ],
+    )
+    run_corpus_ingest(spark, input_dir, out_dir, ckpt).awaitTermination(120)
+
+    # second run (fresh files, same checkpoint): an in-horizon re-crawl
+    # of GOOD must still be dropped via checkpointed digest state
+    _write_batch(
+        input_dir,
+        "b2.json",
+        [
+            {"doc_id": 4, "text": GOOD, "source": "c", "crawl_ts": "2024-01-01T10:02:00"},
+            {"doc_id": 5, "text": OTHER, "source": "c", "crawl_ts": "2024-01-01T10:02:10"},
+        ],
+    )
+    run_corpus_ingest(spark, input_dir, out_dir, ckpt).awaitTermination(120)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {1, 5}, rows  # 2,4 = dup; 3 = quality-failed
+    assert rows[1]["text_md5"] is not None
+    assert rows[5]["text"] == OTHER
