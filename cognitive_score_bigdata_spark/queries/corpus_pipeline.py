@@ -97,3 +97,26 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@register(
+    "streaming_corpus_clean",
+    oracle=f"""
+    SELECT DISTINCT md5(text) AS text_md5
+    FROM documents WHERE {GOPHER_WHERE_SQL}
+    """,
+    doc="the Structured Streaming corpus pipeline (file source, Gopher "
+    "filter, watermark, dropDuplicatesWithinWatermark digest state, "
+    "parquet sink) run availableNow over the documents table — the kept "
+    "digest SET is deterministic and hash-matches plain SQL, so the "
+    "stateful streaming path itself earns an oracle row",
+)
+def streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cognitive_score_bigdata_spark.streaming.corpus import (
+        corpus_clean_batch_parity,
+    )
+
+    work = tempfile.mkdtemp(prefix="csb_stream_parity_")
+    return corpus_clean_batch_parity(spark, sf_dir, work)

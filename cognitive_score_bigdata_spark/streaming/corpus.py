@@ -86,3 +86,41 @@ def run_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def corpus_clean_batch_parity(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Drive the FULL streaming pipeline (file source → quality filter →
+    watermark → digest dedup state → parquet sink) over the batch
+    documents table, availableNow, and return the kept digests.
+
+    Exists so the streaming machinery itself earns a DuckDB hash-match
+    row in the driver's correctness harness: projecting to the content
+    digest makes the output SET deterministic (which doc_id survives a
+    digest is arrival-order-dependent; the digest set is not), and
+    DuckDB recomputes it as ``SELECT DISTINCT md5(text) ... WHERE
+    <gopher rules>`` — no streaming semantics in the oracle, but the
+    entire stateful path runs under the check.
+    """
+    import os
+
+    from cognitive_score_bigdata_spark.io import load_table
+
+    in_dir = os.path.join(work_dir, "in")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            F.lit("2024-01-01T10:00:00").alias("crawl_ts"),
+        )
+        .write.mode("overwrite")
+        .json(in_dir)
+    )
+    q = run_corpus_ingest(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select("text_md5")
