@@ -1,0 +1,91 @@
+"""Distributed global prefix sum and token-budget output sharding.
+
+The last stage of a training-data pipeline writes the cleaned corpus as
+shards of roughly equal TOKEN count (trainer inputs are token-budgeted,
+not row-budgeted). Shard assignment is a running sum over a global
+document order — which naively is ``SUM() OVER (ORDER BY ...)`` with no
+partition key: Spark executes that as a SINGLE-partition window, i.e.
+the whole corpus through one task.
+
+The scalable form is the classic two-pass prefix sum:
+
+1. range-partition by the order column (so partition p's rows all sort
+   before partition p+1's) and compute per-partition totals — one tiny
+   row per partition;
+2. collect those totals (numPartitions rows — bounded by cluster size,
+   not data), exclusive-prefix them on the driver, broadcast back;
+3. global exclusive prefix = partition offset + local windowed running
+   sum within each partition — fully parallel.
+
+The result is identical to the single-partition window for any
+partition count (tested), so the DuckDB oracle stays a plain
+``SUM() OVER (ORDER BY ...)``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def global_exclusive_prefix_sum(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "prefix"
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``value_col`` over all rows strictly
+    before this one in ``order_col`` order — without a global sort or a
+    single-partition window. ``order_col`` must be unique."""
+    ranged = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptotal"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__ptotal"]
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, (F.col("__offset") + local).cast("bigint"))
+        .drop("__pid", "__offset")
+    )
+
+
+def token_budget_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(order_col, n_tokens, shard): contiguous-by-order shard ids where
+    each shard holds ~``tokens_per_shard`` tokens (a document never
+    splits; shard boundaries land at the first doc whose starting offset
+    crosses the budget). Downstream: ``.write.partitionBy('shard')``."""
+    sized = docs.select(
+        order_col,
+        F.size(F.split(F.col(text_col), " +")).cast("bigint").alias("n_tokens"),
+    )
+    with_prefix = global_exclusive_prefix_sum(
+        sized, order_col, "n_tokens", out_col="__start"
+    )
+    return with_prefix.select(
+        order_col,
+        "n_tokens",
+        F.floor(F.col("__start") / F.lit(tokens_per_shard))
+        .cast("bigint")
+        .alias("shard"),
+    )

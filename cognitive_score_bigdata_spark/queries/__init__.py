@@ -88,6 +88,7 @@ def load_registry() -> dict[str, QuerySpec]:
         sketches,
         quality,
         corpus_pipeline,
+        sharding,
     )
 
     return REGISTRY

@@ -81,3 +81,31 @@ def test_chunk_dedup_partial_trailing_chunk(spark):
     assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
     assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
     assert out[1]["cleaned_text"] == "p q r"
+
+
+def test_prefix_sum_partition_independent(spark):
+    """The two-pass distributed prefix sum must equal the naive global
+    running sum for ANY incoming partitioning."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.operators.sharding import (
+        global_exclusive_prefix_sum,
+    )
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("v")
+    )
+    # naive reference computed driver-side
+    rows = sorted((r["k"], r["v"]) for r in base.collect())
+    acc, ref = 0, {}
+    for k, v in rows:
+        ref[k] = acc
+        acc += v
+    for parts in (1, 7, 64):
+        got = {
+            r["k"]: r["prefix"]
+            for r in global_exclusive_prefix_sum(
+                base.repartition(parts), "k", "v"
+            ).collect()
+        }
+        assert got == ref, f"parts={parts}"
