@@ -89,3 +89,48 @@ def token_budget_shards(
         .cast("bigint")
         .alias("shard"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents back-to-back into fixed-``seq_len`` token training
+    sequences, splitting a document wherever it crosses a sequence
+    boundary (GPT-style packing, no padding between docs).
+
+    For each document, its tokens occupy the global half-open range
+    [start, start + n) (start from the distributed prefix sum); the
+    document overlaps sequences floor(start/L) .. floor((start+n-1)/L)
+    and contributes one output row per overlapped sequence with the
+    in-document token sub-range — all plain integer arithmetic + one
+    explode, no extra shuffle beyond the prefix sum's.
+
+    Output: (order_col, seq_id, doc_tok_start, doc_tok_end) where the
+    sub-range is [doc_tok_start, doc_tok_end) within the document.
+    """
+    sized = docs.select(
+        order_col,
+        F.size(F.split(F.col(text_col), " +")).cast("bigint").alias("n_tokens"),
+    )
+    with_start = global_exclusive_prefix_sum(
+        sized, order_col, "n_tokens", out_col="__start"
+    )
+    first_seq = F.floor(F.col("__start") / seq_len)
+    last_seq = F.floor((F.col("__start") + F.col("n_tokens") - 1) / seq_len)
+    seq = F.explode(F.sequence(first_seq, last_seq)).alias("seq_id")
+    # intersection of [start, start+n) with [seq*L, (seq+1)*L), shifted
+    # into document-local coordinates
+    lo = F.greatest(F.col("seq_id") * seq_len, F.col("__start"))
+    hi = F.least((F.col("seq_id") + 1) * seq_len, F.col("__start") + F.col("n_tokens"))
+    return (
+        with_start.select(order_col, "n_tokens", "__start", seq)
+        .select(
+            order_col,
+            "seq_id",
+            (lo - F.col("__start")).cast("bigint").alias("doc_tok_start"),
+            (hi - F.col("__start")).cast("bigint").alias("doc_tok_end"),
+        )
+    )

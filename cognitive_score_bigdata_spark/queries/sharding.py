@@ -40,3 +40,41 @@ TOKENS_PER_SHARD = 2_000
 def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_shards(docs, TOKENS_PER_SHARD)
+
+
+SEQ_LEN = 512
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n
+      FROM documents
+    ), pos AS (
+      -- SUM() OVER returns HUGEINT in DuckDB; pin BIGINT for range()
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM sized
+    ), seqs AS (
+      SELECT doc_id, n, s, unnest(range(s // {SEQ_LEN}, (s + n - 1) // {SEQ_LEN} + 1)) AS seq_id
+      FROM pos
+    )
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(seq_id * {SEQ_LEN}, s) - s AS BIGINT) AS doc_tok_start,
+           CAST(least((seq_id + 1) * {SEQ_LEN}, s + n) - s AS BIGINT) AS doc_tok_end
+    FROM seqs
+    """,
+    doc=f"GPT-style sequence packing into {SEQ_LEN}-token training rows "
+    "(docs split at sequence boundaries): distributed prefix sum + "
+    "boundary-overlap explode, pure integer arithmetic, no extra "
+    "shuffle beyond the prefix sum's",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.sharding import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, SEQ_LEN)

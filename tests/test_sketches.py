@@ -109,3 +109,47 @@ def test_prefix_sum_partition_independent(spark):
             ).collect()
         }
         assert got == ref, f"parts={parts}"
+
+
+def test_pack_sequences_boundary_split(spark):
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.operators.sharding import pack_sequences
+
+    # 3 docs of 4/3/5 tokens, seq_len 5: doc0=[0,4), doc1=[4,7) spans the
+    # 5-boundary and must split 1+2; doc2=[7,12) spans the 10-boundary 3+2
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g"), (2, "h i j k l")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["seq_id"], r["doc_tok_start"], r["doc_tok_end"])
+        for r in pack_sequences(docs, 5).collect()
+    )
+    assert rows == [
+        (0, 0, 0, 4),
+        (1, 0, 0, 1),
+        (1, 1, 1, 3),
+        (2, 1, 0, 3),
+        (2, 2, 3, 5),
+    ]
+    # invariant on real data: per-doc segment lengths sum to n_tokens
+    from cognitive_score_bigdata_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    real = load_table(spark, SF_DIR, "documents")
+    packed = pack_sequences(real, 512)
+    bad = (
+        packed.groupBy("doc_id")
+        .agg(F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("covered"))
+        .join(
+            real.select(
+                "doc_id",
+                F.size(F.split("text", " +")).cast("bigint").alias("n"),
+            ),
+            "doc_id",
+        )
+        .filter(F.col("covered") != F.col("n"))
+        .count()
+    )
+    assert bad == 0
