@@ -78,6 +78,10 @@ HEADLINE = [
     "dedup_cluster_docs_star",
     "corpus_clean_pipeline",
     "multimodal_video_frames",
+    "corpus_shard_assignment",
+    "corpus_pack_sequences",
+    "text_charngram_familiarity",
+    "vector_ann_pq_topk",
 ]
 
 

@@ -89,6 +89,7 @@ def load_registry() -> dict[str, QuerySpec]:
         quality,
         corpus_pipeline,
         sharding,
+        ann_pq,
     )
 
     return REGISTRY

@@ -1,0 +1,29 @@
+"""Registry entry for product-quantized ANN (rows-only: ADC scores are
+approximations with no SQL-expressible form; recall-vs-exact is pinned
+by tests/test_pq.py). Registered after the driver window; rotate
+forward next round."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.pq import pq_topk
+from cognitive_score_bigdata_spark.queries import register
+
+
+@register(
+    "vector_ann_pq_topk",
+    oracle=None,  # approximate scores; recall pinned by test_pq
+    doc="product-quantized ANN top-10 with exact refine (PQ/ADC + re-rank, "
+    "Jégou et al. 2011 / FAISS): 16 subspaces × 64 centroids compress 64 "
+    "floats to 16 bytes, ADC scores the codes scan via per-query lookup "
+    "tables, a 5× candidate set re-ranks against raw vectors (recall@10 "
+    "0.97 vs 0.59 pure-ADC) — the compressed-corpus tier next to "
+    "brute/LSH/IVF",
+)
+def vector_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k_top=10)

@@ -181,3 +181,48 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= MIN_DF)
     )
+
+
+@register(
+    "text_charngram_familiarity",
+    oracle="""
+    WITH tris AS (
+      SELECT doc_id,
+             unnest(list_transform(range(length(text) - 2),
+                    i -> substring(text, CAST(i + 1 AS INTEGER), 3))) AS tri
+      FROM documents WHERE length(text) >= 3
+    ), cnt AS (
+      SELECT tri, COUNT(*) AS c FROM tris GROUP BY tri
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(c.c) AS BIGINT) AS familiarity_mass,
+           CAST(SUM(c.c) AS DOUBLE) / COUNT(*) AS familiarity
+    FROM tris t JOIN cnt c USING (tri)
+    GROUP BY t.doc_id
+    """,
+    doc="char-trigram LM familiarity (the CCNet perplexity-filter shape "
+    "with exact cross-engine parity: integer corpus-count mass per doc "
+    "over trigram count, one double division at the end instead of "
+    "order-sensitive float log sums) — low scores flag text unlike the "
+    "corpus; one count agg + one count join, both linear",
+)
+def text_charngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    tris = docs.filter(F.length("text") >= 3).select(
+        "doc_id", F.explode(tri_arr).alias("tri")
+    )
+    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tris.join(counts, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("c").alias("familiarity_mass"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )
