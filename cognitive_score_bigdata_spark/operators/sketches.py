@@ -8,14 +8,16 @@ the long tail is billions of singletons that are pure shuffle waste).
 Two-pass design (Misra–Gries 1982; mergeable-summaries form of Agarwal
 et al. 2013):
 
-1. **Sketch pass** — ``mapInPandas`` keeps a k-counter Misra–Gries
-   summary per partition (per Arrow batch: vectorized ``value_counts``,
-   merged into the running summary, then reduced back to k counters by
-   subtracting the (k+1)-th largest count — the mergeable-summary
-   reduction). Guarantee: any item with partition frequency
-   > n_p/(k+1) survives its partition's summary, so any item with
-   *global* frequency > n/(k+1) survives at least one partition.
-   Output: ≤ partitions × k candidate rows — trivially small.
+1. **Sketch pass** — the JVM hashes values to int64 (``xxhash64``),
+   then ``mapInPandas`` keeps a k-counter Misra–Gries summary per
+   partition (per Arrow batch: vectorized ``value_counts``, merged into
+   the running summary, then reduced back to k counters by subtracting
+   the (k+1)-th largest count — the mergeable-summary reduction).
+   Sketching in hash space halves the Arrow transfer; collisions only
+   merge counts upward, preserving the guarantee that any item with
+   partition frequency > n_p/(k+1) survives its partition's summary —
+   so any item with *global* frequency > n/(k+1) survives at least one
+   partition. Output: ≤ partitions × k candidate rows — trivially small.
 2. **Exact verify pass** — broadcast the candidate set back over the
    stream; one hash aggregation counts ONLY candidate items (everything
    else collapses into a single NULL group, which doubles as the exact
@@ -35,7 +37,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-MG_SCHEMA = "item string, est bigint"
+MG_SCHEMA = "item long, est bigint"
 
 
 def _mg_reduce(counters: dict[str, int], k: int) -> dict[str, int]:
@@ -62,11 +64,19 @@ def _mg_partial(col: str, k: int):
 
 
 def mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
-    """Per-partition Misra–Gries summaries, merged: (item, est) with
-    est ≥ true_count - n/(k+1). Superset of every item whose global
-    frequency exceeds n/(k+1)."""
+    """Per-partition Misra–Gries summaries over ``xxhash64(col)``,
+    merged: (item: int64 hash, est) with est ≥ true_count - n/(k+1).
+
+    The sketch runs in HASH space: the JVM hashes each value to a long
+    before the Arrow hop, so the Python pass ships fixed-width ints
+    instead of strings (measured 2× faster end-to-end on a 20M-token
+    stream, scripts/hh_study.py). A hash collision only MERGES two
+    items' counts — estimates only grow, so the candidate-superset
+    guarantee (every item with global freq > n/(k+1) survives) still
+    holds; the exact verify pass downstream works on real values and
+    discards any phantom candidates."""
     return (
-        items.select(F.col(col).alias("item"))
+        items.select(F.xxhash64(F.col(col)).alias("item"))
         .mapInPandas(_mg_partial("item", k), schema=MG_SCHEMA)
         .groupBy("item")
         .agg(F.sum("est").alias("est"))
@@ -87,13 +97,16 @@ def heavy_hitters_exact(
             f"k={k} too small for phi={phi}: need k >= 1/phi - 1 "
             f"({1.0 / phi - 1:.0f}) or heavy hitters can be missed"
         )
-    cands = mg_candidates(items, col, k).select("item")
-    # Left join: candidate rows keep their item, the entire tail maps to
-    # one NULL group — per-candidate exact counts AND the exact stream
-    # total from the same single aggregation.
+    cands = mg_candidates(items, col, k).select(F.col("item").alias("__h"))
+    # Left join on the hash: candidate rows keep their REAL value (so
+    # the exact counts below are per-token, immune to sketch-space hash
+    # collisions), the entire tail maps to one NULL group — per-candidate
+    # exact counts AND the exact stream total from the same aggregation.
     tagged = items.join(
-        F.broadcast(cands), items[col] == cands["item"], "left"
-    ).select("item")
+        F.broadcast(cands), F.xxhash64(items[col]) == cands["__h"], "left"
+    ).select(
+        F.when(F.col("__h").isNotNull(), items[col]).alias("item")
+    )
     counts = tagged.groupBy("item").agg(F.count(F.lit(1)).alias("n_occurrences"))
     # Stream total as a global window over `counts` (candidates+1 rows,
     # trivially small) — a separate .agg() would re-execute the whole

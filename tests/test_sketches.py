@@ -25,15 +25,24 @@ N = sum(FREQS.values())  # 1000
 
 
 def test_mg_candidates_superset(spark):
-    """Every item with global freq > n/(k+1) must survive the sketch."""
+    """Every item with global freq > n/(k+1) must survive the sketch
+    (candidates live in xxhash64 space — compare hashes)."""
+    import pyspark.sql.functions as F
+
     k = 16
+    required = {t for t, n in FREQS.items() if n > N / (k + 1)}
+    req_hashes = {
+        r["h"]
+        for r in spark.createDataFrame([(t,) for t in required], "tok string")
+        .select(F.xxhash64("tok").alias("h"))
+        .collect()
+    }
     for parts in (1, 4, 16):
         cands = {
             r["item"]
             for r in mg_candidates(_stream(spark, FREQS, parts), "tok", k).collect()
         }
-        required = {t for t, n in FREQS.items() if n > N / (k + 1)}
-        assert required <= cands, f"parts={parts}: lost {required - cands}"
+        assert req_hashes <= cands, f"parts={parts}: lost {required}"
 
 
 def test_heavy_hitters_exact_partition_independent(spark):
