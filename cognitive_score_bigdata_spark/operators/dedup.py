@@ -115,24 +115,11 @@ def minhash_sig_table(
     )
 
 
-def minhash_candidate_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """LSH-banded near-dup candidates: (id_a, id_b, est_jaccard).
-
-    est_jaccard = fraction of agreeing minhash positions (unbiased
-    estimator of the shingle-set Jaccard). Only pairs sharing at least
-    one full band survive; the band join shuffles on (band, band_hash),
-    never on raw text.
-    """
-    rows = num_hashes // bands
-    sig = minhash_sig_table(docs, id_col, text_col, num_hashes, shingle_n)
-    banded = sig.select(
+def minhash_banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(__id, __sig, band, bhash): one row per (doc, band) with the
+    band's hash — the LSH bucket key table. Shared by the batch
+    pair-generator and the persisted incremental index."""
+    return sig.select(
         "__id",
         "__sig",
         F.explode(
@@ -152,6 +139,107 @@ def minhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__sig", "bk.band", "bk.bhash")
+
+
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the banded signature table as the corpus's dedup index —
+    the batch-build artifact incremental dedup joins new arrivals
+    against (signatures are computed ONCE per corpus lifetime, not per
+    dedup run). Partitioned by band so an incremental probe prunes to
+    the bands it actually touches."""
+    banded = minhash_banded(
+        minhash_sig_table(docs, id_col, text_col, num_hashes, shingle_n),
+        bands,
+        num_hashes // bands,
+    )
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (new_id, corpus_id, est_jaccard ≥ threshold)
+    between a NEW batch and the persisted corpus index.
+
+    The new batch (a crawl increment — small next to the corpus) is
+    signature-hashed, banded, and broadcast into an equi-join on
+    (band, bhash) against the index: the corpus is touched once, by
+    bucket key, with no corpus-side recompute and no corpus×corpus
+    stage. Candidate pairs verify on signature agreement exactly like
+    the batch path.
+    """
+    rows = num_hashes // bands
+    new_banded = minhash_banded(
+        minhash_sig_table(new_docs, id_col, text_col, num_hashes, shingle_n),
+        bands,
+        rows,
+    ).select(
+        F.col("__id").alias("new_id"),
+        F.col("__sig").alias("new_sig"),
+        "band",
+        "bhash",
+    )
+    cand = (
+        index.join(F.broadcast(new_banded), ["band", "bhash"])
+        .select(
+            "new_id",
+            F.col("__id").alias("corpus_id"),
+            "new_sig",
+            F.col("__sig").alias("corpus_sig"),
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("new_sig"), F.col("corpus_sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return cand.select(
+        "new_id",
+        "corpus_id",
+        (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH-banded near-dup candidates: (id_a, id_b, est_jaccard).
+
+    est_jaccard = fraction of agreeing minhash positions (unbiased
+    estimator of the shingle-set Jaccard). Only pairs sharing at least
+    one full band survive; the band join shuffles on (band, band_hash),
+    never on raw text.
+    """
+    rows = num_hashes // bands
+    sig = minhash_sig_table(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = minhash_banded(sig, bands, rows)
 
     # Pairs are generated bucket-locally: one shuffle on (band, bhash),
     # collect the (few) members per bucket, emit ordered combinations.

@@ -153,3 +153,31 @@ def dedup_cluster_docs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= 0.5
     )
     return connected_components_star(pairs, docs, "doc_id")
+
+
+@register(
+    "dedup_incremental_newbatch",
+    oracle=None,  # LSH banding isn't SQL; exact-copy recovery and
+    # index round-trip are pinned in test_dedup_similarity
+    doc="incremental near-dup: every 5th document re-ingested under a "
+    "new id and probed against the PERSISTED corpus minhash index "
+    "(banded signature table, partitioned by band) — corpus signatures "
+    "computed once per lifetime, new batch broadcast into the bucket "
+    "join, no corpus-side recompute",
+)
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        dedup_incremental,
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="csb_mh_index_") + "/idx"
+    save_minhash_index(corpus, path)
+    new_docs = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return dedup_incremental(new_docs, load_minhash_index(spark, path))

@@ -227,3 +227,39 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_incremental_dedup_against_saved_index(spark, tmp_path):
+    """New-batch dedup against the persisted corpus index must find the
+    planted near-duplicate, skip unrelated docs, and never recompute or
+    self-pair the corpus."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        dedup_incremental,
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "mh_index")
+    save_minhash_index(corpus, path)
+    index = load_minhash_index(spark, path)
+
+    # new batch: an exact copy of corpus doc 7 (new id) + an unrelated doc
+    copy_text = corpus.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    new_docs = spark.createDataFrame(
+        [
+            (1_000_007, copy_text),
+            (1_000_008, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in dedup_incremental(new_docs, index, threshold=0.8).collect()
+    }
+    assert (1_000_007, 7) in pairs and pairs[(1_000_007, 7)] == 1.0
+    assert all(nid != 1_000_008 for nid, _ in pairs)
