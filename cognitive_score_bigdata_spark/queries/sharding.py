@@ -78,3 +78,49 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, SEQ_LEN)
+
+
+@register(
+    "corpus_source_mixture",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(text, ' +'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(28,6)) AS w FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS mix_share
+    FROM weighted
+    """,
+    doc="temperature-based source mixing (alpha = 0.5, i.e. sqrt "
+    "up-weighting of small sources — the multilingual/multi-source "
+    "rebalancing recipe): per-source token counts, sqrt weights through "
+    "the exact DECIMAL accumulator so the share is cross-engine "
+    "deterministic; one aggregation, weights are a driver-size table",
+)
+def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    per_source = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " +")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    w = F.sqrt(F.col("n_tokens")).cast("decimal(28,6)")
+    total_w = F.sum(w).over(Window.partitionBy())
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (w.cast("double") / total_w.cast("double")).alias("mix_share"),
+    )
