@@ -53,8 +53,14 @@ def load_registry() -> dict[str, QuerySpec]:
     the first 50 registry entries per round, so modules rotate each round
     to give every query a driver-verified row.  Round 1 covered
     aggregations/analytics/analytics_tpch/corpus/dedup_similarity/
-    extensions (50 queries); round 2 fronts the other 50.  Queries added
-    after round 2 register last and rotate forward next round.
+    extensions (50 queries); round 2 fronted the other 50 of that era.
+    ROUND 3 TODO: front the modules added during round 2 — multimodal_real,
+    ann_exact, tpch_rest, textclean, vector_crossover, spandedup, sketches,
+    quality, corpus_pipeline, sharding, ann_pq, and the round-2 additions
+    inside dedup_similarity (dedup_cluster_docs_star, vector_ann_ivf_exact
+    via ann_exact, dedup_incremental_newbatch) — none of which have a
+    driver row yet (~26 queries); fill the rest of the 50-entry window
+    with the oldest previously-verified modules.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         flagship,
