@@ -469,6 +469,34 @@ def connected_components(
     )
 
 
+LOCAL_FINISH_EDGES = 2_000_000
+
+
+def _local_min_labels(edge_rows: list[tuple]) -> dict:
+    """Union-find with min-id labels over a driver-collected edge list:
+    node → smallest id in its component. The local finisher for
+    :func:`connected_components_star`."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by id so the root IS the min — no second pass
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent} | {
+        r: r for r in set(map(find, parent)) if r not in parent
+    }
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
     return (
         edges.select("src", "dst")
@@ -515,6 +543,7 @@ def connected_components_star(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    local_finish_edges: int = LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -531,20 +560,43 @@ def connected_components_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
 
+    centers = None
     prev_sig = None
     for i in range(max_iter):
-        sym = _star_round(sym, large=True)
-        sym = _star_round(sym, large=False)
         sig = tuple(
-            sym.agg(
-                F.count(F.lit(1)), F.sum("src"), F.sum("dst")
-            ).collect()[0]
+            sym.agg(F.count(F.lit(1)), F.sum("src"), F.sum("dst")).collect()[0]
         )
+        # Hybrid local finish (the GraphX/production pattern): star
+        # contraction shrinks the graph geometrically, so within a few
+        # rounds the remainder fits on the driver — at which point a
+        # union-find over the collected edges replaces the long tail of
+        # tiny distributed rounds (each of which is 3+ scheduled jobs).
+        # Connectivity (hence min-id labels) is invariant under
+        # contraction, so the result is identical; the threshold bounds
+        # driver memory at ~16 bytes/edge.
+        if local_finish_edges and sig[0] <= local_finish_edges:
+            labels = _local_min_labels(
+                [(r["src"], r["dst"]) for r in sym.collect()]
+            )
+            if labels:
+                centers = nodes.sparkSession.createDataFrame(
+                    list(labels.items()), sym.select("src").schema.add(
+                        "mn", sym.schema["src"].dataType
+                    )
+                )
+            else:
+                centers = sym.select(
+                    "src", F.col("dst").alias("mn")
+                ).limit(0)
+            break
         if sig == prev_sig:
             break
         prev_sig = sig
+        sym = _star_round(sym, large=True)
+        sym = _star_round(sym, large=False)
 
-    centers = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    if centers is None:
+        centers = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     return (
         nodes.select(F.col(id_col).alias("node"))
         .join(centers, F.col("node") == centers.src, "left")

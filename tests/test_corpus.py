@@ -90,13 +90,24 @@ def test_star_contraction_long_chain_logarithmic(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
 
+    # local_finish_edges=0 forces pure distributed contraction — the
+    # O(log d) property must hold without the driver-side shortcut
     star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(
+            pairs, nodes, "doc_id", max_iter=12, local_finish_edges=0
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+
+    # and the hybrid local finish must give the identical answer
+    hybrid = {
         r.doc_id: r.cluster_id
         for r in connected_components_star(
             pairs, nodes, "doc_id", max_iter=12
         ).collect()
     }
-    assert star == {i: 0 for i in range(n)}
+    assert hybrid == star
 
     plain = {
         r.doc_id: r.cluster_id
