@@ -166,3 +166,20 @@ def test_corpus_pipeline_single_dedup_shuffle(spark):
     assert "Window" not in a["text"], a["text"]
     assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
     assert a["n_partial_aggs"] >= 1, a["text"]
+
+
+def test_shard_assignment_broadcasts_offsets(spark):
+    """The distributed prefix sum must broadcast the per-partition
+    offset table (numPartitions rows) — a shuffled join here would
+    defeat the whole two-pass design."""
+    a = _audit(spark, "corpus_shard_assignment")
+    assert a["n_broadcast_joins"] >= 1, a["text"]
+    assert a["n_sortmerge_joins"] == 0, a["text"]
+
+
+def test_source_mixture_single_agg(spark):
+    """Source mixing is one partial-agg shuffle + a tiny global window —
+    no joins."""
+    a = _audit(spark, "corpus_source_mixture")
+    assert a["n_partial_aggs"] >= 1, a["text"]
+    assert a["n_broadcast_joins"] == 0 and a["n_sortmerge_joins"] == 0
