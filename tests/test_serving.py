@@ -66,3 +66,62 @@ def test_dashboard_empty_tables(spark):
         "critical_alerts": 0,
         "avg_cognitive_score": 0,
     }
+
+
+def test_http_serving_edge(spark):
+    """The stdlib HTTP edge must serve the exact dashboard payload the
+    engine assembles, route predict POSTs with JSON bodies, and 404 / 400
+    cleanly (reference main.py:84-173 endpoints)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from cognitive_score_bigdata_spark.serving_http import ServingServer
+
+    users = spark.createDataFrame(
+        [("u1", datetime.date(1990, 1, 1), "Keto")],
+        "user_id string, date_of_birth date, diet_type string",
+    )
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    cs = spark.createDataFrame(
+        [("c1", "u1", "e1", ts, 42)],
+        "cs_id string, user_id string, event_id string, "
+        "timestamp timestamp, cognitive_score int",
+    )
+    tr = spark.createDataFrame(
+        [],
+        "tr_id string, user_id string, event_id string, "
+        "timestamp timestamp, heart_rate int",
+    )
+
+    expected = dashboard_stats(users, cs, tr)
+    scores = {"u1": {"user_id": "u1", "cognitive_score": 42.0, "status": "Critical"}}
+
+    def predict(req):
+        return scores[req["user_id"]]  # KeyError → 404
+
+    with ServingServer(lambda: dashboard_stats(users, cs, tr), predict) as url:
+        got = json.loads(urllib.request.urlopen(f"{url}/api/dashboard/stats").read())
+        assert got == expected
+
+        req = urllib.request.Request(
+            f"{url}/api/predict",
+            data=json.dumps({"user_id": "u1"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert json.loads(urllib.request.urlopen(req).read())["status"] == "Critical"
+
+        for bad_url, data, want in [
+            (f"{url}/nope", None, 404),
+            (f"{url}/api/predict", json.dumps({"user_id": "ghost"}).encode(), 404),
+            (f"{url}/api/predict", b"not json{", 400),
+        ]:
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(bad_url, data=data)
+                    if data is not None
+                    else bad_url
+                )
+                raise AssertionError(f"{bad_url} should have errored")
+            except urllib.error.HTTPError as e:
+                assert e.code == want
