@@ -71,25 +71,39 @@ def proj_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+_ARR6 = (
+    "array_to_string(list_transform({expr}, "
+    "x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',')"
+)
+
+
 @register(
     "scalar_array_funcs",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_component,
-           CAST(embedding[2:4] AS DOUBLE[]) AS middle_slice,
-           list_sort(CAST(embedding[1:3] AS DOUBLE[])) AS sorted_head,
-           list_reverse(CAST(embedding[1:3] AS DOUBLE[])) AS reversed_head
+           {_ARR6.format(expr="CAST(embedding[2:4] AS DOUBLE[])")}
+             AS middle_slice,
+           {_ARR6.format(expr="list_sort(CAST(embedding[1:3] AS DOUBLE[]))")}
+             AS sorted_head,
+           {_ARR6.format(expr="list_reverse(CAST(embedding[1:3] AS DOUBLE[]))")}
+             AS reversed_head
     FROM embeddings
     WHERE vec_id < 100
     """,
     doc="array scalar surface: size, element_at, slice, sort_array, "
     "reverse — the ops the stringified-ID-array ETL path (F6/J4) builds "
-    "on. Arrays widened float→double on both engines: exact, and removes "
-    "float32 stringification ambiguity at the compare edge",
+    "on. Array outputs are serialized to DECIMAL(18,6)-formatted joined "
+    "strings on both engines: exact (float32-derived values never sit on "
+    "a rounding tie), and keeps every output column scalar-hashable for "
+    "the driver's pandas canonicalizer, which cannot sort list dtype",
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    s6 = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(c, lambda x: x.cast("decimal(18,6)").cast("string"))
+    )
     return (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
@@ -97,8 +111,8 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.size("embedding").alias("dim"),
             F.element_at("embedding", 1).cast("double").alias("first_component"),
-            dbl(F.slice("embedding", 2, 3)).alias("middle_slice"),
-            F.sort_array(dbl(F.slice("embedding", 1, 3))).alias("sorted_head"),
-            F.reverse(dbl(F.slice("embedding", 1, 3))).alias("reversed_head"),
+            s6(dbl(F.slice("embedding", 2, 3))).alias("middle_slice"),
+            s6(F.sort_array(dbl(F.slice("embedding", 1, 3)))).alias("sorted_head"),
+            s6(F.reverse(dbl(F.slice("embedding", 1, 3)))).alias("reversed_head"),
         )
     )

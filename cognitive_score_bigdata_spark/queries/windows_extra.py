@@ -92,15 +92,17 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT event_type,
-           list_sort(list(DISTINCT user_id)) AS user_ids,
+           CAST(to_json(list_sort(list(DISTINCT user_id))) AS VARCHAR)
+             AS user_ids,
            CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users
     FROM events
     WHERE user_id < 20
     GROUP BY event_type
     """,
-    doc="collect-to-array aggregation, canonicalized by sorting "
-    "(collect order is nondeterministic in any distributed engine — "
-    "sort makes it comparable)",
+    doc="collect-to-array aggregation, canonicalized by sorting then "
+    "JSON-serializing (collect order is nondeterministic in any "
+    "distributed engine — sort makes it comparable; JSON string keeps "
+    "every output column scalar-hashable for the compare edge)",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -108,7 +110,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 20)
         .groupBy("event_type")
         .agg(
-            F.sort_array(F.collect_set("user_id")).alias("user_ids"),
+            F.to_json(F.sort_array(F.collect_set("user_id"))).alias("user_ids"),
             F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
         )
     )

@@ -51,15 +51,20 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object or pd.api.types.is_string_dtype(s):
             sample = s.dropna()
             if len(sample) and isinstance(
-                sample.iloc[0], (list, tuple, np.ndarray)
+                sample.iloc[0], (list, tuple, dict, np.ndarray)
             ):
-                # array-valued cells: canonical tuple-of-str form so
-                # equality and sorting behave elementwise
-                df[c] = s.map(
-                    lambda v: tuple(str(x) for x in v) if v is not None else None
-                ).astype("object")
-            else:
-                df[c] = s.astype("string")
+                # The driver's canonicalizer sort_values/hashes every
+                # column and crashes on list dtype (unhashable). Mirror
+                # that as a hard failure so no registry query can be
+                # locally green but driver-red: serialize arrays with
+                # to_json (or a decimal-string join) before returning.
+                raise AssertionError(
+                    f"non-scalar cells in column {c!r} "
+                    f"({type(sample.iloc[0]).__name__}); the driver's "
+                    "canonicalizer cannot hash list dtype — serialize "
+                    "array outputs to strings (F.to_json / decimal join)"
+                )
+            df[c] = s.astype("string")
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(
         drop=True
     )
