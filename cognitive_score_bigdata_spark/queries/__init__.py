@@ -53,16 +53,33 @@ def load_registry() -> dict[str, QuerySpec]:
     the first 50 registry entries per round, so modules rotate each round
     to give every query a driver-verified row.  Round 1 covered
     aggregations/analytics/analytics_tpch/corpus/dedup_similarity/
-    extensions (50 queries); round 2 fronted the other 50 of that era.
-    ROUND 3 TODO: front the modules added during round 2 — multimodal_real,
-    ann_exact, tpch_rest, textclean, vector_crossover, spandedup, sketches,
-    quality, corpus_pipeline, sharding, ann_pq, and the round-2 additions
-    inside dedup_similarity (dedup_cluster_docs_star, vector_ann_ivf_exact
-    via ann_exact, dedup_incremental_newbatch) — none of which have a
-    driver row yet (~26 queries); fill the rest of the 50-entry window
-    with the oldest previously-verified modules.
+    extensions (50); round 2 fronted the other 50 of that era.  ROUND 3
+    window (exactly 50): the 11 modules added during round 2 (24 queries,
+    zero driver rows) + dedup_similarity (8 — includes the two round-2
+    additions dedup_cluster_docs_star / dedup_incremental_newbatch; the
+    other 6 are the oldest-verified, last checked r1) + analytics_tpch
+    (13) + analytics (5), both last checked r1.  ROUND 4 TODO: front
+    whatever round-3 additions exist plus corpus/extensions/aggregations
+    (oldest r1-verified not re-checked in r3) and the round-2-verified
+    modules in age order.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
+        # --- round-3 driver window: first 50 registry entries ---
+        multimodal_real,  # 3
+        ann_exact,  # 1
+        tpch_rest,  # 4
+        textclean,  # 3
+        vector_crossover,  # 2
+        spandedup,  # 1
+        sketches,  # 1
+        quality,  # 3
+        corpus_pipeline,  # 2
+        sharding,  # 3
+        ann_pq,  # 1
+        dedup_similarity,  # 8 (2 unverified + 6 oldest r1-verified)
+        analytics_tpch,  # 13 (r1-verified)
+        analytics,  # 5 (r1-verified)  -> cumulative 50
+        # --- outside the window this round ---
         flagship,
         joins,
         projections,
@@ -78,24 +95,8 @@ def load_registry() -> dict[str, QuerySpec]:
         multimodal_q,
         mlops,
         aggregations,
-        analytics,
-        analytics_tpch,
         corpus,
-        dedup_similarity,
         extensions,
-        # round-2 additions: must stay after the current 50-entry driver
-        # window; rotate forward next round
-        multimodal_real,
-        ann_exact,
-        tpch_rest,
-        textclean,
-        vector_crossover,
-        spandedup,
-        sketches,
-        quality,
-        corpus_pipeline,
-        sharding,
-        ann_pq,
     )
 
     return REGISTRY
