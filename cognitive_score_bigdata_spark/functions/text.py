@@ -91,16 +91,24 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 _MOD = 2_147_483_647  # 2^31 - 1: keeps the rolling state overflow-free
 
 
+def token_hash(tok: Column) -> Column:
+    """Cross-engine token hash: first 15 hex chars of md5 parsed as a
+    60-bit long, reduced mod M. md5 is bit-identical in every engine
+    (unlike xxhash64, which only Spark exposes), so the rolling
+    fingerprint built on it is oracle-checkable."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+        F.lit(_MOD),
+    )
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash over the token stream (order-sensitive,
-    unlike the md5-of-body fingerprint): h = (h*31 + hash(tok)) mod M,
+    unlike the md5-of-body fingerprint): h = (h*31 + md5hash(tok)) mod M,
     folded left-to-right with built-in ``aggregate`` — deterministic,
-    no UDF, never overflows a long."""
+    no UDF, never overflows a long (M < 2^31 so h*31 + x < 2^36)."""
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),
-        lambda acc, t: (
-            acc * 31 + F.pmod(F.xxhash64(t), F.lit(_MOD))
-        )
-        % F.lit(_MOD),
+        lambda acc, t: (acc * 31 + token_hash(t)) % F.lit(_MOD),
     )

@@ -65,6 +65,8 @@ def load_registry() -> dict[str, QuerySpec]:
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         # --- round-3 driver window: first 50 registry entries ---
+        round3_additions,  # new this round; each entry pushes one
+        # already-r1-verified filler out of the window tail
         multimodal_real,  # 3
         ann_exact,  # 1
         tpch_rest,  # 4

@@ -131,18 +131,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_rolling_fingerprint",
-    oracle=None,  # left-fold arithmetic isn't portable SQL (DuckDB BIGINT
-    # overflow errors; no list_reduce in 1.0) — determinism tested instead
-    doc="order-sensitive polynomial rolling hash over the token stream "
-    "(content fingerprint that distinguishes permuted documents, unlike "
-    "md5-of-body on normalized text)",
-)
-def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", TX.rolling_fingerprint("text").alias("rolling_fp")
-    )
+# text_rolling_fingerprint moved to queries/round3_additions.py (upgraded
+# to a full DuckDB oracle and placed inside the driver's 50-entry window).
 
 
 @register(
