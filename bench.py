@@ -82,6 +82,14 @@ HEADLINE = [
     "corpus_pack_sequences",
     "text_charngram_familiarity",
     "vector_ann_pq_topk",
+    # round-3: the still-unbenched round-2 entries + round-3 additions
+    "text_collapse_repeats",
+    "text_pii_scrub",
+    "text_contamination_check",
+    "streaming_corpus_clean",
+    "dedup_incremental_newbatch",
+    "ml_feature_assembly",
+    "text_rolling_fingerprint",
 ]
 
 

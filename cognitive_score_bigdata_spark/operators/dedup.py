@@ -222,6 +222,35 @@ def dedup_incremental(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
+def lsh_overflow_buckets(
+    docs: DataFrame,
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Audit companion to ``minhash_candidate_pairs(max_bucket_size=B)``:
+    the buckets that guard would reject, as (band, bhash, n_members).
+
+    Run (and log) this when enabling the cap so dropped coverage is a
+    recorded number, not a silent truncation — a hot bucket here almost
+    always means boilerplate that exact dedup (text_exact_dedup) should
+    have collapsed first."""
+    rows = num_hashes // bands
+    banded = minhash_banded(
+        minhash_sig_table(docs, id_col, text_col, num_hashes, shingle_n),
+        bands,
+        rows,
+    )
+    return (
+        banded.groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -229,6 +258,7 @@ def minhash_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-banded near-dup candidates: (id_a, id_b, est_jaccard).
 
@@ -236,6 +266,16 @@ def minhash_candidate_pairs(
     estimator of the shingle-set Jaccard). Only pairs sharing at least
     one full band survive; the band join shuffles on (band, band_hash),
     never on raw text.
+
+    ``max_bucket_size``: production skew guard. A bucket of identical
+    boilerplate docs yields |bucket|² pairs no matter the formulation —
+    one 10k-member bucket emits 50M pairs and its reducer is the job's
+    straggler (or OOM) at 100 TB. With the cap set, buckets with more
+    members are rejected whole: a bucket that hot carries no
+    discriminative signal (its members are boilerplate near-copies that
+    exact dedup should collapse first), and its docs still pair through
+    their other ``bands-1`` buckets. Use :func:`lsh_overflow_buckets`
+    to count what a given cap drops before turning it on.
     """
     rows = num_hashes // bands
     sig = minhash_sig_table(docs, id_col, text_col, num_hashes, shingle_n)
@@ -245,9 +285,7 @@ def minhash_candidate_pairs(
     # collect the (few) members per bucket, emit ordered combinations.
     # This computes each signature exactly once — a banded self-join
     # would re-run the whole signature pipeline on both sides and add a
-    # second shuffle. Bucket skew note: a bucket of identical boilerplate
-    # docs yields |bucket|² pairs no matter the formulation; cap upstream
-    # by exact-dedup first (text_exact_dedup) if boilerplate dominates.
+    # second shuffle.
     members = (
         banded.groupBy("band", "bhash")
         .agg(
@@ -259,6 +297,8 @@ def minhash_candidate_pairs(
         )
         .filter(F.size("ms") > 1)
     )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ms") <= max_bucket_size)
     pairs = members.select(
         F.explode(
             F.flatten(

@@ -20,10 +20,10 @@ Contents:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cognitive_score_bigdata_spark.functions import text as TX
-from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
 
 
@@ -125,3 +125,164 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", TX.rolling_fingerprint("text").alias("rolling_fp")
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, ' +')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    q AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(string_split_regex(text, ' +')[1:5]))
+               AS term
+      FROM documents WHERE doc_id % 97 = 1
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(
+               ((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl)))
+             AS DECIMAL(28,6))) AS DOUBLE) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc="BM25 top-10 retrieval via posting-list join — the IR-shaped "
+    "similarity search a data pipeline runs for contamination and "
+    "near-query mining. Queries are the first 5 distinct tokens of "
+    "every 97th document; candidate generation is an equi-join on term "
+    "(posting lists, broadcast query side) — never doc × doc. Exactness "
+    "across engines: rational idf surrogate (no ln), power-of-two BM25 "
+    "constants where possible, identical double expression trees, and a "
+    "DECIMAL(28,6) accumulator for the per-term score sum so addition "
+    "order can't perturb low bits; rank ties break on doc_id",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        docs.filter(F.col("doc_id") % 97 == 1)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice(F.split(F.col("text"), " +"), 1, 5))
+            ).alias("term"),
+        )
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tfn = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + (0.75 * F.col("dl")) / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum((idf * tfn).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+@register(
+    "dedup_cluster_exact",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, r.lab FROM reach r JOIN bidir b ON b.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="near-dup cluster assignment on the EXACT jaccard graph "
+    "(unigram-set >= 0.8 within a source block): min-label connected "
+    "components, cluster_id = smallest reachable doc_id, singletons "
+    "label themselves. First oracle-checked clustering row — DuckDB "
+    "computes the same fixpoint as a recursive-CTE transitive closure, "
+    "so the iterative Spark operator (operators/dedup.py "
+    "connected_components) is value-pinned end to end, not just "
+    "union-find-tested. The LSH variants (dedup_cluster_docs[_star]) "
+    "keep rows-only checks; this query is their exact counterpart",
+)
+def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        connected_components,
+    )
+    from cognitive_score_bigdata_spark.queries.textops import (
+        text_ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return connected_components(pairs, docs, "doc_id")

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Round-3 scale-up study: the round-2 heavies under replicated data.
+
+Targets (VERDICT r2 item 7): text_chunk_dedup, corpus_shard_assignment,
+corpus_pack_sequences, vector_ann_pq_topk, dedup_incremental_newbatch —
+the operators with driver-touching steps (prefix-sum offsets, codebook
+train, index build) whose CONSTANTS must stay flat while the distributed
+part scales linearly.
+
+Method (same as the round-1 §9 study): key-shifted R× replication of the
+tables these queries touch (documents, embeddings) into /tmp; each doc
+replica gets a one-token suffix so replicas are near-dups rather than
+exact dups (keeps dedup candidate structure realistic instead of
+degenerate). Queries run unchanged via the registry against the replica
+dir; wall time is best-of-2 after a session warm-up.
+
+Run: python scripts/scaleup_study.py  [factors: default 1 8 32]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from cognitive_score_bigdata_spark.queries import load_registry  # noqa: E402
+from cognitive_score_bigdata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = "/tmp/csb_scaleup"
+TARGETS = [
+    "text_chunk_dedup",
+    "corpus_shard_assignment",
+    "corpus_pack_sequences",
+    "vector_ann_pq_topk",
+    "dedup_incremental_newbatch",
+]
+
+
+def build_replica(spark, factor: int) -> str:
+    out = f"{OUT_ROOT}/r{factor}"
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    reps = spark.range(factor).select(F.col("id").alias("__r"))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__r") * n_docs)
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" zrep"), F.col("__r").cast("string")),
+        )
+        .drop("__r")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__r") * n_vec)
+        .drop("__r")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
+    spark = get_spark("csb-scaleup")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_registry()
+
+    # warm the JVM + Arrow worker pool (same reasoning as bench.py)
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    results: dict[str, dict[int, float]] = {t: {} for t in TARGETS}
+    for factor in factors:
+        d = build_replica(spark, factor)
+        for name in TARGETS:
+            best = float("inf")
+            for _ in range(2):
+                spark._jvm.System.gc()  # noqa: SLF001
+                t0 = time.perf_counter()
+                registry[name].fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            results[name][factor] = round(best, 2)
+            print(f"  {name} @ {factor}x: {results[name][factor]}s", flush=True)
+
+    print("\n| query | " + " | ".join(f"{f}x" for f in factors) + " | slope |")
+    print("|---|" + "---|" * (len(factors) + 1))
+    for name in TARGETS:
+        r = results[name]
+        lo, hi = factors[0], factors[-1]
+        slope = (r[hi] / r[lo]) / (hi / lo) if r[lo] else float("nan")
+        cells = " | ".join(str(r[f]) for f in factors)
+        print(f"| {name} | {cells} | {slope:.2f} (1.0=linear) |")
+
+    shutil.rmtree(OUT_ROOT, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

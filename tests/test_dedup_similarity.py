@@ -263,3 +263,34 @@ def test_incremental_dedup_against_saved_index(spark, tmp_path):
     }
     assert (1_000_007, 7) in pairs and pairs[(1_000_007, 7)] == 1.0
     assert all(nid != 1_000_008 for nid, _ in pairs)
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket_pairs(spark):
+    """Production skew guard: a planted bucket of identical boilerplate
+    docs must not emit |bucket|² pairs when max_bucket_size is set, while
+    ordinary near-dup pairs elsewhere in the corpus still surface."""
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        lsh_overflow_buckets,
+    )
+
+    other = (
+        "completely different content about spark query planning and "
+        "shuffle partitioning strategies for large scale aggregation "
+        "pipelines with adaptive execution and broadcast join selection"
+    )
+    boiler = [(i, BASE) for i in range(300)]  # one hot bucket per band
+    pair = [(2000, other), (2001, other.replace("broadcast", "shuffle"))]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = minhash_candidate_pairs(docs).count()
+    assert uncapped >= 300 * 299 // 2  # the explosion the cap exists for
+
+    capped = minhash_candidate_pairs(docs, max_bucket_size=16)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (2000, 2001) in got  # normal near-dups unaffected
+    assert all(a >= 2000 for a, _ in got)  # no pair from the hot content
+    assert len(got) < 100
+
+    # the audit companion reports exactly what the cap dropped
+    overflow = lsh_overflow_buckets(docs, max_bucket_size=16).collect()
+    assert overflow and all(r["n_members"] >= 300 for r in overflow)

@@ -45,3 +45,47 @@ def test_append_score_sinks_jdbc_mode(spark):
     with pytest.raises(Exception) as exc:
         append_score_sinks(df, "/tmp/x", mode="jdbc", jdbc_url=URL)
     assert "org.postgresql.Driver" in str(exc.value)
+
+
+# ---------------------------------------------------------------------------
+# Opt-in integration path: set JDBC_URL (e.g.
+#   JDBC_URL='jdbc:postgresql://host:5432/db' JDBC_USER=u JDBC_PASSWORD=p
+# with the matching driver jar on the Spark classpath) to exercise the
+# real database round trip. Skips cleanly when no endpoint exists — the
+# sandbox has neither a database nor a driver jar.
+# ---------------------------------------------------------------------------
+
+import os
+import uuid
+
+JDBC_URL = os.environ.get("JDBC_URL")
+
+
+@pytest.mark.skipif(
+    not JDBC_URL,
+    reason="set JDBC_URL (+driver jar on the classpath) to run the "
+    "live-database S9 round trip",
+)
+def test_write_jdbc_round_trip_live(spark):
+    """S9 against a live database: append rows, read them back through
+    the same connector, byte-compare."""
+    table = f"csb_it_{uuid.uuid4().hex[:8]}"
+    creds = {
+        k: v
+        for k, v in {
+            "user": os.environ.get("JDBC_USER"),
+            "password": os.environ.get("JDBC_PASSWORD"),
+        }.items()
+        if v is not None
+    }
+    df = spark.createDataFrame(
+        [("u1", 80), ("u2", 45)], "user_id string, score int"
+    )
+    write_jdbc(df, JDBC_URL, table, **creds)
+    back = (
+        spark.read.format("jdbc")
+        .options(**jdbc_options(JDBC_URL, table, **creds))
+        .load()
+    )
+    got = {(r["user_id"], r["score"]) for r in back.collect()}
+    assert got == {("u1", 80), ("u2", 45)}

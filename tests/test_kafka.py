@@ -97,3 +97,50 @@ def test_full_wire_loop_preserves_event_set(spark):
     # keys: one distinct key per user -> broker partitions by user
     keys = to_kafka_frame(df).select(F.col("key").cast("string")).distinct()
     assert keys.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Opt-in integration path: set KAFKA_BOOTSTRAP=host:9092 (with the
+# spark-sql-kafka connector jar on the classpath) to exercise the
+# broker-attached S2/S4 path. Skips cleanly in the sandbox, which has
+# neither a broker nor the connector jar.
+# ---------------------------------------------------------------------------
+
+import os
+import uuid
+
+import pytest
+
+KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
+
+
+@pytest.mark.skipif(
+    not KAFKA_BOOTSTRAP,
+    reason="set KAFKA_BOOTSTRAP=host:port (+ spark-sql-kafka jar on the "
+    "classpath) to run the broker-attached S2/S4 round trip",
+)
+def test_kafka_round_trip_with_real_broker(spark):
+    """S4 write keyed by user_id → S2/S6 read + wire parse, against a
+    live broker: the exact path the sandbox can only test broker-free."""
+    from cognitive_score_bigdata_spark.streaming.kafka import (
+        kafka_source_options,
+        parse_kafka_events,
+        to_kafka_frame,
+    )
+
+    topic = f"csb-it-{uuid.uuid4().hex[:8]}"
+    events = spark.createDataFrame([EVENT], EVENT_SCHEMA)
+    (
+        to_kafka_frame(events)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", KAFKA_BOOTSTRAP)
+        .option("topic", topic)
+        .save()
+    )
+    opts = kafka_source_options(KAFKA_BOOTSTRAP, topic)
+    opts["startingOffsets"] = "earliest"  # batch read-back of what we wrote
+    frames = spark.read.format("kafka").options(**opts).load()
+    parsed = parse_kafka_events(frames).collect()
+    assert len(parsed) == 1
+    row = parsed[0]
+    assert row["user_id"] == "alice" and row["event_id"] == "ev-1"
