@@ -40,6 +40,10 @@ JOIN_AGG_PLANS = [
     ("analytics_q16_supplier_cnt", 2, 0, 1),
     ("analytics_q20_dominant_supplier", 2, 2, 2),
     ("analytics_q21_waiting_supplier", 2, 2, 1),
+    # round-3: BM25 posting-list retrieval — query side + corpus stats
+    # broadcast, term/doc aggregates keep their partial phase, and no
+    # sort-merge join anywhere (the posting join must stay hash-based)
+    ("text_bm25_topk", 5, 0, 4),
 ]
 
 
