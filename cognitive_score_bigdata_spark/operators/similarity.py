@@ -506,3 +506,68 @@ def cosine_neardup_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 1024,
+    index: "IvfIndex | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication pairs: (id_a, id_b, cos >= threshold) computed only
+    WITHIN k-means clusters of the embedding space.
+
+    This is the scale path for embedding near-dup at corpus size: the
+    quadratic all-pairs stage runs per cluster ((N/k)² per group, never
+    N²), clusters come from the same bounded-sample coarse quantizer the
+    IVF index uses (driver-trained on <=100k rows, one fused
+    normalize+assign Arrow pass), and the per-cluster Gram computation
+    is a BLOCKED matmul (block x |cell| strips) so executor memory is
+    bounded regardless of cluster size. Output is ids+cos only — no
+    vector payload crosses the shuffle.
+
+    Recall caveat (inherent to SemDeDup, documented in the paper): pairs
+    whose members fall in different clusters are missed; duplicates are
+    near-identical vectors, which land in the same cell except exactly
+    on a Voronoi boundary. Raise n_cells for speed, lower it for recall.
+    Pass a prebuilt ``index`` to reuse a session-cached quantization.
+    """
+    idx = index if index is not None else ivf_build(
+        vectors, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["__c"].to_numpy())[order]
+        n = len(ids)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        jj = np.arange(n)[None, :]
+        for s in range(0, n, block):
+            blk = M[s : s + block]
+            G = blk @ M.T
+            ii = (s + np.arange(blk.shape[0]))[:, None]
+            mask = (G >= threshold) & (jj > ii)
+            ai, bj = np.nonzero(mask)
+            out_a.append(ids[ai + s])
+            out_b.append(ids[bj])
+            out_c.append(G[ai, bj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "cos": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return idx.cand.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cos double"
+    )

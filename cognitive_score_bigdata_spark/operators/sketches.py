@@ -123,3 +123,83 @@ def heavy_hitters_exact(
             (F.col("n_occurrences") / F.col("_n_total")).alias("share"),
         )
     )
+
+
+def hll_group_cardinality(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable distinct counts: (group_col, approx_distinct, is_total).
+
+    Per-group Datasketches HLL sketches (``hll_sketch_agg``, register
+    max is commutative → the estimate is deterministic and independent
+    of partitioning or arrival order), plus an ALL row produced by
+    MERGING the group sketches (``hll_union_agg``) — the property that
+    matters at 100 TB: per-partition/per-day sketches are tiny persisted
+    artifacts, and any rollup is a register-wise max over them instead
+    of a rescan of the raw data. ``approx_count_distinct`` (HLL++) gives
+    one number; Datasketches gives a reusable, mergeable artifact.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("__sk")
+    )
+    groups = per_group.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.hll_sketch_estimate("__sk").cast("bigint").alias("approx_distinct"),
+        F.lit(False).alias("is_total"),
+    )
+    total = per_group.agg(F.hll_union_agg("__sk").alias("__u")).select(
+        F.lit("ALL").alias(group_col),
+        F.hll_sketch_estimate("__u").cast("bigint").alias("approx_distinct"),
+        F.lit(True).alias("is_total"),
+    )
+    return groups.unionByName(total)
+
+
+def theta_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Set-operation sketches: approximate |A|, |B|, |A ∩ B|, |A ∪ B| of
+    two groups' value sets in ONE pass over the data (theta sketches
+    support intersection, which HLL cannot).
+
+    The corpus-prep question this answers at scale: "how many users/
+    domains/documents appear in BOTH snapshots" without a self-join of
+    the raw data — each side becomes a bounded sketch, the set algebra
+    runs on the sketches."""
+    sk = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(group_col)
+        .agg(F.theta_sketch_agg(value_col).alias("__sk"))
+    )
+    both = sk.agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg(F.col("__sk"))
+        ).cast("bigint").alias("n_intersection"),
+        F.theta_sketch_estimate(F.theta_union_agg(F.col("__sk")))
+        .cast("bigint")
+        .alias("n_union"),
+        F.max(
+            F.when(
+                F.col(group_col) == group_a,
+                F.theta_sketch_estimate(F.col("__sk")),
+            )
+        ).cast("bigint").alias("n_a"),
+        F.max(
+            F.when(
+                F.col(group_col) == group_b,
+                F.theta_sketch_estimate(F.col("__sk")),
+            )
+        ).cast("bigint").alias("n_b"),
+    )
+    return both.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        "n_intersection",
+        "n_union",
+    )

@@ -286,3 +286,85 @@ def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     return connected_components(pairs, docs, "doc_id")
+
+
+@register(
+    "dedup_semantic_pairs",
+    oracle=None,  # cluster assignment is k-means (iterative, seeded) —
+    # not SQL; precision/recall and partition independence pinned in
+    # test_dedup_similarity
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dup pairs computed "
+    "only within k-means clusters of embedding space — the quadratic "
+    "stage is (N/k)² per cluster, never N², via a blocked per-cluster "
+    "Gram matmul with id-only output. Every 25th vector is re-ingested "
+    "under a new id as a planted duplicate (same determinism trick as "
+    "dedup_incremental_newbatch), so the pair set is stable and "
+    "non-empty for the rows-only check",
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        ivf_build,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    # quantization is a build artifact — cache per (session, corpus dir)
+    # like the IVF inverted file, instead of re-persisting per call
+    key = (id(spark), sf_dir)
+    if key not in _SEM_IDX_CACHE:
+        _SEM_IDX_CACHE[key] = ivf_build(corpus, n_cells=8)
+    return semantic_dedup_pairs(corpus, threshold=0.95, index=_SEM_IDX_CACHE[key])
+
+
+_SEM_IDX_CACHE: dict = {}
+
+
+@register(
+    "sketch_hll_group_users",
+    oracle=None,  # estimator-specific values (Datasketches HLL) — no
+    # cross-engine SQL equivalent; error bound + mergeability pinned in
+    # test_sketches
+    doc="mergeable distinct-user counts per event_type via Datasketches "
+    "HLL sketches, with the ALL row produced by MERGING the per-group "
+    "sketches (register-wise max) rather than rescanning — the persisted "
+    "per-partition-sketch pattern that answers any rollup over 100 TB "
+    "without touching raw data. Deterministic: HLL register updates are "
+    "commutative, so the estimate is independent of partitioning",
+)
+def sketch_hll_group_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.sketches import (
+        hll_group_cardinality,
+    )
+
+    return hll_group_cardinality(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@register(
+    "sketch_theta_user_overlap",
+    oracle=None,  # estimator-specific values (theta sketches) — accuracy
+    # vs the exact self-join pinned in test_sketches
+    doc="theta-sketch set algebra: |A|, |B|, |A intersect B|, |A union B| "
+    "of the view-users and purchase-users sets in one pass — the "
+    "snapshot-overlap question answered on bounded sketches instead of a "
+    "raw-data self-join (intersection is what HLL cannot do)",
+)
+def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    return theta_overlap(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "user_id",
+        "view",
+        "purchase",
+    )

@@ -294,3 +294,53 @@ def test_minhash_bucket_cap_bounds_hot_bucket_pairs(spark):
     # the audit companion reports exactly what the cap dropped
     overflow = lsh_overflow_buckets(docs, max_bucket_size=16).collect()
     assert overflow and all(r["n_members"] >= 300 for r in overflow)
+
+
+def test_semantic_dedup_finds_planted_copies(spark):
+    """SemDeDup: identical vectors land in the same cell (identical
+    quantizer assignment), so every planted copy must pair with its
+    original at cos ~= 1; every reported pair must satisfy the
+    threshold exactly (precision is exact within a cluster); and the
+    pair set must not depend on input partitioning."""
+    import numpy as np
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+
+    got = semantic_dedup_pairs(corpus, threshold=0.95, n_cells=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in got}
+
+    expect = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in emb.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+    assert expect, "planted set must be non-empty"
+    assert expect <= set(pairs), "every planted copy must be found"
+    assert all(c >= 0.95 for c in pairs.values())
+
+    # precision: recompute cosine from raw vectors for every reported pair
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    for (a, b), c in pairs.items():
+        va, vb = vecs[a], vecs[b]
+        exact = float(
+            va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+        assert abs(exact - c) < 1e-9
+
+    # partition independence
+    got7 = semantic_dedup_pairs(
+        corpus.repartition(7), threshold=0.95, n_cells=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got7} == set(pairs)

@@ -107,3 +107,51 @@ def test_compact_small_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="NEW path"):
         compact_small_files(spark, src, 100, out_path=None)
+
+
+def test_zordered_lake_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-ordered layout must make footer min/max selective on BOTH
+    clustering columns at once: for a narrow predicate on either
+    user_id or ts, at least half the files are skippable from their
+    stats — the property a single-column sort can only provide for its
+    own column. Verified from actual parquet metadata."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cognitive_score_bigdata_spark.sources.sinks import (
+        write_zordered_lake,
+    )
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    path = str(tmp_path / "zlake")
+    write_zordered_lake(events, path, ["user_id", "ts_us"], n_files=16)
+
+    spans: dict[str, list[tuple[float, float]]] = {"user_id": [], "ts_us": []}
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for col_name in spans:
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == col_name and col.statistics:
+                        los.append(col.statistics.min)
+                        his.append(col.statistics.max)
+            if los:
+                spans[col_name].append((min(los), max(his)))
+
+    n_files = len(spans["user_id"])
+    assert n_files >= 8, "expected many output files with stats"
+    for col_name, sp in spans.items():
+        glo = min(lo for lo, _ in sp)
+        ghi = max(hi for _, hi in sp)
+        mid = (glo + ghi) / 2
+        width = (ghi - glo) / 20  # a 5%-of-domain predicate window
+        skippable = sum(1 for lo, hi in sp if hi < mid or lo > mid + width)
+        assert skippable >= n_files // 2, (
+            f"{col_name}: only {skippable}/{n_files} files skippable; "
+            f"spans {sp}"
+        )

@@ -162,3 +162,67 @@ def test_pack_sequences_boundary_split(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_hll_group_cardinality_accuracy_and_merge(spark):
+    """HLL estimates within 5% of exact per group; the ALL row (merged
+    sketches) within 5% of the exact global distinct; estimates
+    independent of partitioning (commutative register updates)."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.sketches import (
+        hll_group_cardinality,
+    )
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_group_cardinality(events, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(got[g] - n) <= max(2, 0.05 * n), (g, got[g], n)
+    total = events.select("user_id").distinct().count()
+    assert abs(got["ALL"] - total) <= max(2, 0.05 * total)
+
+    got7 = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_group_cardinality(
+            events.repartition(7), "event_type", "user_id"
+        ).collect()
+    }
+    assert got7 == got
+
+
+def test_theta_overlap_tracks_exact_set_algebra(spark):
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.sketches import theta_overlap
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    row = theta_overlap(events, "event_type", "user_id", "view", "purchase").collect()[0]
+
+    def users(t):
+        return {
+            r["user_id"]
+            for r in events.filter(F.col("event_type") == t)
+            .select("user_id").distinct().collect()
+        }
+
+    va, vb = users("view"), users("purchase")
+    for key, exact in [
+        ("n_a", len(va)),
+        ("n_b", len(vb)),
+        ("n_intersection", len(va & vb)),
+        ("n_union", len(va | vb)),
+    ]:
+        assert abs(row[key] - exact) <= max(2, 0.05 * exact), (key, row[key], exact)
