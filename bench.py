@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_semantic_pairs",
     "sketch_hll_group_users",
     "sketch_theta_user_overlap",
+    "corpus_bpe_encode",
 ]
 
 

@@ -394,3 +394,34 @@ def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view",
         "purchase",
     )
+
+
+# BPE merge tables are training artifacts — once per corpus, like the
+# BM25/minhash/IVF indexes above.
+_BPE_CACHE: dict = {}
+
+
+@register(
+    "corpus_bpe_encode",
+    oracle=None,  # iterative merge training + per-word merge application
+    # aren't SQL; round-trip, determinism, and compression pinned in
+    # test_corpus
+    doc="BPE tokenizer application at corpus scale (Sennrich et al. "
+    "2016): merge table trained driver-side on a bounded deterministic "
+    "sample (the build-artifact rule: merge statistics don't need every "
+    "document, exactly like IVF centroids), then applied as ONE Arrow "
+    "pass with per-worker word memoization — cost scales with distinct "
+    "words, not tokens. Output: per-doc token count + an order-sensitive "
+    "md5 fingerprint of the token stream (scalar, comparable)",
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (id(spark), sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train(docs, n_merges=64)
+    return bpe_encode(docs, _BPE_CACHE[key])

@@ -141,3 +141,51 @@ def test_stratified_sample_respects_strata(spark):
             assert by_lang.get(lang, 0) < n
         else:
             assert by_lang[lang] == n
+
+
+def test_bpe_round_trip_and_determinism(spark):
+    """BPE: word-internal merges must round-trip (joining a word's
+    tokens recovers the word), compress (fewer tokens than characters),
+    be deterministic across partitionings, and actually use the learned
+    merges (some multi-char token must exist)."""
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.bpe import (
+        _encode_word,
+        bpe_encode,
+        bpe_train,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe_train(docs, n_merges=64)
+    assert merges, "training must learn merges on a repetitive corpus"
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # word-level round trip + compression on the actual vocabulary
+    vocab = {
+        w
+        for r in docs.select("text").collect()
+        for w in (r["text"] or "").split()
+    }
+    multi = 0
+    for w in vocab:
+        toks = _encode_word(w, ranks)
+        assert "".join(toks) == w, (w, toks)
+        assert len(toks) <= len(w)
+        multi += any(len(t) > 1 for t in toks)
+    assert multi > 0, "no merge ever applied"
+
+    out = bpe_encode(docs, merges)
+    rows = {r["doc_id"]: (r["n_bpe_tokens"], r["tokens_fp"]) for r in out.collect()}
+    # char tokenization upper bound: n_bpe_tokens < total word chars
+    some = docs.select("doc_id", "text").limit(20).collect()
+    for r in some:
+        n_chars = sum(len(w) for w in r["text"].split())
+        assert rows[r["doc_id"]][0] < n_chars
+
+    out7 = bpe_encode(docs.repartition(7), merges)
+    rows7 = {r["doc_id"]: (r["n_bpe_tokens"], r["tokens_fp"]) for r in out7.collect()}
+    assert rows7 == rows
+
+    # training is deterministic too
+    assert bpe_train(docs, n_merges=64) == merges
