@@ -425,3 +425,82 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _BPE_CACHE:
         _BPE_CACHE[key] = bpe_train(docs, n_merges=64)
     return bpe_encode(docs, _BPE_CACHE[key])
+
+
+@register(
+    "text_segment_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' the '), 1) AS seg_idx,
+             unnest(string_split(text, ' the ')) AS segment
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(seg_idx AS INT) AS seg_idx,
+           trim(segment) AS segment,
+           CAST(len(string_split_regex(trim(segment), ' +')) AS INT)
+             AS n_words
+    FROM s WHERE trim(segment) <> ''
+    """,
+    doc="Python UDTF surface (U4 beyond built-in explode): a lateral "
+    "table function splitting each document into delimiter-separated "
+    "segments with positional index and word count — one row in, many "
+    "rows out, arbitrary Python per row. Value-pinned against DuckDB's "
+    "unnest WITH ORDINALITY equivalent, which is what keeps this UDTF "
+    "honest: same split, trim, and empty-segment semantics on both "
+    "engines. UDTFs remain the slow path (SURVEY §2.10 design rule) — "
+    "this exists for API-surface parity; explode/posexplode cover the "
+    "built-in cases",
+)
+def text_segment_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, seg_idx: int, segment: string, n_words: int")
+    class SegmentSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, seg in enumerate((text or "").split(" the ")):
+                seg = seg.strip()
+                if seg:
+                    yield doc_id, i + 1, seg, len(seg.split())
+
+    spark.udtf.register("csb_segment_split", SegmentSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.seg_idx, s.segment, s.n_words
+        FROM __udtf_docs d,
+             LATERAL csb_segment_split(d.doc_id, d.text) s
+        """
+    )
+
+
+@register(
+    "agg_pandas_udaf_gmean",
+    oracle=None,  # exp/ln differ in final-bit rounding across engines —
+    # value parity vs numpy pinned in test_operators instead
+    doc="grouped-aggregate pandas UDF surface (the UDAF shape the "
+    "reference never needed — A3 mapped to built-in max_by): geometric "
+    "mean of positive event values per event_type, one Arrow batch per "
+    "group state, partial-agg'd by Spark like any aggregate. Exists for "
+    "API-surface parity; every production aggregate in this repo is a "
+    "built-in expression",
+)
+def agg_pandas_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` makes
+    # type hints strings, which defeats signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(gmean("value").alias("gmean_value"))
+    )

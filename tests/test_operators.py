@@ -217,3 +217,32 @@ def test_fan_out_restores_parallelism_and_noops_when_wide(spark):
         spark.sparkContext.defaultParallelism * 2
     )
     assert fan_out(wide) is wide
+
+
+def test_pandas_udaf_gmean_matches_numpy(spark):
+    """Grouped-agg pandas UDF must equal the local numpy geometric mean
+    per group (tolerance: float summation order differs)."""
+    import numpy as np
+
+    from cognitive_score_bigdata_spark.queries import load_registry
+    from tests.conftest import SF_DIR
+
+    fn = load_registry()["agg_pandas_udaf_gmean"].fn
+    got = {r["event_type"]: r["gmean_value"] for r in fn(spark, SF_DIR).collect()}
+
+    from cognitive_score_bigdata_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        exact = float(np.exp(np.mean(np.log(np.array(vals)))))
+        assert abs(got[t] - exact) / exact < 1e-9, (t, got[t], exact)
