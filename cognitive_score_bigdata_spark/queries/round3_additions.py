@@ -504,3 +504,88 @@ def agg_pandas_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(gmean("value").alias("gmean_value"))
     )
+
+
+@register(
+    "corpus_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.dst, r.lab FROM reach r JOIN bidir b ON b.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    quality AS (
+      SELECT doc_id,
+             0.5 * (CAST(len(list_distinct(string_split_regex(text, ' +')))
+                         AS DOUBLE)
+                    / len(string_split_regex(text, ' +')))
+             + 0.5 * least(CAST(len(string_split_regex(text, ' +'))
+                                AS DOUBLE) / 100.0, 1.0) AS quality
+      FROM documents
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(CASE WHEN rnk = 1 THEN doc_id END) AS keep_doc_id,
+           MIN(CASE WHEN rnk = 1 THEN quality END) AS keep_quality
+    FROM (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id ASC)
+               AS rnk
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    GROUP BY cluster_id
+    """,
+    doc="the full dedup endgame as one oracle-checked plan: exact-"
+    "jaccard connected components (dedup_cluster_exact's fixpoint) -> "
+    "join per-doc quality (text_quality_score's rational formula — "
+    "exact cross-engine) -> keep the highest-quality doc per cluster "
+    "(quality desc, doc_id tiebreak). This is the canonical-survivor "
+    "selection step every near-dup pipeline ends with, value-pinned "
+    "end to end",
+)
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_cluster_exact(spark, sf_dir)
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.min(F.when(F.col("rnk") == 1, F.col("quality"))).alias(
+            "keep_quality"
+        ),
+    )

@@ -124,3 +124,65 @@ def corpus_clean_batch_parity(
     q = run_corpus_ingest(spark, in_dir, out_dir, ckpt)
     q.awaitTermination(300)
     return spark.read.parquet(out_dir).select("text_md5")
+
+
+def run_streaming_dedup_probe(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    clean_dir: str,
+    duplog_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+):
+    """Streaming NEAR-dup gate: every arriving micro-batch is probed
+    against the persisted corpus minhash index; near-dups of the
+    existing corpus are quarantined to a duplicate log, fresh documents
+    append to the clean lake.
+
+    This composes the incremental-dedup operator (signatures for the
+    corpus computed once, batch side broadcast into the band-bucket
+    join — ``operators/dedup.dedup_incremental``) with the stream edge:
+    the batch is small by construction (one trigger's files), which is
+    exactly the regime the incremental probe is designed for. Contrast
+    with ``clean_document_stream``'s digest dedup: that catches exact
+    re-crawls inside the watermark horizon with bounded state; this
+    catches NEAR-duplicates of the whole historical corpus with state
+    externalized to the persisted index. A production pipeline runs
+    both, in that order (digest first — it's cheaper).
+    """
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        dedup_incremental,
+        load_minhash_index,
+    )
+
+    index = load_minhash_index(spark, index_path)
+
+    def probe_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.filter(F.col("text").isNotNull()).persist()
+        pairs = dedup_incremental(
+            batch, index, threshold=threshold, id_col="doc_id"
+        ).persist()
+        dup_ids = pairs.select(
+            F.col("new_id").alias("doc_id")
+        ).distinct()
+        (
+            pairs.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(duplog_dir)
+        )
+        (
+            batch.join(dup_ids, "doc_id", "left_anti")
+            .write.mode("append")
+            .parquet(clean_dir)
+        )
+        pairs.unpersist()
+        batch.unpersist()
+
+    return (
+        read_document_stream(spark, input_dir)
+        .writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -250,3 +250,49 @@ def run_ingest_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def parse_events_permissive(raw: DataFrame, json_col: str = "value") -> tuple:
+    """Schema-on-read with a dead-letter lane: parse a raw JSON-string
+    column against EVENT_SCHEMA in PERMISSIVE mode and split the result
+    into (parsed_events, corrupt_records).
+
+    The reference's ingest accepts arbitrary bodies and would 500 on
+    garbage (``src/ingestion.py:17-21`` — json.loads with no guard); at
+    scale one malformed producer must not poison a batch. Rows that fail
+    to parse keep their raw payload in ``_corrupt_record`` and are routed
+    to the dead-letter frame (same pattern as the codec dead-letter lane)
+    for quarantine + replay; parsed rows continue through ``enrich``.
+    Works identically on batch and streaming frames — PERMISSIVE
+    from_json never throws, so the split is two filters on one pass.
+    """
+    schema_with_corrupt = T.StructType(
+        EVENT_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = raw.withColumn(
+        "__p",
+        F.from_json(
+            F.col(json_col),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    ok = (
+        parsed.filter(
+            F.col("__p").isNotNull()
+            & F.col("__p._corrupt_record").isNull()
+            & F.col("__p.user_id").isNotNull()
+        )
+        .select("__p.*")
+        .drop("_corrupt_record")
+    )
+    dead = parsed.filter(
+        F.col("__p").isNull()
+        | F.col("__p._corrupt_record").isNotNull()
+        | F.col("__p.user_id").isNull()
+    ).select(
+        F.col(json_col).alias("raw_payload"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return ok, dead

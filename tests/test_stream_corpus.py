@@ -53,3 +53,60 @@ def test_stream_dedup_and_quality_filter(spark, tmp_path):
     assert set(rows) == {1, 5}, rows  # 2,4 = dup; 3 = quality-failed
     assert rows[1]["text_md5"] is not None
     assert rows[5]["text"] == OTHER
+
+
+def test_streaming_dedup_probe_quarantines_neardups(spark, tmp_path):
+    """Arriving docs probe the persisted corpus index: a copy of an
+    indexed document is quarantined (with its matched corpus id in the
+    dup log), a fresh document reaches the clean lake."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        save_minhash_index,
+    )
+    from cognitive_score_bigdata_spark.streaming.corpus import (
+        run_streaming_dedup_probe,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "idx")
+    save_minhash_index(corpus, index_path)
+
+    copy_text = corpus.filter(F.col("doc_id") == 3).collect()[0]["text"]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [
+            (9_000_003, copy_text, "web", "2024-01-01T10:00:00"),
+            (
+                9_000_004,
+                "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii",
+                "web",
+                "2024-01-01T10:00:01",
+            ),
+        ],
+        "doc_id long, text string, source string, crawl_ts string",
+    ).coalesce(1).write.mode("overwrite").json(in_dir)
+
+    clean_dir = str(tmp_path / "clean")
+    duplog_dir = str(tmp_path / "duplog")
+    q = run_streaming_dedup_probe(
+        spark,
+        in_dir,
+        index_path,
+        clean_dir,
+        duplog_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    clean_ids = {r["doc_id"] for r in spark.read.parquet(clean_dir).collect()}
+    assert clean_ids == {9_000_004}
+    dup = spark.read.parquet(duplog_dir).collect()
+    assert any(
+        r["new_id"] == 9_000_003 and r["corpus_id"] == 3 for r in dup
+    )

@@ -333,3 +333,42 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert by_window[first_window] == 1
     # and each finalized window was emitted exactly once
     assert len(out) == len(by_window)
+
+
+def test_parse_events_permissive_dead_letter_split(spark):
+    """One malformed producer must not poison the batch: valid rows
+    parse and keep their fields, garbage rows land in the dead-letter
+    frame with their raw payload intact (for quarantine + replay), and
+    rows missing the partition key (user_id) are quarantined too."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.streaming.pipeline import (
+        parse_events_permissive,
+    )
+
+    good = _json.dumps(
+        {
+            "user_id": "alice",
+            "device_id": "d1",
+            "schema": "tracking_v1",
+            "cognitive_predict": False,
+            "steps": 100,
+            "timestamp": "1700000000.0",
+        }
+    )
+    no_key = _json.dumps({"device_id": "d2", "schema": "tracking_v1"})
+    garbage = "{not json at all"
+    raw = spark.createDataFrame(
+        [(good,), (no_key,), (garbage,)], "value string"
+    )
+
+    ok, dead = parse_events_permissive(raw)
+    ok_rows = ok.collect()
+    assert len(ok_rows) == 1 and ok_rows[0]["user_id"] == "alice"
+    assert ok_rows[0]["steps"] == 100
+    assert "_corrupt_record" not in ok.columns
+
+    dead_rows = {r["raw_payload"] for r in dead.collect()}
+    assert dead_rows == {no_key, garbage}
