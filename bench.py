@@ -96,6 +96,11 @@ HEADLINE = [
     "sketch_hll_group_users",
     "sketch_theta_user_overlap",
     "corpus_bpe_encode",
+    "corpus_dedup_keep_best",
+    "scan_zorder_two_dim",
+    "text_fuzzy_token_pairs",
+    "text_segment_udtf",
+    "agg_pandas_udaf_gmean",
 ]
 
 

@@ -589,3 +589,126 @@ def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_quality"
         ),
     )
+
+
+# The z-ordered lake is a layout artifact — written once per (session,
+# corpus), then every scan benefits; same cache contract as the indexes.
+_ZLAKE_CACHE: dict = {}
+
+
+@register(
+    "scan_zorder_two_dim",
+    oracle="""
+    SELECT event_id, user_id, ts_us, value
+    FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) AS ts_us, value
+      FROM events
+    )
+    WHERE user_id BETWEEN 2 AND 9
+      AND ts_us BETWEEN 1704067200000000 AND 1704844800000000
+    """,
+    doc="two-dimensional predicate over the Z-ORDERED event lake: the "
+    "query rewrites events through write_zordered_lake (Morton-code "
+    "clustering on (user_id, ts)) and scans the result with a predicate "
+    "on BOTH dimensions — the access pattern the layout exists for "
+    "(footer min/max prune files on either column; verified from "
+    "parquet metadata in test_sinks). The oracle reads the ORIGINAL "
+    "table: a layout rewrite must never change query results, which is "
+    "exactly what this row proves under the hash check",
+)
+def scan_zorder_two_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.sources.sinks import (
+        write_zordered_lake,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _ZLAKE_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="csb_zlake_"), "events")
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        write_zordered_lake(events, path, ["user_id", "ts_us"], n_files=16)
+        _ZLAKE_CACHE[key] = path
+    lake = spark.read.parquet(_ZLAKE_CACHE[key])
+    return lake.filter(
+        F.col("user_id").between(2, 9)
+        & F.col("ts_us").between(1704067200000000, 1704844800000000)
+    ).select("event_id", "user_id", "ts_us", "value")
+
+
+@register(
+    "text_fuzzy_token_pairs",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+    FROM vocab a JOIN vocab b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) <= 2
+    """,
+    doc="typo-level fuzzy token matching via the FastSS deletion-"
+    "neighborhood join (k=2): every token explodes into its 0/1/2-"
+    "deletion variants, candidate pairs are an EQUI-join on the variant "
+    "(O(vocab x len^2) rows through the shuffle, never the vocab x "
+    "vocab cross join the oracle runs), then an exact levenshtein "
+    "verify kills false positives — two strings within edit distance k "
+    "always share a k-deletion variant, so the candidate set is "
+    "complete. The scalable shape for vocabulary normalization / "
+    "OCR-noise collapse over corpus-scale vocabularies",
+)
+def text_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " +")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    L = F.length("tok")
+    d1 = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(
+            F.substr(F.col("tok"), F.lit(1), i - 1),
+            F.substr(F.col("tok"), i + 1, L),
+        ),
+    )
+    # delete positions i<j; descending inner sequences for short tokens
+    # only add junk variants, which the exact verify filters anyway
+    d2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.transform(
+                F.sequence(i + 1, L),
+                lambda j: F.concat(
+                    F.substr(F.col("tok"), F.lit(1), i - 1),
+                    F.substr(F.col("tok"), i + 1, j - i - 1),
+                    F.substr(F.col("tok"), j + 1, L),
+                ),
+            ),
+        )
+    )
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.array_distinct(
+                F.concat(F.array(F.col("tok")), d1, d2)
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("tok").alias("tok_a"), "variant")
+    b = variants.select(F.col("tok").alias("tok_b"), "variant")
+    return (
+        a.join(b, "variant")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .dropDuplicates(["tok_a", "tok_b"])
+        .withColumn(
+            "dist", F.levenshtein(F.col("tok_a"), F.col("tok_b")).cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+        .select("tok_a", "tok_b", "dist")
+    )

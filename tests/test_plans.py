@@ -44,6 +44,9 @@ JOIN_AGG_PLANS = [
     # broadcast, term/doc aggregates keep their partial phase, and no
     # sort-merge join anywhere (the posting join must stay hash-based)
     ("text_bm25_topk", 5, 0, 4),
+    # serving feature assembly: both aggregate sides keep partial
+    # phases; the per-user join of two small aggregates broadcasts
+    ("ml_feature_assembly", 1, 0, 2),
 ]
 
 
