@@ -447,6 +447,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Near-dup clusters: label every node with the MIN id reachable
     through the pair graph — the canonical "pick one survivor per
@@ -461,9 +462,18 @@ def connected_components(
     :func:`connected_components_star`, which converges in O(log d)
     rounds via star contraction.
 
+    Hybrid local finish (same guard as the star variant, default
+    ``LOCAL_FINISH_EDGES`` = 2M edges ≈ 32 MB driver): when the
+    DEDUPLICATED edge set fits the driver, a union-find labels it in one
+    collect instead of d scheduled rounds — identical output (pinned by
+    the union-find parity tests), and the distributed path engages
+    automatically for graphs that don't fit.
+
     ``pairs`` needs columns (id_a, id_b); ``nodes`` provides one row per
     ``id_col`` so singletons keep their own id as cluster label.
     """
+    if local_finish_edges is None:
+        local_finish_edges = LOCAL_FINISH_EDGES
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -474,6 +484,21 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= local_finish_edges:  # cheap: edges checkpointed
+        half = edges.filter(F.col("src") < F.col("dst")).collect()
+        lab = _local_min_labels([(r["src"], r["dst"]) for r in half])
+        out = nodes.select(F.col(id_col).alias("node"))
+        if lab:
+            lab_df = nodes.sparkSession.createDataFrame(
+                list(lab.items()), ["node", "label"]
+            )
+            return out.join(F.broadcast(lab_df), "node", "left").select(
+                F.col("node").alias(id_col),
+                F.coalesce("label", "node").alias("cluster_id"),
+            )
+        return out.select(
+            F.col("node").alias(id_col), F.col("node").alias("cluster_id")
+        )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)

@@ -109,10 +109,14 @@ def test_star_contraction_long_chain_logarithmic(spark):
     }
     assert hybrid == star
 
+    # force the DISTRIBUTED propagation path (the hybrid local finish
+    # would trivially solve a 200-edge graph): O(d) rounds cannot close
+    # a 200-node chain in 12 iterations, which is why the star variant
+    # exists
     plain = {
         r.doc_id: r.cluster_id
         for r in connected_components(
-            pairs, nodes, "doc_id", max_iter=12
+            pairs, nodes, "doc_id", max_iter=12, local_finish_edges=0
         ).collect()
     }
     assert plain != star  # the O(d) variant cannot finish the chain
@@ -189,3 +193,31 @@ def test_bpe_round_trip_and_determinism(spark):
 
     # training is deterministic too
     assert bpe_train(docs, n_merges=64) == merges
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    """The hybrid local finish must be a pure optimization: forcing the
+    distributed propagation path (local_finish_edges=0) yields exactly
+    the same labels as the local union-find fast path."""
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 3)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.range(10).select(F.col("id").alias("doc_id"))
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            pairs, nodes, "doc_id", local_finish_edges=0
+        ).collect()
+    }
+    assert local == dist
+    assert (8, 3) in local and (9, 3) in local
+    assert (2, 0) in local and (4, 4) in local
