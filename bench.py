@@ -101,6 +101,7 @@ HEADLINE = [
     "text_fuzzy_token_pairs",
     "text_segment_udtf",
     "agg_pandas_udaf_gmean",
+    "multimodal_audio_spectrum",
 ]
 
 

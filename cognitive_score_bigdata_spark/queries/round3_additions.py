@@ -712,3 +712,76 @@ def text_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("tok_a", "tok_b", "dist")
     )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(3 + doc_id % 13 AS INT) AS dominant_bin,
+           CAST(256 AS INT) AS n_samples
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    doc="REAL audio DSP path, value-pinned by construction: pure tones "
+    "at an EXACT FFT-bin frequency (k = 3 + doc_id%13 cycles in a "
+    "256-sample window) are PCM16-WAV-encoded, parsed back by the "
+    "pure-numpy codec, and rfft'd inside mapInPandas — an integer-exact "
+    "tone has zero spectral leakage, so argmax|rfft| must equal k and "
+    "the oracle recomputes it as integer arithmetic on doc_id. Encode → "
+    "container parse → spectral feature, all under the hash check",
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from cognitive_score_bigdata_spark.operators.codecs import (
+        encode_wav,
+        parse_wav,
+    )
+
+    N = 256
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(N)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for d in pdf["doc_id"]:
+                k = 3 + int(d) % 13
+                wave = (
+                    np.sin(2 * np.pi * k * t / N) * 12000.0
+                ).astype(np.int16)
+                payloads.append(encode_wav(wave))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    def spectrum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bins, counts = [], []
+            for p in pdf["payload"]:
+                wav = parse_wav(bytes(p))
+                x = wav["samples"][:, 0].astype(np.float64)
+                mag = np.abs(np.fft.rfft(x))
+                bins.append(int(mag.argmax()))
+                counts.append(len(x))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dominant_bin": np.array(bins, dtype=np.int32),
+                    "n_samples": np.array(counts, dtype=np.int32),
+                }
+            )
+
+    wavs = docs.mapInPandas(synth, "media_id long, payload binary")
+    return wavs.mapInPandas(
+        spectrum, "media_id long, dominant_bin int, n_samples int"
+    )
