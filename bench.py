@@ -127,7 +127,12 @@ def main() -> None:
     # Index-build artifacts (minhash banded index, SemDeDup quantization)
     # are once-per-corpus-lifetime jobs, not per-probe cost — warm them
     # for the same reason the serving model is warmed above.
-    for warm in ("dedup_incremental_newbatch", "dedup_semantic_pairs"):
+    for warm in (
+        "dedup_incremental_newbatch",
+        "dedup_semantic_pairs",
+        "text_bm25_topk",  # inverted-index build
+        "scan_zorder_two_dim",  # lake layout rewrite
+    ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()
 
