@@ -54,14 +54,14 @@ def load_registry() -> dict[str, QuerySpec]:
     to give every query a driver-verified row.  Round 1 covered
     aggregations/analytics/analytics_tpch/corpus/dedup_similarity/
     extensions (50); round 2 fronted the other 50 of that era.  ROUND 3
-    window (exactly 50): the 11 modules added during round 2 (24 queries,
-    zero driver rows) + dedup_similarity (8 — includes the two round-2
-    additions dedup_cluster_docs_star / dedup_incremental_newbatch; the
-    other 6 are the oldest-verified, last checked r1) + analytics_tpch
-    (13) + analytics (5), both last checked r1.  ROUND 4 TODO: front
-    whatever round-3 additions exist plus corpus/extensions/aggregations
-    (oldest r1-verified not re-checked in r3) and the round-2-verified
-    modules in age order.
+    window: round3_additions (14 new queries) + the 11 modules added
+    during round 2 (24 queries, previously zero driver rows) +
+    dedup_similarity (8) + the first 4 of analytics_tpch = 50.  After
+    round 3, EVERY registry query has at least one driver row
+    cumulatively.  ROUND 4 TODO: front any round-4 additions, then
+    re-verify the stalest modules — corpus/extensions/aggregations and
+    the rest of analytics_tpch (r1-verified, not re-checked since) —
+    keeping the total window at exactly the first 50 entries.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         # --- round-3 driver window: first 50 registry entries ---
