@@ -166,14 +166,23 @@ def run_streaming_dedup_probe(
         dup_ids = pairs.select(
             F.col("new_id").alias("doc_id")
         ).distinct()
+        # Replay-idempotent epoch writes (same contract as
+        # write_raw_batch): a batch replayed after a failure between
+        # these writes and the checkpoint commit overwrites exactly its
+        # own __epoch=N/ partition instead of appending duplicates.
         (
-            pairs.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
+            pairs.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
             .parquet(duplog_dir)
         )
         (
             batch.join(dup_ids, "doc_id", "left_anti")
-            .write.mode("append")
+            .withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
             .parquet(clean_dir)
         )
         pairs.unpersist()

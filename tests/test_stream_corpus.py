@@ -110,3 +110,54 @@ def test_streaming_dedup_probe_quarantines_neardups(spark, tmp_path):
     assert any(
         r["new_id"] == 9_000_003 and r["corpus_id"] == 3 for r in dup
     )
+
+
+def test_streaming_dedup_probe_replay_idempotent(spark, tmp_path):
+    """Re-running the probe over the same backlog with a FRESH
+    checkpoint (the worst-case replay: every epoch reprocessed) must
+    leave the clean lake and dup log with the same contents — the
+    dynamic epoch-partition overwrite guarantees exactly-once output
+    on plain parquet."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.dedup import (
+        save_minhash_index,
+    )
+    from cognitive_score_bigdata_spark.streaming.corpus import (
+        run_streaming_dedup_probe,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "idx")
+    save_minhash_index(corpus, index_path)
+
+    copy_text = corpus.filter(F.col("doc_id") == 5).collect()[0]["text"]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(8_000_005, copy_text, "web", "2024-01-01T10:00:00")],
+        "doc_id long, text string, source string, crawl_ts string",
+    ).coalesce(1).write.mode("overwrite").json(in_dir)
+
+    clean_dir = str(tmp_path / "clean")
+    duplog_dir = str(tmp_path / "duplog")
+    for run in (1, 2):  # second run = full replay with a new checkpoint
+        q = run_streaming_dedup_probe(
+            spark,
+            in_dir,
+            index_path,
+            clean_dir,
+            duplog_dir,
+            str(tmp_path / f"ckpt{run}"),
+        )
+        q.awaitTermination(300)
+
+    dup = spark.read.parquet(duplog_dir).collect()
+    assert len(dup) == len(
+        {(r["new_id"], r["corpus_id"]) for r in dup}
+    ), "replay duplicated dup-log rows"
+    assert any(r["new_id"] == 8_000_005 and r["corpus_id"] == 5 for r in dup)

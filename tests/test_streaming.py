@@ -372,3 +372,56 @@ def test_parse_events_permissive_dead_letter_split(spark):
 
     dead_rows = {r["raw_payload"] for r in dead.collect()}
     assert dead_rows == {no_key, garbage}
+
+
+def test_aggregate_maintenance_counts_and_replay(spark, tmp_path):
+    """Incremental aggregate view: per-(user, day) counts/sums over the
+    backlog equal the batch answer, and a full replay (fresh checkpoint)
+    leaves the view unchanged — per-epoch partial overwrite, associative
+    fold."""
+    from cognitive_score_bigdata_spark.streaming.aggregates import (
+        compact_aggregate_partials,
+        read_aggregate_view,
+        run_aggregate_maintenance,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    events = [
+        _tracking("alice", BASE_TS + 10, 70, steps=100),
+        _tracking("alice", BASE_TS + 20, 71, steps=50),
+        _tracking("bob", BASE_TS + 30, 80, steps=30),
+        # next day (+86400s)
+        _tracking("alice", BASE_TS + 86_500, 72, steps=10),
+    ]
+    with open(os.path.join(in_dir, "b1.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    partials = str(tmp_path / "partials")
+    expected = {
+        ("alice", "2023-11-14"): (2, 150),
+        ("bob", "2023-11-14"): (1, 30),
+        ("alice", "2023-11-15"): (1, 10),
+    }
+
+    def view_dict():
+        return {
+            (r["user_id"], str(r["day"])): (r["n_events"], r["sum_steps"])
+            for r in read_aggregate_view(spark, partials).collect()
+        }
+
+    for run in (1, 2):  # run 2 = full replay with a new checkpoint
+        q = run_aggregate_maintenance(
+            spark, in_dir, partials, str(tmp_path / f"ckpt{run}")
+        )
+        q.awaitTermination(300)
+        assert view_dict() == expected, f"run {run}"
+
+    compacted = str(tmp_path / "compacted")
+    compact_aggregate_partials(spark, partials, compacted)
+    got = {
+        (r["user_id"], str(r["day"])): (r["n_events"], r["sum_steps"])
+        for r in read_aggregate_view(spark, compacted).collect()
+    }
+    assert got == expected
