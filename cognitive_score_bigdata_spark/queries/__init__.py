@@ -54,14 +54,18 @@ def load_registry() -> dict[str, QuerySpec]:
     to give every query a driver-verified row.  Round 1 covered
     aggregations/analytics/analytics_tpch/corpus/dedup_similarity/
     extensions (50); round 2 fronted the other 50 of that era.  ROUND 3
-    window: round3_additions (14 new queries) + the 11 modules added
+    window: round3_additions (18 new queries) + the 11 modules added
     during round 2 (24 queries, previously zero driver rows) +
-    dedup_similarity (8) + the first 4 of analytics_tpch = 50.  After
-    round 3, EVERY registry query has at least one driver row
-    cumulatively.  ROUND 4 TODO: front any round-4 additions, then
-    re-verify the stalest modules — corpus/extensions/aggregations and
-    the rest of analytics_tpch (r1-verified, not re-checked since) —
-    keeping the total window at exactly the first 50 entries.
+    dedup_similarity (8 incl. 2 previously unverified) = 50, the last
+    four slots having been re-taken from r1-verified analytics_tpch
+    fillers by the four late round-3 additions (holdout split, data
+    validation, centroids, SCD2) — those fillers keep their r1 rows, so
+    after round 3 EVERY registry query still has at least one driver row
+    cumulatively.  ROUND 4 TODO: front any round-4 additions (start with
+    queries/round4_staging.py), then re-verify the stalest modules —
+    corpus/extensions/aggregations and analytics_tpch (r1-verified, not
+    re-checked since) — keeping the total window at exactly the first 50
+    entries.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         # --- round-3 driver window: first 50 registry entries ---

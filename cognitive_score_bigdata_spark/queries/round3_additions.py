@@ -785,3 +785,214 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wavs.mapInPandas(
         spectrum, "media_id long, dominant_bin int, n_samples int"
     )
+
+
+@register(
+    "corpus_train_holdout_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, doc_id,
+             len(string_split_regex(text, ' +')) AS n_tok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 90 THEN 'train'
+                WHEN h < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM tagged GROUP BY 1, 2
+    """,
+    doc="deterministic train/val/test holdout assignment — the split "
+    "every training-data pipeline needs to be REPRODUCIBLE and "
+    "JOIN-FREE: membership is a pure function of the stable document id "
+    "(md5 -> 60-bit int -> mod 100 -> 90/5/5), so any node can classify "
+    "any record without coordination, reruns and late-arriving shards "
+    "land in the same split, and no membership table is shuffled or "
+    "broadcast at 100 TB. Per (split, source) occupancy stats make the "
+    "90/5/5 allocation and source balance auditable under the hash check",
+)
+def corpus_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    ).alias("split")
+    return (
+        docs.select(split, "source", "doc_id", TX.token_count("text").alias("n_tok"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "quality_data_validation",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS completeness,
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*)
+               AS uniqueness,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS DOUBLE)
+               AS range_violations,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders
+    ),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS orphan_orders
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT m.metric, m.value FROM base, orphans,
+    LATERAL (VALUES
+      ('completeness_o_custkey', completeness),
+      ('uniqueness_o_orderkey', uniqueness),
+      ('range_violations_o_totalprice', range_violations),
+      ('min_o_totalprice', min_price),
+      ('max_o_totalprice', max_price),
+      ('orphan_orders', orphan_orders)
+    ) AS m(metric, value)
+    """,
+    doc="declarative data-quality validation suite (the Deequ pattern): "
+    "completeness, key uniqueness, range-violation count, min/max "
+    "profile, and referential-integrity orphan count, computed as ONE "
+    "aggregate pass over the fact table plus one broadcast anti-join — "
+    "never one job per constraint. Tall (metric, value) output so the "
+    "constraint set can grow without schema changes; the gate every "
+    "ingest pipeline runs before promoting a 100 TB batch",
+)
+def quality_data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.agg(
+        (F.count("o_custkey").cast("double") / F.count(F.lit(1))).alias(
+            "completeness"
+        ),
+        (
+            F.count_distinct(F.col("o_orderkey")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("uniqueness"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("double")
+        .alias("range_violations"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("double").alias("orphan_orders"))
+    )
+    return base.crossJoin(orphans).selectExpr(
+        """stack(6,
+          'completeness_o_custkey', completeness,
+          'uniqueness_o_orderkey', uniqueness,
+          'range_violations_o_totalprice', range_violations,
+          'min_o_totalprice', min_price,
+          'max_o_totalprice', max_price,
+          'orphan_orders', orphan_orders
+        ) AS (metric, value)"""
+    )
+
+
+@register(
+    "vector_centroid_by_group",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(v) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY label, dim
+    """,
+    doc="per-group embedding centroids (label -> mean vector), the "
+    "reduction behind k-means updates, class prototypes, and SemDeDup "
+    "cluster centers — computed DISTRIBUTED: posexplode to (label, dim, "
+    "value), one shuffle on the composite key with map-side partial "
+    "sums, DECIMAL(28,6) accumulator so the result is independent of "
+    "partitioning (the property that makes it oracle-checkable at all). "
+    "Output rows = labels x dims, never collected vectors",
+)
+def vector_centroid_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.queries._helpers import davg
+
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "v"
+            ),
+        )
+    )
+    return ex.groupBy("label", "dim").agg(
+        davg("v", "centroid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )
+
+
+@register(
+    "scd2_user_event_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="slowly-changing-dimension type-2 history build: collapse the "
+    "raw event stream to status-change rows (lag over (ts, event_id) — "
+    "the unique tiebreaker makes equal-timestamp runs deterministic), "
+    "then derive [valid_from, valid_to) intervals, is_current flag, and "
+    "version number with lead/row_number over the SAME partitioning — "
+    "Catalyst evaluates all three in one Window exchange. The standard "
+    "warehouse dimension-versioning op, one shuffle end to end",
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
