@@ -102,6 +102,11 @@ HEADLINE = [
     "text_segment_udtf",
     "agg_pandas_udaf_gmean",
     "multimodal_audio_spectrum",
+    # round-3 late additions
+    "corpus_train_holdout_split",
+    "quality_data_validation",
+    "vector_centroid_by_group",
+    "scd2_user_event_history",
 ]
 
 

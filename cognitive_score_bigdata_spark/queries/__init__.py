@@ -103,6 +103,7 @@ def load_registry() -> dict[str, QuerySpec]:
         aggregations,
         corpus,
         extensions,
+        round4_staging,  # added after the r3 window froze; front in r4
     )
 
     return REGISTRY

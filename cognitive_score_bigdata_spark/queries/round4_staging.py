@@ -1,0 +1,393 @@
+"""Round-4 staging: new oracle-checked queries OUTSIDE the driver window.
+
+The round-3 window is already committed at exactly 50 entries (see
+``load_registry``), so additions made after that point land here, at the
+END of the import list — locally oracle-green now, fronted into the
+driver window at the round-4 rotation. Keeping them out of the window
+until then protects the round-2/3 entries that are receiving their first
+driver row this round.
+
+Contents: the classic event-analytics battery (funnel, retention cohort,
+daily mode, exact median, z-score anomalies), a fixed-bound histogram,
+and corpus bigram statistics — all expression-only plans (no Python in
+the hot path) with exact cross-engine semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    doc="ordered funnel conversion (view -> click -> purchase, strict "
+    "event-time ordering): each stage is earliest-qualifying-event per "
+    "user, computed as MIN(ts) aggregates joined on user_id — three "
+    "shuffles that all hash on the SAME key, so Catalyst reuses the "
+    "exchange instead of re-partitioning per stage, and per-stage "
+    "filters prune the scan before any shuffle. The product-analytics "
+    "query shape (sequential behavioral predicates) at fact-table scale",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n = lambda df: F.count(F.lit(1)).cast("bigint").alias("n_users")  # noqa: E731
+    return (
+        v.agg(n(v)).select(F.lit("view").alias("stage"), "n_users")
+        .unionAll(c.agg(n(c)).select(F.lit("click").alias("stage"), "n_users"))
+        .unionAll(
+            p.agg(n(p)).select(F.lit("purchase").alias("stage"), "n_users")
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="weekly retention cohort matrix: users grouped by first-seen "
+    "week, counted distinct in every subsequent active week — the "
+    "(cohort, offset) triangle every growth dashboard draws. Two "
+    "aggregations and one join, ALL hash-partitioned on user_id before "
+    "the final small rollup; active weeks are deduped per (user, week) "
+    "BEFORE the join so the join input is bounded by users x weeks, not "
+    "raw events. Week truncation is Monday-start on both engines and "
+    "offsets are exact day-diffs integer-divided by 7",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "agg_histogram_value",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS bin,
+           CAST(LEAST(FLOOR(value / 25.0), 19) AS DOUBLE) * 25.0 AS bin_lo,
+           (CAST(LEAST(FLOOR(value / 25.0), 19) AS DOUBLE) + 1) * 25.0
+             AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="fixed-bound equi-width histogram of the fact measure (20 bins "
+    "of width 25 over [0, 500), top bin clamped): bin assignment is a "
+    "pure rowwise expression, so the whole query is one map-side-"
+    "combined aggregate over 20 keys — the distribution profile that "
+    "feeds range-partition planning and outlier bounds at 100 TB for "
+    "one scan. FLOOR is applied before the int cast on both engines "
+    "(double->int cast truncation differs across engines otherwise)",
+)
+def agg_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bin_ = F.least(F.floor(F.col("value") / 25.0), F.lit(19))
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            bin_.cast("int").alias("bin"),
+            (bin_.cast("double") * 25.0).alias("bin_lo"),
+            ((bin_.cast("double") + 1) * 25.0).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+@register(
+    "agg_mode_event_type_daily",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type AS mode_event_type, CAST(n AS BIGINT) AS n_events
+    FROM (
+      SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type ASC) AS rnk
+      FROM counts
+    ) WHERE rnk = 1
+    """,
+    doc="per-day modal event type (most frequent value — the aggregate "
+    "SQL engines lack natively): count rollup then a row_number winner "
+    "per day with a deterministic tiebreak (count desc, value asc). The "
+    "day-level count table is tiny, so the window stage is free; the "
+    "heavy lifting is one map-side-combined aggregate over the scan",
+)
+def agg_mode_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "day",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_exact_median_by_type",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           SUM(value) / COUNT(value) AS median_value,
+           MIN(n) AS n_rows
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY event_type
+    """,
+    doc="EXACT median per group by middle-row selection (odd n: the one "
+    "middle row twice over the same index; even n: mean of the two "
+    "middle rows — two IEEE doubles, and two-operand addition is "
+    "commutative, so no accumulator trick is needed). One sort-window "
+    "per group, deterministic under value ties via the event_id "
+    "tiebreak. The exact counterpart to agg_percentile_approx: at "
+    "100 TB you run the sketch, but the exact path is what VALIDATES "
+    "the sketch's error bound on a sampled partition",
+)
+def agg_exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        (F.sum("value") / F.count("value")).alias("median_value"),
+        F.min("n").alias("n_rows"),
+    )
+
+
+@register(
+    "anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             SUM(c) AS sum_c,
+             SUM(c * c) AS sumsq_c
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+           CASE WHEN
+             (CAST(s.sumsq_c AS DOUBLE)
+              - CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)
+                / s.n_days) / (s.n_days - 1) > 0
+           THEN
+             (CAST(d.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n_days)
+             / sqrt((CAST(s.sumsq_c AS DOUBLE)
+                     - CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)
+                       / s.n_days) / (s.n_days - 1))
+           ELSE CAST(0 AS DOUBLE) END AS zscore,
+           CASE WHEN
+             (CAST(s.sumsq_c AS DOUBLE)
+              - CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)
+                / s.n_days) / (s.n_days - 1) > 0
+           THEN
+             abs((CAST(d.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n_days)
+             / sqrt((CAST(s.sumsq_c AS DOUBLE)
+                     - CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)
+                       / s.n_days) / (s.n_days - 1))) > 2.0
+           ELSE FALSE END AS is_anomaly
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    """,
+    doc="volume anomaly detection: per-(type, day) event counts scored "
+    "against their type's mean/stddev as z-scores, |z| > 2 flagged. "
+    "Numerically exact across engines because BOTH moments are "
+    "accumulated as INTEGER sums (sum, sum-of-squares — no float "
+    "addition-order sensitivity) and only then combined in an identical "
+    "double expression tree; sample variance via the computational "
+    "formula, zero-variance groups score 0. Daily table is tiny, so "
+    "stats is a broadcast join back; one scan total",
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq_c"),
+    )
+    var = (
+        F.col("sumsq_c").cast("double")
+        - F.col("sum_c").cast("double")
+        * F.col("sum_c").cast("double")
+        / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (
+        F.col("c").cast("double")
+        - F.col("sum_c").cast("double") / F.col("n_days")
+    ) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.when(var > 0, z).otherwise(F.lit(0.0)).alias("zscore"),
+            F.when(var > 0, F.abs(z) > 2.0)
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "corpus_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(text, ' +') AS t FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT bigram, COUNT(*) AS n,
+             row_number() OVER (ORDER BY COUNT(*) DESC, bigram ASC) AS rnk
+      FROM grams GROUP BY bigram
+    ) WHERE rnk <= 20
+    """,
+    doc="corpus bigram statistics, top-20 with deterministic tiebreak: "
+    "adjacent-token pairs generated by an index-zip over the token "
+    "array (transform over sequence — no self-join, no Python), one "
+    "hash aggregate with map-side combine, then global top-k via "
+    "TakeOrderedAndProject (no total sort). The n-gram frequency table "
+    "is the raw material for boilerplate detection and collocation "
+    "mining; single-token documents contribute an empty list, not an "
+    "error",
+)
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " +").alias("t")
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    # top-k FIRST via TakeOrderedAndProject (per-partition heaps, no
+    # total sort, no single-partition window over the full vocabulary),
+    # THEN rank the surviving 20 rows — the global window is fine there.
+    topk = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return topk.select(
+        "bigram",
+        F.col("n").cast("bigint").alias("n"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
