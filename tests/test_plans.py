@@ -47,6 +47,12 @@ JOIN_AGG_PLANS = [
     # serving feature assembly: both aggregate sides keep partial
     # phases; the per-user join of two small aggregates broadcasts
     ("ml_feature_assembly", 1, 0, 2),
+    # round-3 late additions: validation's referential check is a
+    # broadcast anti-join; zscore's stats table broadcasts back onto the
+    # daily counts; every funnel stage joins broadcast with partial aggs
+    ("quality_data_validation", 1, 0, 1),
+    ("anomaly_daily_zscore", 1, 0, 1),
+    ("events_funnel_conversion", 3, 0, 3),
 ]
 
 
@@ -81,6 +87,7 @@ def test_predicates_reach_scan(spark, name):
         "analytics_q18_large_orders",
         "analytics_q2_min_cost_supplier",
         "analytics_q21_waiting_supplier",
+        "corpus_bigram_topk",
     ],
 )
 def test_topk_is_take_ordered(spark, name):
@@ -190,3 +197,34 @@ def test_source_mixture_single_agg(spark):
     a = _audit(spark, "corpus_source_mixture")
     assert a["n_partial_aggs"] >= 1, a["text"]
     assert a["n_broadcast_joins"] == 0 and a["n_sortmerge_joins"] == 0
+
+
+def test_scd2_single_window_exchange(spark):
+    """lag, lead, and row_number all partition on user_id with the same
+    ordering — the plan must hash-exchange ONCE and let both Window
+    operators (change detection, then interval derivation over the
+    filtered rows) reuse that distribution and sort. A second exchange
+    here would double the shuffle cost of every SCD2 rebuild."""
+    a = _audit(spark, "scd2_user_event_history")
+    assert a["n_exchanges"] <= 2, a["text"]  # formatted text ~doubles
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_train_holdout_split",
+        "agg_histogram_value",
+        "vector_centroid_by_group",
+        "agg_exact_median_by_type",
+    ],
+)
+def test_single_shuffle_aggregates(spark, name):
+    """These are one-shuffle plans by design (rowwise derivation → one
+    keyed aggregate/window): no joins, and the map-side partial phase
+    must survive for the aggregates."""
+    a = _audit(spark, name)
+    assert a["n_exchanges"] <= 2, a["text"]  # one real exchange
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
+    if name != "agg_exact_median_by_type":  # window query: no agg combine
+        assert a["n_partial_aggs"] >= 1, a["text"]
