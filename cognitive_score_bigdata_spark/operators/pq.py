@@ -222,3 +222,190 @@ def pq_topk(
         .filter(F.col("rnk") <= k_top)
         .select("query_id", "neighbor_id", "rnk", "cos")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_top: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    k: int = 64,
+    seed: int = 42,
+    refine: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFADC (Jégou et al. 2011 §III, the FAISS IVF-PQ index):
+    coarse quantizer prunes the corpus to ``n_probe`` cells per query,
+    product quantization compresses what remains to ``m`` bytes-ish per
+    vector, ADC scores codes with per-query lookup tables, and an exact
+    re-rank fixes the top of the list.
+
+    The two approximations COMPOSE: IVF bounds how much is read
+    (|N|·n_probe/n_cells candidates), PQ bounds how much is stored (codes,
+    not vectors), and the decomposition score(q, x) ≈ q·c_cell + Σ_j
+    LUT[q, j, code_j] splits into a per-(query, cell) constant — computed
+    once for n_q × n_probe pairs, free — plus residual table lookups, the
+    classic residual-encoding trick that keeps PQ error centered per cell
+    rather than global.
+
+    Spark mapping: the inverted file is the cached IVF assignment joined
+    to an Arrow residual-encode pass (codes persist; raw vectors are only
+    touched again by the final refine join); probing broadcasts (query,
+    cell, q·c) triples onto the code partitions; ADC emits partition-local
+    top-(refine·k_top) and the global rank reduces partitions × k rows.
+    Deterministic end to end (seeded trainers, sorted samples, id
+    tiebreaks); approximate by design — recall pinned by test, not oracle.
+    """
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        MAX_QUERY_ROWS,
+        cosine,
+        ivf_build,
+    )
+
+    n_q = queries.count()
+    if n_q > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"ivfpq_topk got {n_q} query rows (> {MAX_QUERY_ROWS}); "
+            "the query matrix is broadcast by contract — batch it"
+        )
+
+    idx = ivf_build(vectors, n_cells, seed, id_col, vec_col)
+    centers = {
+        r["cell"]: np.array(r["center"], dtype=np.float64)
+        for r in idx.centers_df.collect()
+    }
+    C = np.stack([centers[i] for i in range(len(centers))])
+    d = C.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+
+    # --- train residual codebooks on a bounded driver-side sample -----
+    n = idx.cand.count()
+    fit = idx.cand if n <= 100_000 else idx.cand.sample(
+        fraction=100_000 / n, seed=seed
+    )
+    rows = fit.select("neighbor_id", "__c", "cell").collect()
+    rows.sort(key=lambda r: r[0])
+    res_sample = np.array(
+        [np.asarray(r[1], dtype=np.float64) - centers[r[2]] for r in rows]
+    )
+    books = np.stack(
+        [
+            _train_centroids(
+                np.ascontiguousarray(res_sample[:, j * sub : (j + 1) * sub]),
+                k,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+    # --- encode residuals: one Arrow pass over the inverted file ------
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["__c"].to_numpy()).astype(np.float64)
+            mat -= C[pdf["cell"].to_numpy()]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                cb = books[j]
+                d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    codes = idx.cand.mapInPandas(
+        enc, "neighbor_id long, cell int, codes array<int>"
+    )
+
+    # --- probe: queries -> (query, cell, q·c) triples, broadcast ------
+    qrows = queries.select(id_col, vec_col).collect()
+    qrows.sort(key=lambda r: r[0])
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum("qjs,jks->qjk", qmat.reshape(len(qmat), m, sub), books)
+    qdotc = qmat @ C.T  # (n_q, n_cells)
+    # rank cells by euclidean distance in unit space: monotone in q·c
+    probe_cells = np.argsort(-qdotc, axis=1, kind="stable")[:, :n_probe]
+    spark = vectors.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (int(qids[qi]), int(c), float(qdotc[qi, c]))
+            for qi in range(len(qids))
+            for c in probe_cells[qi]
+        ],
+        "query_id long, cell int, q_dot_c double",
+    )
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    # --- ADC score the probed cells, partition-local top-k ------------
+    n_cand = k_top * max(refine, 1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"query_id": [], "neighbor_id": [], "adc_cos": []}
+            for query_id, grp in pdf.groupby("query_id"):
+                qi = qpos[int(query_id)]
+                ids = grp["neighbor_id"].to_numpy()
+                cmat = np.stack(grp["codes"].to_numpy())
+                s = grp["q_dot_c"].to_numpy() + lut[qi, np.arange(m), cmat].sum(
+                    axis=1
+                )
+                top = min(n_cand, len(s))
+                sel = np.argpartition(-s, top - 1)[:top]
+                out["query_id"].extend([int(query_id)] * top)
+                out["neighbor_id"].extend(ids[sel].tolist())
+                out["adc_cos"].extend(s[sel].tolist())
+            yield pd.DataFrame(out)
+
+    partials = (
+        F.broadcast(probe_df)
+        .join(codes, "cell")
+        .select("query_id", "neighbor_id", "codes", "q_dot_c")
+        .mapInPandas(score, "query_id long, neighbor_id long, adc_cos double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    adc = (
+        partials.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    if refine <= 1:
+        return adc
+
+    # --- exact refine against raw vectors -----------------------------
+    nbr = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        adc.join(nbr, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine(F.col("__q"), F.col("__c")))
+        .select("query_id", "neighbor_id", "cos")
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= k_top)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+    )

@@ -391,3 +391,58 @@ def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+@register(
+    "sample_stratified_exact_k",
+    oracle="""
+    SELECT event_type, event_id, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 50
+    """,
+    doc="deterministic stratified sample, EXACTLY k=50 rows per stratum: "
+    "rank within stratum by md5(row id) — a uniform-but-reproducible "
+    "order — and keep rank <= k. Unlike fraction-based sampleBy (seeded "
+    "Bernoulli: approximate counts, engine-specific RNG, rows-only "
+    "check), this is a pure function of the data, so it hash-matches "
+    "across engines, reruns, and cluster sizes. Catalyst pushes the "
+    "rank<=k predicate into WindowGroupLimit, so each map task ships at "
+    "most k rows per stratum into the shuffle — a hot stratum costs "
+    "k x n_tasks shuffle rows, not its full population",
+)
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 50)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+@register(
+    "vector_ann_ivfpq_topk",
+    oracle=None,  # composed approximations (cell pruning + residual PQ)
+    # — recall vs exact and partition independence pinned in test_pq
+    doc="full IVFADC ANN (Jégou et al. 2011 / the FAISS IVF-PQ index): "
+    "coarse quantizer prunes to n_probe of 16 cells per query, product-"
+    "quantized RESIDUALS (vector minus cell centroid — error centered "
+    "per cell) scored via ADC lookup tables plus a per-(query, cell) "
+    "q·c constant, 5x exact refine on raw vectors. IVF bounds what is "
+    "READ, PQ bounds what is STORED — the composition is the standard "
+    "billion-scale serving index, here as one build + probe plan",
+)
+def vector_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, queries, k_top=10, n_cells=16, n_probe=4)

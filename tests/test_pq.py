@@ -79,3 +79,42 @@ def test_pq_query_guard(spark):
             pq_adc_topk(codes, emb.limit(10), books)
     finally:
         pqmod.MAX_QUERY_ROWS = old
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVFADC composes two approximations (cell pruning + residual PQ);
+    with n_probe=8/16 cells and 5x exact refine the pipeline must still
+    agree with brute-force cosine on most of the top-10."""
+    from cognitive_score_bigdata_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_exact(emb, queries, k=10)
+    approx = ivfpq_topk(emb, queries, k_top=10, n_cells=16, n_probe=8)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, a = sets(exact), sets(approx)
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.7, f"mean recall@10 {mean_recall:.2f}"
+
+
+def test_ivfpq_deterministic(spark):
+    from cognitive_score_bigdata_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivfpq_topk(emb, queries, k_top=5).collect()
+    }
+    r2 = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivfpq_topk(emb.repartition(7), queries, k_top=5).collect()
+    }
+    assert r1 == r2, "IVFADC result must not depend on partitioning"
