@@ -107,6 +107,17 @@ HEADLINE = [
     "quality_data_validation",
     "vector_centroid_by_group",
     "scd2_user_event_history",
+    # round-4 staging (outside the driver window until the rotation,
+    # but benched from day one)
+    "events_funnel_conversion",
+    "events_retention_cohort",
+    "agg_histogram_value",
+    "agg_mode_event_type_daily",
+    "agg_exact_median_by_type",
+    "anomaly_daily_zscore",
+    "corpus_bigram_topk",
+    "sample_stratified_exact_k",
+    "vector_ann_ivfpq_topk",
 ]
 
 
