@@ -118,6 +118,7 @@ HEADLINE = [
     "corpus_bigram_topk",
     "sample_stratified_exact_k",
     "vector_ann_ivfpq_topk",
+    "corpus_source_overlap",
 ]
 
 

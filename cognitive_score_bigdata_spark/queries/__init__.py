@@ -61,11 +61,13 @@ def load_registry() -> dict[str, QuerySpec]:
     fillers by the four late round-3 additions (holdout split, data
     validation, centroids, SCD2) — those fillers keep their r1 rows, so
     after round 3 EVERY registry query still has at least one driver row
-    cumulatively.  ROUND 4 TODO: front any round-4 additions (start with
-    queries/round4_staging.py), then re-verify the stalest modules —
-    corpus/extensions/aggregations and analytics_tpch (r1-verified, not
-    re-checked since) — keeping the total window at exactly the first 50
-    entries.
+    cumulatively.  ROUND 4 TODO: front queries/round4_staging.py (10
+    locally-green queries built late in round 3: event-analytics
+    battery, exact-k stratified sample, IVFADC ANN, source-overlap
+    matrix) plus any round-4 additions, then fill the remaining window
+    slots with the stalest modules — corpus/extensions/aggregations and
+    analytics_tpch (r1-verified, not re-checked since) — keeping the
+    total window at exactly the first 50 entries.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         # --- round-3 driver window: first 50 registry entries ---

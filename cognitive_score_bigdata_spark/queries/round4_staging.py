@@ -446,3 +446,68 @@ def vector_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(emb, queries, k_top=10, n_cells=16, n_probe=4)
+
+
+@register(
+    "corpus_source_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="pairwise source-vocabulary overlap matrix (token-set Jaccard "
+    "between every source pair): the quick contamination / provenance-"
+    "mixing signal a corpus audit runs before the expensive document-"
+    "level dedup. Scale shape: the join is keyed on TOKEN, and each "
+    "token contributes at most n_sources^2 pairs — output is bounded by "
+    "vocab x sources^2, never documents^2; the (source, token) set is "
+    "deduped map-side before anything shuffles",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.col("text"), " +")).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("source_a"), "tok")
+    b = tok.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
