@@ -119,6 +119,7 @@ HEADLINE = [
     "sample_stratified_exact_k",
     "vector_ann_ivfpq_topk",
     "corpus_source_overlap",
+    "quality_rank_normalize",
 ]
 
 

@@ -511,3 +511,65 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "quality_rank_normalize",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             0.5 * (CAST(len(list_distinct(string_split_regex(text, ' +')))
+                         AS DOUBLE)
+                    / len(string_split_regex(text, ' +')))
+             + 0.5 * least(CAST(len(string_split_regex(text, ' +'))
+                                AS DOUBLE) / 100.0, 1.0) AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q
+    )
+    SELECT doc_id, source, quality,
+           CASE WHEN n > 1
+                THEN CAST(rn - 1 AS DOUBLE) / (n - 1)
+                ELSE CAST(0 AS DOUBLE) END AS pct_in_source,
+           CASE WHEN n > 1
+                THEN CAST(rn - 1 AS DOUBLE) / (n - 1) >= 0.2
+                ELSE TRUE END AS keep
+    FROM r
+    """,
+    doc="per-source quality-percentile normalization: raw quality "
+    "scores are NOT comparable across sources (a median web page and a "
+    "median reference page score differently), so corpus filtering "
+    "calibrates per source — each document's rank percentile within its "
+    "source, keep = top 80% of EACH source rather than a global cut "
+    "that would empty low-scoring sources. One window exchange on "
+    "source; percentiles derive from integer ranks, so the doubles are "
+    "exact on both engines; ties break on doc_id",
+)
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.functions import text as TX
+
+    q = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    wn = Window.partitionBy("source")
+    r = q.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pct = (F.col("rn") - 1).cast("double") / (F.col("n") - 1)
+    return r.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(F.col("n") > 1, pct).otherwise(F.lit(0.0)).alias(
+            "pct_in_source"
+        ),
+        F.when(F.col("n") > 1, pct >= 0.2)
+        .otherwise(F.lit(True))
+        .alias("keep"),
+    )
