@@ -15,6 +15,14 @@ degenerate). Queries run unchanged via the registry against the replica
 dir; wall time is best-of-2 after a session warm-up.
 
 Run: python scripts/scaleup_study.py  [factors: default 1 8 32]
+     [query names: default TARGETS]  — args mix freely; ints are
+     factors, anything else is a registry query name.
+
+Round-3 extension: events replication (key-shifted event_id/user_id,
+ts jittered per replica so window orderings stay non-degenerate) for
+the event-analytics targets, and the IVFADC composition whose driver
+constants (centroid collect, residual codebook train, probe table)
+must stay bounded while encode/scan scale out.
 """
 
 from __future__ import annotations
@@ -74,11 +82,41 @@ def build_replica(spark, factor: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
+
+    # events: key-shift ids, offset user_id into fresh key space per
+    # replica (keeps per-user history length constant — the realistic
+    # growth mode: more users, not deeper histories), jitter ts by the
+    # replica index so orderings aren't 32-way ties
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_usr = ev.agg(F.max("user_id")).first()[0] + 1
+    # ts arrives as a nano-epoch LONG (nanosAsLong sessions) or as a
+    # timestamp (already-converted files) — jitter by __r µs either way
+    from pyspark.sql import types as T
+
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        jittered = F.col("ts") + (F.col("__r") * 1000).cast("long")
+    else:
+        jittered = F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.col("__r")
+        ).cast(ev.schema["ts"].dataType)
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("__r") * n_ev)
+        .withColumn("user_id", F.col("user_id") + F.col("__r") * n_usr)
+        .withColumn("ts", jittered)
+        .drop("__r")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
     return out
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
+    factors = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8, 32]
+    names = [a for a in sys.argv[1:] if not a.isdigit()]
+    targets = names or TARGETS
     spark = get_spark("csb-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_registry()
@@ -86,10 +124,10 @@ def main() -> None:
     # warm the JVM + Arrow worker pool (same reasoning as bench.py)
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
-    results: dict[str, dict[int, float]] = {t: {} for t in TARGETS}
+    results: dict[str, dict[int, float]] = {t: {} for t in targets}
     for factor in factors:
         d = build_replica(spark, factor)
-        for name in TARGETS:
+        for name in targets:
             best = float("inf")
             for _ in range(2):
                 spark._jvm.System.gc()  # noqa: SLF001
@@ -101,7 +139,7 @@ def main() -> None:
 
     print("\n| query | " + " | ".join(f"{f}x" for f in factors) + " | slope |")
     print("|---|" + "---|" * (len(factors) + 1))
-    for name in TARGETS:
+    for name in targets:
         r = results[name]
         lo, hi = factors[0], factors[-1]
         slope = (r[hi] / r[lo]) / (hi / lo) if r[lo] else float("nan")
