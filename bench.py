@@ -120,6 +120,7 @@ HEADLINE = [
     "vector_ann_ivfpq_topk",
     "corpus_source_overlap",
     "quality_rank_normalize",
+    "agg_percentile_bands",
 ]
 
 

@@ -573,3 +573,59 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(True))
         .alias("keep"),
     )
+
+
+@register(
+    "agg_percentile_bands",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MIN(CASE WHEN rn = (n - 1) // 10 + 1 THEN value END) AS p10,
+           MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS p50,
+           MIN(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN value END)
+             AS p90,
+           MIN(n) AS n_rows
+    FROM r
+    WHERE rn IN ((n - 1) // 10 + 1,
+                 (n - 1) // 2 + 1,
+                 ((n - 1) * 9) // 10 + 1)
+    GROUP BY event_type
+    """,
+    doc="exact p10/p50/p90 bands per group by index selection (lower-"
+    "nearest-rank: index floor(p*(n-1))+1 — pure integer arithmetic, no "
+    "interpolation, so the selected values are raw data points and "
+    "hash-match trivially). One sort-window per group serves all three "
+    "percentiles; rank ties are deterministic via event_id. With "
+    "agg_exact_median_by_type this validates agg_percentile_approx's "
+    "sketch at three points of the CDF, the production pattern: sketch "
+    "at scale, exact on a sampled partition as the error audit",
+)
+def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    i10 = F.expr("(n - 1) div 10 + 1")
+    i50 = F.expr("(n - 1) div 2 + 1")
+    i90 = F.expr("((n - 1) * 9) div 10 + 1")
+    pick = lambda idx, name: F.min(  # noqa: E731
+        F.when(F.col("rn") == idx, F.col("value"))
+    ).alias(name)
+    return (
+        r.filter(
+            (F.col("rn") == i10) | (F.col("rn") == i50) | (F.col("rn") == i90)
+        )
+        .groupBy("event_type")
+        .agg(pick(i10, "p10"), pick(i50, "p50"), pick(i90, "p90"),
+             F.min("n").alias("n_rows"))
+    )
