@@ -121,6 +121,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "quality_rank_normalize",
     "agg_percentile_bands",
+    "join_asof_forward",
 ]
 
 

@@ -38,9 +38,13 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join: for each left row, attach the
-    right row with the greatest ``right_ts <= left_ts`` per key.
+    """As-of join (inclusive): for each left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` per key
+    (``direction="backward"``, the default) or the smallest ``right_ts
+    >= left_ts`` (``direction="forward"`` — the "next reading after"
+    lookup: next maintenance slot, next price tick, next event).
 
     Unmatched left rows are kept with nulls (left-outer semantics).
     Right columns are renamed with ``suffix`` if they collide with left
@@ -48,8 +52,12 @@ def asof_join(
 
     Plan shape: unionByName → single shuffle on ``on`` → per-partition
     sort → running ``last(ignorenulls)`` — no range join, no cartesian
-    blow-up per key.
+    blow-up per key. ``forward`` is the same plan with the scan order
+    reversed: descending timestamps mean the running "last seen right
+    row" at a left row is the nearest FUTURE one.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = [c for c in (right_cols or right.columns) if c not in keys]
 
@@ -74,9 +82,10 @@ def asof_join(
     # right_ts) reach last() in partition-layout order and the winner
     # changes across runs — with it, the greatest payload struct wins the
     # tie deterministically (struct comparison is field-wise, total).
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc(), F.col(_PAYLOAD).asc())
+        .orderBy(ts_order, F.col(_SIDE).desc(), F.col(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l.unionByName(r, allowMissingColumns=True).withColumn(

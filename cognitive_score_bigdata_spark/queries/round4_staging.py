@@ -629,3 +629,43 @@ def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pick(i10, "p10"), pick(i50, "p50"), pick(i90, "p90"),
              F.min("n").alias("n_rows"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS next_click_ts, c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    doc="FORWARD as-of join: for each purchase, the user's next click "
+    "at-or-after it — the 'next reading after' lookup (next tick, next "
+    "maintenance slot, post-event follow-up) that completes the as-of "
+    "pair with join_asof's backward direction. Same union-tag single-"
+    "shuffle plan, scan order reversed (operators/joins.py asof_join "
+    "direction='forward'); DuckDB's native ASOF with c.ts >= p.ts is "
+    "the oracle",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("next_click_ts"),
+        F.col("value").alias("next_click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="next_click_ts",
+        direction="forward",
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        "next_click_ts", "next_click_value",
+    )
