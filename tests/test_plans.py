@@ -228,3 +228,23 @@ def test_single_shuffle_aggregates(spark, name):
     assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
     if name != "agg_exact_median_by_type":  # window query: no agg combine
         assert a["n_partial_aggs"] >= 1, a["text"]
+
+
+def test_stratified_sample_window_group_limit(spark):
+    """The exact-k stratified sample's scale story IS WindowGroupLimit:
+    rank<=k collapses map-side so a hot stratum ships k rows per map
+    task, not its population. Losing the node (e.g. by moving the rn
+    filter away from the window) silently restores the full shuffle."""
+    a = _audit(spark, "sample_stratified_exact_k")
+    assert "WindowGroupLimit" in a["text"], a["text"]
+
+
+@pytest.mark.parametrize("name", ["join_asof", "join_asof_forward"])
+def test_asof_single_shuffle_no_join(spark, name):
+    """Both as-of directions are the union-tag formulation: ONE hash
+    exchange on the key, a sort, a running last() — never a range join
+    or per-key cartesian. A SortMergeJoin appearing here means someone
+    rewrote it as equi-join + filter, which is O(n*m) per key."""
+    a = _audit(spark, name)
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0, a["text"]
+    assert a["text"].count("Exchange hashpartitioning") <= 2, a["text"]
