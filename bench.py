@@ -122,6 +122,7 @@ HEADLINE = [
     "quality_rank_normalize",
     "agg_percentile_bands",
     "join_asof_forward",
+    "scd2_incremental_merge",
 ]
 
 

@@ -993,20 +993,6 @@ def vector_centroid_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "warehouse dimension-versioning op, one shuffle end to end",
 )
 def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from cognitive_score_bigdata_spark.operators.scd2 import scd2_build
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
-        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
-    )
-    return chg.select(
-        "user_id",
-        F.col("event_type").alias("status"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        F.lead("ts").over(w).isNull().alias("is_current"),
-        F.row_number().over(w).cast("bigint").alias("version"),
-    )
+    return scd2_build(load_table(spark, sf_dir, "events"))
