@@ -123,6 +123,7 @@ HEADLINE = [
     "agg_percentile_bands",
     "join_asof_forward",
     "scd2_incremental_merge",
+    "agg_time_grain_rollup",
 ]
 
 

@@ -712,3 +712,54 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = "2024-01-15 00:00:00"
     history = scd2_build(ev.filter(F.col("ts") < split))
     return scd2_merge(history, ev.filter(F.col("ts") >= split))
+
+
+@register(
+    "agg_time_grain_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS w,
+             value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'week' END AS grain,
+           COALESCE(h, d, w) AS bucket_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM e GROUP BY GROUPING SETS ((h), (d), (w))
+    """,
+    doc="multi-grain time rollup in ONE scan: hour/day/week aggregates "
+    "via GROUP BY GROUPING SETS over pre-truncated buckets, grain "
+    "labeled from GROUPING() — the hypertable continuous-rollup shape "
+    "(coarser grains as aggregates of the same pass, not three scans). "
+    "Catalyst expands the sets map-side, so partial aggregation still "
+    "combines before the single shuffle; DECIMAL accumulator keeps the "
+    "double sum partition-independent",
+)
+def agg_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__grain_events"
+    )
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 date_trunc('day', ts) AS d,
+                 date_trunc('week', ts) AS w,
+                 value
+          FROM __grain_events
+        )
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day'
+                    ELSE 'week' END AS grain,
+               COALESCE(h, d, w) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 AS sum_value
+        FROM e GROUP BY GROUPING SETS ((h), (d), (w))
+        """
+    )
