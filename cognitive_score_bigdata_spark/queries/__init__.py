@@ -106,6 +106,7 @@ def load_registry() -> dict[str, QuerySpec]:
         corpus,
         extensions,
         round4_staging,  # added after the r3 window froze; front in r4
+        round4_staging2,  # ditto (co-location, PageRank, sampling, chunking)
     )
 
     return REGISTRY

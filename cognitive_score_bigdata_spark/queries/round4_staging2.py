@@ -1,0 +1,355 @@
+"""Round-4 staging, part 2: co-location, graph, and sampling patterns.
+
+Added after the round-3 driver window froze (see ``load_registry``);
+imported LAST so these stay outside the first-50 window until the
+round-4 rotation fronts them. All four are oracle-checked.
+
+Contents:
+
+- ``join_bucketed_colocated`` — the brief's "bucketing for co-located
+  joins" pattern as a first-class query: both join sides are
+  materialized as bucketed+sorted tables on the join key, so the
+  sort-merge join runs with NO Exchange on either side (pinned in
+  ``tests/test_plans.py``). At 100 TB this is THE way to make a
+  repeatedly-joined fact/detail pair cheap: pay the bucket shuffle once
+  at write time, never at query time.
+- ``graph_pagerank_copurchase`` — fixed-point (integer micro-unit)
+  PageRank over the part co-purchase graph, 5 power iterations. All
+  arithmetic is BIGINT (×17/20 damping via integer division), so Spark
+  and DuckDB agree bit-for-bit — no transcendentals, no float
+  accumulation order. The iteration is the canonical Pregel-style
+  join+agg: broadcast the (small) rank vector into the edge list, one
+  hash shuffle on dst per iteration.
+- ``sample_weighted_systematic`` — weighted sampling by systematic
+  (cumulative-weight stride) selection: exact integer prefix sums, so
+  the selected set is deterministic and oracle-checkable — unlike
+  u^(1/w) priority sampling, which needs pow/ln and dies on cross-engine
+  ulp differences. Single global sort here; the two-pass distributed
+  prefix sum in ``operators/sharding.py`` is the 100 TB path for the
+  same cumsum.
+- ``corpus_overlap_chunks`` — sliding-window sequence chunking with
+  stride overlap (context-length prep for LLM training): tokens →
+  integer chunk-start sequence → posexplode → slice/join. Expression
+  only; narrow (no shuffle at all — pinned).
+
+Reference parity note: the reference (an AWS scoring stack,
+`/root/reference/src/backend/main.py`) has none of these; this module
+belongs to the brief's LLM-pipeline / scale-pattern extension surface.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import dsum, sql_dsum
+
+# ---------------------------------------------------------------------------
+# join_bucketed_colocated
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+# Bucketed-table materialization is keyed per (session, sf_dir): pay the
+# one-time bucket shuffle once, reuse across calls — the same
+# write-once/join-many economics the pattern has in production.
+_BUCKET_CACHE: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """orders + lineitem as bucketed/sorted tables on the order key.
+
+    ``bucketBy(N, key).sortBy(key)`` + ``saveAsTable`` (external, temp
+    path) is Spark's co-location primitive: both tables hash-partition
+    rows into the same N buckets at WRITE time, so an equi-join on the
+    key needs no Exchange at READ time — the sort-merge join zips
+    bucket i with bucket i. ``tests/test_plans.py`` pins the
+    no-Exchange property.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _BUCKET_CACHE:
+        tag = f"{abs(hash(key)) % 10**8:08d}"
+        names = (f"csb_bkt_orders_{tag}", f"csb_bkt_lineitem_{tag}")
+        base = tempfile.mkdtemp(prefix="csb_bucketed_")
+        for name, table, key_col in (
+            (names[0], "orders", "o_orderkey"),
+            (names[1], "lineitem", "l_orderkey"),
+        ):
+            (
+                load_table(spark, sf_dir, table)
+                .write.format("parquet")
+                .bucketBy(N_BUCKETS, key_col)
+                .sortBy(key_col)
+                .option("path", f"{base}/{name}")
+                .saveAsTable(name)
+            )
+        _BUCKET_CACHE[key] = names
+    o, l = _BUCKET_CACHE[key]
+    return spark.table(o), spark.table(l)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="co-located join over bucketed tables: both sides written with "
+    "bucketBy(8, orderkey).sortBy(orderkey), so the SMJ has no Exchange "
+    "on either side (plan-pinned). Values identical to the plain join — "
+    "bucketing changes the physical plan only. The one-time bucket "
+    "write is session-cached, mirroring write-once/join-many economics",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = bucketed_pair(spark, sf_dir)
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_copurchase
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_TOPK = 50
+
+_PR_ORACLE_ITER = """
+r{i} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + SUM((r.r * 17) // (20 * d.d)) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+
+_PR_ORACLE = (
+    """
+WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+edges AS (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL
+  SELECT p2, p1 FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+"""
+    + ",".join(
+        _PR_ORACLE_ITER.format(i=i, prev=i - 1)
+        for i in range(1, PR_ITERS + 1)
+    )
+    + f"""
+SELECT node AS part_key, r AS rank_micro
+FROM r{PR_ITERS}
+ORDER BY rank_micro DESC, part_key
+LIMIT {PR_TOPK}
+"""
+)
+
+
+@register(
+    "graph_pagerank_copurchase",
+    oracle=_PR_ORACLE,
+    doc="PageRank (5 power iterations, damping 0.85) over the part "
+    "co-purchase graph (parts sharing an order). Exact fixed-point "
+    "arithmetic: ranks are BIGINT micro-units, damping is ×17 integer-"
+    "div 20·outdeg — both engines agree bit-for-bit with no float "
+    "accumulation order or libm in sight. Per iteration: broadcast the "
+    "|parts|-sized rank vector into the edge list, one hash shuffle on "
+    "dst — the Pregel message-passing shape. The graph is symmetric "
+    "(union of both directions), so no dangling-mass correction is "
+    "needed. At 100 TB you'd co-partition edges by src once and reuse "
+    "that exchange across iterations; the broadcast variant here is "
+    "right while ranks fit in memory (they do: one row per part)",
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    # Edge list reused every iteration: cache it (and with it the degree
+    # join below) instead of recomputing the self-join 5 times.
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # (src, dst, d): degree folded into the edge list once, outside the loop.
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = ed.join(
+            F.broadcast(ranks), ranks.node == ed.src
+        ).select(
+            F.col("dst"),
+            F.expr("(r * 17) div (20 * d)").alias("c"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(150000) + F.sum("c")).cast("bigint").alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return (
+        ranks.select(F.col("node").alias("part_key"), F.col("r").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "part_key")
+        .limit(PR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_systematic
+# ---------------------------------------------------------------------------
+
+N_SAMPLES = 50
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars AS wt,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_chars) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS wt, CAST(cum AS BIGINT) AS cum
+    FROM w
+    WHERE cum // (total // {N_SAMPLES}) > (cum - wt) // (total // {N_SAMPLES})
+    """,
+    doc="systematic weighted sampling: row selected iff an integer "
+    "multiple of step=total/K falls inside its cumulative-weight "
+    "interval (cum-wt, cum]. Inclusion probability proportional to "
+    "weight, zero randomness, all-BIGINT arithmetic — deterministic and "
+    "exactly reproducible cross-engine, which u^(1/w) priority sampling "
+    "(pow/ln) cannot promise at the top-k boundary. The ordered prefix "
+    "sum is a single sort shuffle here; operators/sharding.py's "
+    "two-pass distributed prefix sum is the same cumsum at 100 TB",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("wt")
+    )
+    cum_w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy()
+    w = docs.select(
+        "doc_id",
+        "wt",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("total"),
+    ).withColumn("step", F.expr(f"total div {N_SAMPLES}"))
+    # Integer div on both sides: double division + cast could round a
+    # quotient sitting half-an-ulp under an integer UP and flip a row.
+    return (
+        w.filter(F.expr("(cum div step) > ((cum - wt) div step)"))
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("wt"),
+            F.col("cum").cast("bigint").alias("cum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_overlap_chunks
+# ---------------------------------------------------------------------------
+
+WIN = 8  # tokens per training sequence (small: testdata docs ~20 tokens)
+STRIDE = 6  # overlap of WIN-STRIDE=2 tokens between neighbors
+
+
+@register(
+    "corpus_overlap_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+             t[(u.i*{STRIDE}+1):(u.i*{STRIDE}+{WIN})] AS piece
+      FROM toks,
+           UNNEST(range(1 + (CASE WHEN len(t) > {WIN}
+                                  THEN (len(t) - {WIN} + {STRIDE} - 1) // {STRIDE}
+                                  ELSE 0 END))) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(piece) AS BIGINT) AS n_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM spans
+    """,
+    doc="sliding-window sequence chunking (context-length prep for LLM "
+    f"training): {WIN}-token windows at stride {STRIDE}, so neighbors "
+    f"overlap by {WIN - STRIDE} tokens and no token is lost at chunk "
+    "boundaries. Chunk count is pure integer arithmetic "
+    "(1 + ceil((n-WIN)/STRIDE) via (x+S-1) div S), then "
+    "sequence→posexplode→slice→array_join — expression-only and fully "
+    "narrow: zero shuffles, scales embarrassingly. The stride-overlap "
+    "shape is what sequence packing (corpus_pack_sequences) consumes "
+    "upstream in a real pretraining pipeline",
+)
+def corpus_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.when(
+        n > WIN, F.expr(f"(size(split(text, ' +')) - {WIN} + {STRIDE - 1}) div {STRIDE}")
+    ).otherwise(F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("t"),
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")).alias("starts"),
+        )
+        .select(
+            "doc_id", "t", F.explode("starts").alias("i")
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_id"),
+            F.slice(F.col("t"), F.col("i") * STRIDE + 1, WIN).alias("piece"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("piece").cast("bigint").alias("n_tokens"),
+            F.array_join("piece", " ").alias("chunk_text"),
+        )
+    )

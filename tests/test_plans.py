@@ -248,3 +248,47 @@ def test_asof_single_shuffle_no_join(spark, name):
     a = _audit(spark, name)
     assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0, a["text"]
     assert a["text"].count("Exchange hashpartitioning") <= 2, a["text"]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The bucketed pair's whole point: both sides written with
+    bucketBy(8, orderkey).sortBy(orderkey), so the sort-merge join zips
+    bucket files directly — NO Exchange on a 100 TB fact/detail join.
+    Broadcast is disabled for the pin because at test scale the planner
+    would rather broadcast the tiny dim (which also skips the shuffle,
+    but for the wrong, unscalable reason)."""
+    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+        bucketed_pair,
+    )
+
+    o, l = bucketed_pair(spark, SF_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(l, l.l_orderkey == o.o_orderkey)
+        j.collect()  # AQE: inspect the final plan, not the draft
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_overlap_chunks_is_narrow(spark):
+    """Sequence chunking must stay embarrassingly parallel: tokens →
+    sequence → explode → slice is all narrow, so the plan has ZERO
+    exchanges. An orderBy or distinct sneaking in would turn a free
+    map-only pass over 100 TB of text into a global sort."""
+    a = _audit(spark, "corpus_overlap_chunks")
+    assert a["n_exchanges"] == 0, a["text"]
+
+
+def test_pagerank_iteration_broadcasts_ranks(spark):
+    """Each power iteration must broadcast the |parts|-sized rank vector
+    into the (huge) edge list — 5 BroadcastHashJoins, never a sort-merge
+    join that would shuffle the edges every iteration."""
+    a = _audit(spark, "graph_pagerank_copurchase")
+    assert a["n_broadcast_joins"] >= 5, a["text"]
+    assert a["n_sortmerge_joins"] == 0, a["text"]
+    assert a["has_take_ordered"], a["text"]  # top-50, not a global sort
