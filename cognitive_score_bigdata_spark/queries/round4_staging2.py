@@ -353,3 +353,91 @@ def corpus_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("piece", " ").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_dpp_partitioned_join
+# ---------------------------------------------------------------------------
+
+JUMBO = 480_000  # o_totalprice threshold: keeps the dim month-set sparse
+
+_PART_CACHE: dict[tuple[int, str], str] = {}
+
+
+def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem re-materialized as a ship-month-partitioned lake table.
+
+    ``partitionBy("ship_month")`` is the other half of the lake-layout
+    story next to :func:`bucketed_pair`: directory-level partitioning
+    gives the scanner whole-partition skipping, and — the point of the
+    query below — lets Catalyst inject a *dynamic* partition filter from
+    the dimension side of a join at runtime.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _PART_CACHE:
+        path = tempfile.mkdtemp(prefix="csb_dpp_") + "/lineitem"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .write.partitionBy("ship_month")
+            .parquet(path)
+        )
+        _PART_CACHE[key] = path
+    return spark.read.parquet(_PART_CACHE[key])
+
+
+@register(
+    "scan_dpp_partitioned_join",
+    oracle=f"""
+    WITH fact AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {JUMBO}
+    )
+    SELECT f.ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("f.l_extendedprice * (1 - f.l_discount)", "revenue")}
+    FROM fact f JOIN dim d ON d.ship_month = f.ship_month
+    GROUP BY f.ship_month
+    """,
+    doc="dynamic partition pruning: the fact side is a ship-month-"
+    "partitioned lake table, the dim side is a filtered month set "
+    "derived from orders, and Catalyst turns the join key into a "
+    "runtime PartitionFilter (dynamicpruning#N) on the fact SCAN — the "
+    "scan never opens partitions the dim doesn't name. Plan-pinned in "
+    "tests/test_plans.py. At 100 TB this is the difference between "
+    "reading 3 months and reading 7 years; static pruning "
+    "(tests/test_sinks.py) can't do it because the month set is only "
+    "known after the dim filter runs",
+)
+def scan_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = partitioned_lineitem(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > JUMBO)
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ship_month")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )

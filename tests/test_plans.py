@@ -292,3 +292,16 @@ def test_pagerank_iteration_broadcasts_ranks(spark):
     assert a["n_broadcast_joins"] >= 5, a["text"]
     assert a["n_sortmerge_joins"] == 0, a["text"]
     assert a["has_take_ordered"], a["text"]  # top-50, not a global sort
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The partitioned-lake join must carry a dynamic partition filter:
+    the fact scan's PartitionFilters gets a dynamicpruning#N subquery
+    fed by the dim side at runtime. Without it the scan reads all ~80
+    ship-month partitions regardless of how few the dim names."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    df = REGISTRY["scan_dpp_partitioned_join"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
