@@ -124,6 +124,15 @@ HEADLINE = [
     "join_asof_forward",
     "scd2_incremental_merge",
     "agg_time_grain_rollup",
+    # round-4 staging part 2
+    "join_bucketed_colocated",
+    "graph_pagerank_copurchase",
+    "sample_weighted_systematic",
+    "corpus_overlap_chunks",
+    "scan_dpp_partitioned_join",
+    "join_fuzzy_levenshtein",
+    "market_basket_pairs",
+    "profile_table_stats",
 ]
 
 
@@ -154,6 +163,8 @@ def main() -> None:
         "dedup_semantic_pairs",
         "text_bm25_topk",  # inverted-index build
         "scan_zorder_two_dim",  # lake layout rewrite
+        "join_bucketed_colocated",  # bucketed-table write
+        "scan_dpp_partitioned_join",  # partitioned-lake write
     ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()

@@ -441,3 +441,193 @@ def scan_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_fuzzy_levenshtein
+# ---------------------------------------------------------------------------
+
+MAX_EDIT = 4
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= {MAX_EDIT}
+    """,
+    doc="edit-distance fuzzy join with blocking: candidate pairs only "
+    "within a block (shared noun token), then exact Levenshtein <= 4 "
+    "verify — the classic record-linkage shape (block -> verify) that "
+    "keeps an O(n^2) string comparison at O(sum block^2). Distances are "
+    "integers, so both engines agree exactly. Names are DISTINCT'd "
+    "before pairing: entity linkage dedups representations first, and "
+    "it collapses the quadratic blow-up duplicate names would cause. "
+    "Complements text_fuzzy_token_pairs (FastSS deletion-neighborhood "
+    "blocking) with the simpler sort-key blocking strategy",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("block").alias("ba")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("block").alias("bb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= MAX_EDIT)
+        .select("name_a", "name_b", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# market_basket_pairs
+# ---------------------------------------------------------------------------
+
+MIN_SUPPORT = 2
+
+
+@register(
+    "market_basket_pairs",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS sup FROM li GROUP BY pk),
+    pair AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS sup_pair
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT p.p1, p.p2, p.sup_pair,
+           CAST((p.sup_pair * 1000000) // i1.sup AS BIGINT) AS conf_micro,
+           CAST((p.sup_pair * (SELECT COUNT(*) FROM li) * 1000000)
+                // (i1.sup * i2.sup) AS BIGINT) AS lift_micro
+    FROM pair p
+    JOIN item i1 ON i1.pk = p.p1
+    JOIN item i2 ON i2.pk = p.p2
+    WHERE p.sup_pair >= {MIN_SUPPORT}
+    """,
+    doc="market-basket association pairs: co-purchase support via the "
+    "order-local self-join (bounded: ~items-per-order squared per "
+    "order, never cross-order), confidence and lift in integer "
+    "micro-units (sup_pair*1e6 div sup(p1); lift normalized by basket "
+    "count) so both engines agree exactly without float division. The "
+    "min-support filter is the a-priori prune that keeps output "
+    "linear-ish at 100 TB; item supports broadcast back onto the pair "
+    "table. NOTE lift's N = distinct (order, part) basket entries",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=False)  # reused 3x: pairs, item, N
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("sup"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("sup_pair"))
+        .filter(F.col("sup_pair") >= MIN_SUPPORT)
+    )
+    n_baskets = li.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    i1 = item.select(F.col("pk").alias("p1"), F.col("sup").alias("sup1"))
+    i2 = item.select(F.col("pk").alias("p2"), F.col("sup").alias("sup2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "p1",
+            "p2",
+            F.col("sup_pair").cast("bigint").alias("sup_pair"),
+            F.expr("(sup_pair * 1000000) div sup1")
+            .cast("bigint")
+            .alias("conf_micro"),
+            F.expr("(sup_pair * n * 1000000) div (sup1 * sup2)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_table_stats
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "profile_table_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    doc="table profiling (the ANALYZE/data-quality summary every "
+    "warehouse job starts with): per-column row/null/distinct counts "
+    "for orders, computed in ONE scan — all 6x3 aggregates in a single "
+    "groupBy().agg(...) (Catalyst expands the multi-distinct into one "
+    "Expand + two-phase agg), then stack() unpivots the 1-row wide "
+    "result to one row per column. The oracle spells it as 6 UNION ALL "
+    "scans; the Spark side deliberately does NOT — at 100 TB one scan "
+    "vs six is the whole game",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = orders.groupBy().agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )

@@ -305,3 +305,22 @@ def test_dpp_prunes_fact_partitions(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_market_basket_broadcasts_supports(spark):
+    """Item supports and the basket count must broadcast back onto the
+    (much larger) pair table — shuffling pairs against a per-item table
+    would re-partition the quadratic side for nothing."""
+    a = _audit(spark, "market_basket_pairs")
+    assert a["n_broadcast_joins"] >= 2, a["text"]
+    assert a["n_partial_aggs"] >= 2, a["text"]
+
+
+def test_profile_stats_single_scan(spark):
+    """The profiling query's contract: 6 columns x 3 stats in ONE pass
+    over the table. A second FileScan means someone rewrote it as
+    per-column UNION branches — correct, but 6x the IO at 100 TB."""
+    a = _audit(spark, "profile_table_stats")
+    # one "Location:" per scan node (plan text repeats the node name in
+    # the tree summary, so counting "Scan parquet" double-counts)
+    assert a["text"].count("Location:") == 1, a["text"]
