@@ -133,6 +133,7 @@ HEADLINE = [
     "join_fuzzy_levenshtein",
     "market_basket_pairs",
     "profile_table_stats",
+    "graph_triangle_count",
 ]
 
 
