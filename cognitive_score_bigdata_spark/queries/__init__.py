@@ -61,11 +61,15 @@ def load_registry() -> dict[str, QuerySpec]:
     fillers by the four late round-3 additions (holdout split, data
     validation, centroids, SCD2) — those fillers keep their r1 rows, so
     after round 3 EVERY registry query still has at least one driver row
-    cumulatively.  ROUND 4 TODO: front queries/round4_staging.py (10
+    cumulatively.  ROUND 4 TODO: front queries/round4_staging.py (15
     locally-green queries built late in round 3: event-analytics
     battery, exact-k stratified sample, IVFADC ANN, source-overlap
-    matrix) plus any round-4 additions, then fill the remaining window
-    slots with the stalest modules — corpus/extensions/aggregations and
+    matrix, forward as-of, SCD2 merge, time-grain rollup) AND
+    queries/round4_staging2.py (9 more: bucketed co-located join, DPP,
+    PageRank, triangle count, systematic weighted sampling, overlap
+    chunking, Levenshtein linkage, market basket, table profiling) plus
+    any round-4 additions, then fill the remaining window slots with
+    the stalest modules — corpus/extensions/aggregations and
     analytics_tpch (r1-verified, not re-checked since) — keeping the
     total window at exactly the first 50 entries.
     """
