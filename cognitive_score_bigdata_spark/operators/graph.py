@@ -1,0 +1,138 @@
+"""Distributed graph operators: fixed-point PageRank, triangle counting.
+
+DataFrame-level APIs over an edge list (``src``, ``dst``) so the
+algorithms are testable on synthetic graphs with known closed-form
+answers (K4, paths, stars — see ``tests/test_graph_ops.py``) and
+reusable beyond the co-purchase queries in
+``queries/round4_staging2.py``.
+
+Design notes (both operators):
+
+- **Exact integer arithmetic.** PageRank ranks are BIGINT micro-units
+  with ×17 integer-div 20·outdeg damping; triangle counting is pure
+  counting. No floats anywhere, so results are bit-identical across
+  engines, partitionings, and scale factors — which is what lets the
+  registry queries carry real DuckDB oracles for algorithms that are
+  usually "approximately reproducible" at best.
+- **Skew posture.** PageRank broadcasts the rank vector (one row per
+  node) into the edge list — edges never shuffle inside the loop, only
+  the dst-keyed contribution aggregate does. Triangle counting uses
+  degree orientation: ranking nodes by (degree, id) and directing every
+  edge low→high bounds out-degree at O(√E), so a celebrity node
+  generates zero wedges from its low side instead of deg² of them.
+
+Reference parity note: the reference (`/root/reference/src/backend/`)
+has no graph surface; these belong to the brief's large-scale-pipeline
+extension next to dedup clustering (`operators/dedup.py`), which
+already ships the connected-components side of the graph story.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+PR_BASE = 150_000  # (1 - d) in micro-units, d = 0.85
+PR_INIT = 1_000_000
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iters: int = 5) -> DataFrame:
+    """PageRank over a directed edge list, exact BIGINT micro-units.
+
+    ``edges`` needs columns ``src`` and ``dst``. Every node must have at
+    least one out-edge (symmetrize beforehand if the graph is
+    undirected; dangling nodes would otherwise leak rank mass).
+    Returns (node, rank_micro) for every node with an in-edge.
+
+    r_{t+1}(v) = 150000 + Σ_{u→v} (r_t(u) * 17) div (20 * outdeg(u))
+    """
+    edges = edges.localCheckpoint(eager=False)  # reused every iteration
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree folded into the edge list once, outside the loop
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_INIT).cast("bigint").alias("rank_micro"),
+    )
+    for _ in range(n_iters):
+        contrib = ed.join(
+            F.broadcast(ranks), ranks.node == ed.src
+        ).select(
+            F.col("dst"),
+            F.expr("(rank_micro * 17) div (20 * d)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(PR_BASE) + F.sum("c"))
+                .cast("bigint")
+                .alias("rank_micro")
+            )
+            .select(F.col("dst").alias("node"), "rank_micro")
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via degree orientation; 1-row DataFrame.
+
+    ``edges`` needs columns ``src``/``dst`` holding each undirected edge
+    exactly once (either direction). Returns (n_vertices, n_edges,
+    n_triangles), all BIGINT.
+    """
+    e = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # V-sized global window (one row per vertex, NOT per edge): the
+    # edges never pass through the single-partition sort.
+    rk = deg.select(
+        "node",
+        F.row_number()
+        .over(Window.orderBy("d", "node"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    ru = rk.select(F.col("node").alias("u"), F.col("r").alias("ru"))
+    rv = rk.select(F.col("node").alias("v"), F.col("r").alias("rv"))
+    oe = (
+        e.join(F.broadcast(ru), "u")
+        .join(F.broadcast(rv), "v")
+        .select(
+            F.least("ru", "rv").alias("lo"),
+            F.greatest("ru", "rv").alias("hi"),
+        )
+        .localCheckpoint(eager=False)  # reused 3x in the wedge close
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.lo") == F.col("e1.lo"))
+            & (F.col("e2.hi") > F.col("e1.hi")),
+        )
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.hi"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    verts = rk.groupBy().agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        verts.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            F.col("n_vertices").cast("bigint").alias("n_vertices"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n").cast("bigint").alias("n_triangles"),
+        )
+    )

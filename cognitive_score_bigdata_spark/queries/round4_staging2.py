@@ -54,6 +54,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import load_table
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.operators.graph import (
+    pagerank_fixed_point,
+    triangle_count,
+)
 from cognitive_score_bigdata_spark.queries._helpers import dsum, sql_dsum
 
 # ---------------------------------------------------------------------------
@@ -211,28 +215,9 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    # Edge list reused every iteration: cache it (and with it the degree
-    # join below) instead of recomputing the self-join 5 times.
-    edges = edges.localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # (src, dst, d): degree folded into the edge list once, outside the loop.
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
-
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r")
-    )
-    for _ in range(PR_ITERS):
-        contrib = ed.join(
-            F.broadcast(ranks), ranks.node == ed.src
-        ).select(
-            F.col("dst"),
-            F.expr("(r * 17) div (20 * d)").alias("c"),
-        )
-        ranks = contrib.groupBy("dst").agg(
-            (F.lit(150000) + F.sum("c")).cast("bigint").alias("r")
-        ).select(F.col("dst").alias("node"), "r")
+    ranks = pagerank_fixed_point(edges, n_iters=PR_ITERS)
     return (
-        ranks.select(F.col("node").alias("part_key"), F.col("r").alias("rank_micro"))
+        ranks.select(F.col("node").alias("part_key"), "rank_micro")
         .orderBy(F.desc("rank_micro"), "part_key")
         .limit(PR_TOPK)
     )
@@ -691,71 +676,17 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vertex ranks; no driver state beyond the scalar result",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
     a, b = li.alias("a"), li.alias("b")
-    e = (
+    edges = (
         a.join(
             b,
             (F.col("a.ok") == F.col("b.ok"))
             & (F.col("a.pk") < F.col("b.pk")),
         )
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)  # reused: deg, orientation, count
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # V-sized global window (one row per vertex, NOT per edge): fine on
-    # the driver-adjacent scale axis; edges never pass through it.
-    rk = deg.select(
-        "node",
-        F.row_number()
-        .over(Window.orderBy("d", "node"))
-        .cast("bigint")
-        .alias("r"),
-    )
-    ru = rk.select(F.col("node").alias("u"), F.col("r").alias("ru"))
-    rv = rk.select(F.col("node").alias("v"), F.col("r").alias("rv"))
-    oe = (
-        e.join(F.broadcast(ru), "u")
-        .join(F.broadcast(rv), "v")
-        .select(
-            F.least("ru", "rv").alias("lo"),
-            F.greatest("ru", "rv").alias("hi"),
-        )
-        .localCheckpoint(eager=False)  # reused 3x in the wedge close
-    )
-    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
-    tri = (
-        e1.join(
-            e2,
-            (F.col("e2.lo") == F.col("e1.lo"))
-            & (F.col("e2.hi") > F.col("e1.hi")),
-        )
-        .join(
-            e3,
-            (F.col("e3.lo") == F.col("e1.hi"))
-            & (F.col("e3.hi") == F.col("e2.hi")),
-        )
-        .groupBy()
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    counts = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
-    verts = rk.groupBy().agg(F.count(F.lit(1)).alias("n_vertices"))
-    return (
-        verts.crossJoin(counts)
-        .crossJoin(tri)
-        .select(
-            F.col("n_vertices").cast("bigint").alias("n_vertices"),
-            F.col("n_edges").cast("bigint").alias("n_edges"),
-            F.col("n").cast("bigint").alias("n_triangles"),
-        )
-    )
+    return triangle_count(edges)

@@ -1,0 +1,130 @@
+"""Graph operators on synthetic graphs with known answers.
+
+The registry queries (`graph_pagerank_copurchase`,
+`graph_triangle_count`) get cross-engine value parity from the DuckDB
+oracle; these tests pin the *algorithms* on graphs where the right
+answer is known in closed form or computable by an independent
+brute-force reimplementation — so an oracle bug can't hide a shared
+mistake.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from cognitive_score_bigdata_spark.operators.graph import (
+    PR_BASE,
+    PR_INIT,
+    pagerank_fixed_point,
+    triangle_count,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "src long, dst long"
+    )
+
+
+def _symmetrize(pairs):
+    return [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+
+
+def _brute_triangles(pairs):
+    adj = set(frozenset(p) for p in pairs)
+    nodes = sorted({x for p in pairs for x in p})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= adj
+    )
+
+
+def _brute_pagerank(pairs_directed, n_iters):
+    """Independent pure-python reimplementation (integer micro-units)."""
+    outdeg: dict[int, int] = {}
+    for u, _ in pairs_directed:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {u: PR_INIT for u in outdeg}
+    for _ in range(n_iters):
+        nxt: dict[int, int] = {}
+        for u, v in pairs_directed:
+            nxt[v] = nxt.get(v, 0) + (r[u] * 17) // (20 * outdeg[u])
+        r = {v: PR_BASE + s for v, s in nxt.items()}
+    return r
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def test_triangles_k4(spark):
+    k4 = list(itertools.combinations(range(4), 2))
+    row = triangle_count(_edges_df(spark, k4)).collect()[0]
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangles_path_has_none(spark):
+    path = [(i, i + 1) for i in range(9)]
+    row = triangle_count(_edges_df(spark, path)).collect()[0]
+    assert (row.n_vertices, row.n_edges, row.n_triangles) == (10, 9, 0)
+
+
+def test_triangles_star_has_none(spark):
+    # the skew case the orientation exists for: hub degree n-1, 0 wedges
+    # enumerated from the hub's low side, 0 triangles
+    star = [(0, i) for i in range(1, 30)]
+    row = triangle_count(_edges_df(spark, star)).collect()[0]
+    assert row.n_triangles == 0
+
+
+def test_triangles_match_bruteforce_on_dense_graph(spark):
+    # deterministic pseudo-random graph: edge (u,v) iff hash-ish rule
+    pairs = [
+        (u, v)
+        for u, v in itertools.combinations(range(20), 2)
+        if (u * 7 + v * 13) % 3 == 0
+    ]
+    row = triangle_count(_edges_df(spark, pairs)).collect()[0]
+    assert row.n_triangles == _brute_triangles(pairs)
+    assert row.n_edges == len(pairs)
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_regular_graph_is_uniform_fixed_point(spark):
+    """On any regular symmetric graph the uniform vector is an EXACT
+    fixed point of the integer iteration: contribution = (1e6*17) div
+    (20*d) summed over d in-neighbors = 850000, plus base 150000 = 1e6
+    again — no drift, bit-exact."""
+    k3 = _symmetrize(list(itertools.combinations(range(3), 2)))
+    ranks = pagerank_fixed_point(_edges_df(spark, k3), n_iters=5).collect()
+    assert {r.node for r in ranks} == {0, 1, 2}
+    assert all(r.rank_micro == PR_INIT for r in ranks)
+
+
+def test_pagerank_star_matches_bruteforce(spark):
+    star = _symmetrize([(0, i) for i in range(1, 5)])
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank_fixed_point(
+            _edges_df(spark, star), n_iters=5
+        ).collect()
+    }
+    assert got == _brute_pagerank(star, 5)
+    # hub outranks leaves, leaves tie exactly (integer determinism)
+    assert got[0] > got[1]
+    assert len({got[i] for i in range(1, 5)}) == 1
+
+
+def test_pagerank_irregular_matches_bruteforce(spark):
+    pairs = _symmetrize(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (4, 5), (5, 0)]
+    )
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank_fixed_point(
+            _edges_df(spark, pairs), n_iters=7
+        ).collect()
+    }
+    assert got == _brute_pagerank(pairs, 7)
