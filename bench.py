@@ -134,6 +134,8 @@ HEADLINE = [
     "market_basket_pairs",
     "profile_table_stats",
     "graph_triangle_count",
+    "anomaly_daily_mad",
+    "text_containment_neardup",
 ]
 
 

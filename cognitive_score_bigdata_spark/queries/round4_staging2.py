@@ -690,3 +690,181 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# anomaly_daily_mad
+# ---------------------------------------------------------------------------
+
+MAD_K = 3  # flag days with |x - median| > K * MAD
+
+
+@register(
+    "anomaly_daily_mad",
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM counts
+    ),
+    med AS (
+      SELECT event_type, n AS med FROM ranked WHERE rn = (cnt + 1) // 2
+    ),
+    dev AS (
+      SELECT c.event_type, c.day, c.n, m.med,
+             CAST(abs(c.n - m.med) AS BIGINT) AS dev
+      FROM counts c JOIN med m USING (event_type)
+    ),
+    rdev AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad FROM rdev WHERE rn = (cnt + 1) // 2
+    )
+    SELECT d.event_type, d.day, d.n, d.med, a.mad, d.dev
+    FROM dev d JOIN mad a USING (event_type)
+    WHERE d.dev > {MAD_K} * a.mad
+    """,
+    doc="robust daily anomaly flags via median absolute deviation: "
+    "per-type daily counts, median by lower-nearest-rank selection, "
+    "MAD = same selection over |x - med|, flag dev > 3*MAD. Entirely "
+    "integer arithmetic (counts, ranks, absolute deviations) — exact "
+    "cross-engine with no moments, which is the point: one 1000x spike "
+    "day shifts a mean/stddev z-score enough to mask itself (and a "
+    "second spike), but moves the median not at all. Complements "
+    "anomaly_daily_zscore's moment-based score; both are two window "
+    "passes over a day-level table that is tiny next to the scan",
+)
+def anomaly_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        cw = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(cw))
+            .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _lower_median(counts, "n", "med")
+    dev = counts.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med")).cast("bigint")
+    )
+    mad = _lower_median(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > MAD_K * F.col("mad"))
+        .select("event_type", "day", "n", "med", "mad", "dev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_containment_neardup
+# ---------------------------------------------------------------------------
+
+CONTAIN_PCT = 9  # flag when 10 * |A∩B| >= 9 * |A| (A the smaller set)
+
+
+@register(
+    "text_containment_neardup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.da < i.db)
+                THEN i.da ELSE i.db END AS doc_small,
+           CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.da < i.db)
+                THEN i.db ELSE i.da END AS doc_big,
+           i.nc AS n_common,
+           LEAST(sa.n, sb.n) AS n_small
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE i.nc * 10 >= {CONTAIN_PCT} * LEAST(sa.n, sb.n)
+    """,
+    doc="token-set CONTAINMENT near-dup (|A∩B|/|A| for the smaller set "
+    "A): catches a short doc swallowed inside a much longer one — the "
+    "quote/excerpt/boilerplate-wrapper case that symmetric Jaccard "
+    "structurally misses (J <= |A|/|B| no matter how perfectly A is "
+    "contained). Same per-source block join + JVM array_intersect as "
+    "text_ngram_jaccard but WITHOUT the size-ratio prune (disparate "
+    "sizes are the quarry); threshold as the integer predicate "
+    "10*common >= 9*|A| so no division crosses the engines. Broder's "
+    "containment measure, the one sketched by the minhash index for "
+    "scale-out blocking",
+)
+def text_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.functions import text as TX
+    from cognitive_score_bigdata_spark.io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(TX.tokens("text")).alias("toks"),
+        )
+        .withColumn("n", F.size("toks").cast("bigint"))
+    )
+    a = toks.select(
+        "source",
+        F.col("doc_id").alias("da"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    b = toks.select(
+        "source",
+        F.col("doc_id").alias("db"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    n_common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    a_is_small = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("da") < F.col("db"))
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("n_common", n_common)
+        .withColumn("n_small", F.least("na", "nb"))
+        .filter(F.col("n_common") * 10 >= CONTAIN_PCT * F.col("n_small"))
+        .select(
+            F.when(a_is_small, F.col("da"))
+            .otherwise(F.col("db"))
+            .alias("doc_small"),
+            F.when(a_is_small, F.col("db"))
+            .otherwise(F.col("da"))
+            .alias("doc_big"),
+            "n_common",
+            "n_small",
+        )
+    )

@@ -110,6 +110,33 @@ def build_replica(spark, factor: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/events.parquet")
     )
+
+    # orders + lineitem: key-shift orderkey AND partkey per replica, so
+    # replicas are disjoint subgraphs/baskets — the realistic growth
+    # mode for the graph/basket operators (catalog and order book both
+    # grow; a pure orderkey shift would only inflate supports while
+    # freezing the co-purchase graph, understating join/wedge work)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__r") * n_ord)
+        .drop("__r")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_part = li.agg(F.max("l_partkey")).first()[0] + 1
+    (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__r") * n_ord)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("__r") * n_part)
+        .drop("__r")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
     return out
 
 
