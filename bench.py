@@ -136,6 +136,7 @@ HEADLINE = [
     "graph_triangle_count",
     "anomaly_daily_mad",
     "text_containment_neardup",
+    "join_interval_overlap",
 ]
 
 

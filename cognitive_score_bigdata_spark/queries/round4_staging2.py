@@ -868,3 +868,102 @@ def text_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_small",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end
+      FROM (SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+      GROUP BY user_id, sid
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n, hr) AS rn,
+             count(*) OVER () AS cnt
+      FROM hourly
+    ),
+    med AS (SELECT n AS med FROM ranked WHERE rn = (cnt + 1) // 2),
+    incidents AS (
+      SELECT hr FROM hourly, med WHERE 2 * hourly.n > 3 * med.med
+    )
+    SELECT s.user_id, s.session_start,
+           CAST(COUNT(i.hr) AS BIGINT) AS n_incident_hours
+    FROM sess s JOIN incidents i
+      ON s.session_start < i.hr + INTERVAL '1 hour'
+     AND s.session_end > i.hr
+    GROUP BY s.user_id, s.session_start
+    """,
+    doc="interval-overlap join: per-user 30-min-gap session intervals x "
+    "site-wide 'incident' hours (hourly volume 50% above the "
+    "nearest-rank median — a relative, scale-invariant threshold). The "
+    "oracle spells the naive inequality theta-join; the Spark side "
+    "explodes each session into its covered hour grid and equi-joins "
+    "on the bucket — the interval-binning rewrite that turns an "
+    "O(sessions x incidents) nested loop into a hash join whose fan-out "
+    "is bounded by session duration / bin width (what a range-join "
+    "hint does under the hood, generalized here to interval-interval). "
+    "Same trick as range_join_time_binned, which bins only one side",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cognitive_score_bigdata_spark.streaming.windows import session
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session(
+        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("_n")]
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ranked = hourly.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n", "hr"))
+    ).withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        F.col("n").alias("med")
+    )
+    incidents = hourly.crossJoin(F.broadcast(med)).filter(
+        2 * F.col("n") > 3 * F.col("med")
+    ).select("hr")
+    # bin each session to its covered hour grid; equi-join the grid
+    covered = sess.select(
+        "user_id",
+        "session_start",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc(
+                    "hour",
+                    F.expr("session_end - INTERVAL 1 MICROSECOND"),
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hr"),
+    )
+    return (
+        covered.join(incidents, "hr")
+        .groupBy("user_id", "session_start")
+        .agg(F.count(F.lit(1)).alias("n_incident_hours"))
+    )
