@@ -324,3 +324,17 @@ def test_profile_stats_single_scan(spark):
     # one "Location:" per scan node (plan text repeats the node name in
     # the tree summary, so counting "Scan parquet" double-counts)
     assert a["text"].count("Location:") == 1, a["text"]
+
+
+def test_interval_overlap_is_hash_join(spark):
+    """The binned rewrite's contract: the session x incident overlap
+    runs as an equi hash join on the hour bucket — never a
+    BroadcastNestedLoopJoin/CartesianProduct from the naive inequality
+    formulation (the oracle spells that one on purpose)."""
+    a = _audit(spark, "join_interval_overlap")
+    # the single permitted BNLJ is the 1-row median attach (a scalar
+    # broadcast); the session x incident volume join must be hash
+    # formatted plans name each node twice (tree + detail): 2 hits = 1 node
+    assert a["text"].count("BroadcastNestedLoopJoin") <= 2, a["text"]
+    assert "Cartesian" not in a["text"], a["text"]
+    assert a["n_broadcast_joins"] >= 1, a["text"]
