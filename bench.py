@@ -137,6 +137,7 @@ HEADLINE = [
     "anomaly_daily_mad",
     "text_containment_neardup",
     "join_interval_overlap",
+    "hierarchy_rollup_to_root",
 ]
 
 

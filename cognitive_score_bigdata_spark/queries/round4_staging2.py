@@ -967,3 +967,92 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_start")
         .agg(F.count(F.lit(1)).alias("n_incident_hours"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_rollup_to_root
+# ---------------------------------------------------------------------------
+
+H_MAX_DEPTH = 8  # iteration bound; the derived forest is depth <= 5
+
+
+@register(
+    "hierarchy_rollup_to_root",
+    oracle=f"""
+    WITH RECURSIVE parts AS (
+      SELECT DISTINCT p_partkey AS pk FROM part
+    ),
+    edge AS (
+      SELECT pk AS child,
+             CASE WHEN pk < 8 THEN pk ELSE pk // 8 END AS parent
+      FROM parts
+    ),
+    walk AS (
+      SELECT child AS pk, child AS cur, 0 AS depth FROM edge
+      UNION ALL
+      SELECT w.pk, e.parent, w.depth + 1
+      FROM walk w JOIN edge e ON e.child = w.cur
+      WHERE e.parent <> w.cur AND w.depth < {H_MAX_DEPTH}
+    ),
+    root AS (
+      SELECT pk, cur AS root_key
+      FROM (SELECT pk, cur, depth,
+                   row_number() OVER (PARTITION BY pk
+                                      ORDER BY depth DESC) AS rn
+            FROM walk)
+      WHERE rn = 1
+    )
+    SELECT r.root_key,
+           CAST(COUNT(DISTINCT r.pk) AS BIGINT) AS n_parts,
+           {{rev}}
+    FROM root r JOIN lineitem l ON l.l_partkey = r.pk
+    GROUP BY r.root_key
+    """.format(
+        rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")
+    ),
+    doc="hierarchical closure + rollup (the BOM/org-chart query Spark "
+    "SQL cannot express natively — no recursive CTE): each part walks "
+    "its parent chain to the root, then lineitem revenue rolls up to "
+    "root assemblies. The closure is {H} bounded iterations of "
+    "state JOIN broadcast(edge) — the edge table is catalog-sized (one "
+    "row per part) even when the fact table is 100 TB, so every "
+    "iteration is a broadcast hash join and the only big shuffle is "
+    "the final root-keyed aggregate. Fixpoint semantics: root edges "
+    "are self-loops (parent = child), so converged rows pass through "
+    "unchanged and the bound only needs to exceed max depth. The "
+    "hierarchy itself is derived (parent = pk div 8) but treated as an "
+    "opaque relation — the plan never exploits the arithmetic. Oracle "
+    "is DuckDB's native WITH RECURSIVE".replace("{H}", str(H_MAX_DEPTH)),
+)
+def hierarchy_rollup_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("pk"))
+        .distinct()
+    )
+    edge = parts.select(
+        F.col("pk").alias("child"),
+        F.when(F.col("pk") < 8, F.col("pk"))
+        .otherwise(F.expr("pk div 8"))
+        .alias("parent"),
+    ).localCheckpoint(eager=False)  # joined every iteration
+
+    state = parts.select("pk", F.col("pk").alias("cur"))
+    for _ in range(H_MAX_DEPTH):
+        state = (
+            state.join(F.broadcast(edge), state.cur == edge.child)
+            .select("pk", F.col("parent").alias("cur"))
+        )
+    root = state.select("pk", F.col("cur").alias("root_key"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(root), li.l_partkey == root.pk)
+        .groupBy("root_key")
+        .agg(
+            F.countDistinct("pk").alias("n_parts"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
