@@ -134,3 +134,50 @@ def pack_sequences(
             (hi - F.col("__start")).cast("bigint").alias("doc_tok_end"),
         )
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame, weight_col: str, order_col: str, k: int
+) -> DataFrame:
+    """Systematic (cumulative-weight stride) weighted sampling.
+
+    Deterministic: a row is selected iff an integer multiple of
+    ``step = total_weight div k`` falls inside its cumulative-weight
+    interval ``(cum - w, cum]`` along the ``order_col`` ordering.
+    Inclusion probability is proportional to weight; a row with
+    ``w >= step`` is always selected (and counts once — this is row
+    selection, not replacement). All arithmetic is integer, so the
+    selected set is bit-reproducible across engines, partitionings and
+    reruns — the property pow/ln-based priority sampling cannot give.
+
+    Returns the input rows plus ``cum`` (BIGINT cumulative weight).
+    The single-sort window prefix sum here is the small-data path; at
+    100 TB use :func:`global_exclusive_prefix_sum` for the same cumsum
+    in two distributed passes.
+
+    ALIASING CAVEAT: systematic sampling is only weight-proportional
+    when the traversal order is uncorrelated with the weights. If the
+    weights are periodic along ``order_col`` with a period that divides
+    the stride, selection aliases onto fixed positions (e.g. weights
+    [9,1,1,...,1] repeating with block weight == step select ONLY the
+    block-final light row — measured in
+    ``tests/test_round4_sampling.py::test_periodic_weights_alias``).
+    When weights may correlate with the natural order, pass a
+    hash-scrambled ordering column (``md5(key)``) — the standard
+    random-order fix, kept deterministic here.
+    """
+    from pyspark.sql import Window
+
+    cum_w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy()
+    w = (
+        df.withColumn("__w", F.col(weight_col).cast("bigint"))
+        .withColumn("cum", F.sum("__w").over(cum_w))
+        .withColumn("__total", F.sum("__w").over(tot_w))
+        .withColumn("__step", F.expr(f"__total div {int(k)}"))
+    )
+    return w.filter(
+        F.expr("(cum div __step) > ((cum - __w) div __step)")
+    ).drop("__w", "__total", "__step")

@@ -254,31 +254,16 @@ N_SAMPLES = 50
     "two-pass distributed prefix sum is the same cumsum at 100 TB",
 )
 def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cognitive_score_bigdata_spark.operators.sharding import (
+        systematic_weighted_sample,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("wt")
     )
-    cum_w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot_w = Window.partitionBy()
-    w = docs.select(
-        "doc_id",
-        "wt",
-        F.sum("wt").over(cum_w).alias("cum"),
-        F.sum("wt").over(tot_w).alias("total"),
-    ).withColumn("step", F.expr(f"total div {N_SAMPLES}"))
-    # Integer div on both sides: double division + cast could round a
-    # quotient sitting half-an-ulp under an integer UP and flip a row.
-    return (
-        w.filter(F.expr("(cum div step) > ((cum - wt) div step)"))
-        .select(
-            "doc_id",
-            F.col("wt").cast("bigint").alias("wt"),
-            F.col("cum").cast("bigint").alias("cum"),
-        )
-    )
+    return systematic_weighted_sample(
+        docs, weight_col="wt", order_col="doc_id", k=N_SAMPLES
+    ).select("doc_id", F.col("wt").cast("bigint").alias("wt"), "cum")
 
 
 # ---------------------------------------------------------------------------

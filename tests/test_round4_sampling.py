@@ -1,0 +1,65 @@
+"""Systematic weighted sampling: deterministic selection properties."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.operators.sharding import (
+    systematic_weighted_sample,
+)
+
+
+def test_uniform_weights_select_exactly_k(spark):
+    # 100 rows of weight 1, k=50: step=2, every second row selected
+    df = spark.range(100).withColumn("w", F.lit(1))
+    got = systematic_weighted_sample(df, "w", "id", 50).collect()
+    assert len(got) == 50
+    assert sorted(r.id for r in got) == list(range(1, 100, 2))
+
+
+def test_heavy_row_always_selected_once(spark):
+    # one row holds half the total weight: always in, counted once
+    df = spark.range(100).withColumn(
+        "w", F.when(F.col("id") == 37, 99).otherwise(1)
+    )
+    got = [r.id for r in systematic_weighted_sample(df, "w", "id", 10).collect()]
+    assert 37 in got
+    assert len(got) == len(set(got))
+
+
+def test_periodic_weights_alias(spark):
+    """The documented failure mode: weights periodic along the order
+    with block weight == stride alias onto block-final positions — the
+    heavy rows (50% of total weight) are NEVER selected."""
+    df = spark.range(1000).withColumn(
+        "w", F.when(F.col("id") % 10 == 0, 9).otherwise(1)
+    )
+    got = [r.id for r in systematic_weighted_sample(df, "w", "id", 100).collect()]
+    assert sum(1 for i in got if i % 10 == 0) == 0  # total aliasing
+
+
+def test_hash_order_restores_proportionality(spark):
+    """The fix: order by a hash scramble of the key. Same data, same
+    weights — heavy rows (10% of rows, 50% of weight) now draw about
+    half the selections."""
+    df = spark.range(1000).withColumn(
+        "w", F.when(F.col("id") % 10 == 0, 9).otherwise(1)
+    ).withColumn("ord", F.md5(F.col("id").cast("string")))
+    got = [
+        r.id for r in systematic_weighted_sample(df, "w", "ord", 100).collect()
+    ]
+    heavy = sum(1 for i in got if i % 10 == 0)
+    light = len(got) - heavy
+    assert abs(heavy - light) <= 20, (heavy, light)
+
+
+def test_partitioning_invariance(spark):
+    df = spark.range(500).withColumn("w", (F.col("id") % 7) + 1)
+    a = {r.id for r in systematic_weighted_sample(df, "w", "id", 40).collect()}
+    b = {
+        r.id
+        for r in systematic_weighted_sample(
+            df.repartition(13), "w", "id", 40
+        ).collect()
+    }
+    assert a == b
