@@ -155,3 +155,31 @@ def test_zordered_lake_prunes_on_both_dimensions(spark, tmp_path):
             f"{col_name}: only {skippable}/{n_files} files skippable; "
             f"spans {sp}"
         )
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """Format coverage: the same documents table written as ORC reads
+    back value-identical to the parquet original (ORC is in-box in
+    Spark; a lake migration must not change a single row)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+
+def test_jsonl_corpus_roundtrip(spark, tmp_path):
+    """JSONL — the standard corpus interchange format for LLM training
+    data — round-trips through spark.read.json with schema enforced.
+    Without an explicit schema, JSON inference may widen/reorder; the
+    pipeline always passes one (the same contract the streaming ingest
+    uses for event JSON)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.json(path)  # one JSON object per line
+    back = spark.read.schema(docs.schema).json(path)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
