@@ -138,6 +138,7 @@ HEADLINE = [
     "text_containment_neardup",
     "join_interval_overlap",
     "hierarchy_rollup_to_root",
+    "window_trailing_30d_range",
 ]
 
 

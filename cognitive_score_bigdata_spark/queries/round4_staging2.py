@@ -1041,3 +1041,54 @@ def hierarchy_rollup_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# window_trailing_30d_range
+# ---------------------------------------------------------------------------
+
+TRAIL_SECS = 30 * 86400
+
+
+@register(
+    "window_trailing_30d_range",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             AS trail_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '{30 * 86400} seconds' PRECEDING
+                           AND CURRENT ROW)
+    """,
+    doc="value-based (RANGE) window frame: per-user trailing-30-day "
+    "running sum/count — the frame is bounded by event-TIME distance, "
+    "not row count, so sparse and dense users get the same temporal "
+    "semantics (a ROWS frame can't say that). Spark side orders by "
+    "epoch seconds with rangeBetween(-2592000, 0); both engines treat "
+    "range bounds inclusively and include all order-value ties, so "
+    "results match exactly with the DECIMAL accumulator. One hash "
+    "exchange on user_id + per-partition sort — same cost shape as "
+    "every other keyed window at 100 TB",
+)
+def window_trailing_30d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-TRAIL_SECS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trail_n"),
+    )
