@@ -2,7 +2,7 @@
 
 Added after the round-3 driver window froze (see ``load_registry``);
 imported LAST so these stay outside the first-50 window until the
-round-4 rotation fronts them. All nine are oracle-checked.
+round-4 rotation fronts them. Every query here is oracle-checked.
 
 Contents (first four):
 
@@ -38,7 +38,12 @@ month-partitioned lake), ``join_fuzzy_levenshtein`` (blocked
 edit-distance record linkage), ``market_basket_pairs`` (association
 pairs with integer-micro confidence/lift), ``profile_table_stats``
 (one-scan columnar profiling), ``graph_triangle_count``
-(degree-oriented distributed triangle counting).
+(degree-oriented distributed triangle counting),
+``anomaly_daily_mad`` (robust median/MAD flags),
+``text_containment_neardup`` (asymmetric token-set containment),
+``join_interval_overlap`` (hour-grid-binned interval join),
+``hierarchy_rollup_to_root`` (bounded recursive closure + rollup),
+``window_trailing_30d_range`` (time-RANGE window frame).
 
 Reference parity note: the reference (an AWS scoring stack,
 `/root/reference/src/backend/main.py`) has none of these; this module
