@@ -139,6 +139,7 @@ HEADLINE = [
     "join_interval_overlap",
     "hierarchy_rollup_to_root",
     "window_trailing_30d_range",
+    "agg_bucketed_no_shuffle",
 ]
 
 

@@ -1098,3 +1098,32 @@ def window_trailing_30d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trail_sum"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("trail_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bucketed_no_shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bucketed_no_shuffle",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum("l_quantity", "total_qty")}
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="the second dividend of the bucketed layout: a groupBy on the "
+    "bucket key runs with ZERO Exchange — the scan is already hash-"
+    "partitioned by l_orderkey, so partial and final aggregate fuse "
+    "into one stage per bucket file (plan-pinned). Pre-shuffling data "
+    "at write time pays off for every aggregate keyed on it, not just "
+    "joins; values identical to the plain-parquet group-by oracle",
+)
+def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, lineitem = bucketed_pair(spark, sf_dir)
+    return lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity", "total_qty"),
+    )

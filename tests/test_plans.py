@@ -338,3 +338,15 @@ def test_interval_overlap_is_hash_join(spark):
     assert a["text"].count("BroadcastNestedLoopJoin") <= 2, a["text"]
     assert "Cartesian" not in a["text"], a["text"]
     assert a["n_broadcast_joins"] >= 1, a["text"]
+
+
+def test_bucketed_aggregate_has_no_shuffle(spark):
+    """Bucketing's second dividend: a groupBy on the bucket key needs no
+    Exchange — partial and final agg fuse over the pre-hashed bucket
+    files. Losing this (e.g. by reading the raw parquet instead of the
+    bucketed table) silently reinstates the full key shuffle."""
+    df = REGISTRY["agg_bucketed_no_shuffle"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
