@@ -140,6 +140,7 @@ HEADLINE = [
     "hierarchy_rollup_to_root",
     "window_trailing_30d_range",
     "agg_bucketed_no_shuffle",
+    "agg_trend_slope_by_type",
 ]
 
 

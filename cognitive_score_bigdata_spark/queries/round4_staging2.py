@@ -1127,3 +1127,77 @@ def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_quantity", "total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_trend_slope_by_type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_trend_slope_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+    doc="per-group least-squares trend line (daily volume vs epoch day) "
+    "in ONE aggregation pass: slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) "
+    "from four BIGINT sufficient-statistic sums — x and y are integers, "
+    "so every accumulator is exact and the only floating point is the "
+    "final division over identical operands (identical IEEE result "
+    "cross-engine). The single-pass sufficient-statistics shape is how "
+    "regression/trend detection runs at 100 TB: no per-group iteration, "
+    "no driver fitting, just a partial-agg-friendly groupBy",
+)
+def agg_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
