@@ -350,3 +350,44 @@ def test_bucketed_aggregate_has_no_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
     assert "Bucketed: true" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's runtime row-level filter: with a selective dim filter
+    on a shuffle join, the optimizer builds a bloom filter on the dim
+    keys (bloom_filter_agg) and applies might_contain on the fact side
+    BEFORE the join shuffle — at 100 TB this drops most fact rows at
+    the scan instead of shuffling them. The sandbox-scale thresholds
+    are forced here; on a cluster the defaults fire on their own. DPP
+    (test_dpp_prunes_fact_partitions) prunes whole partitions; this is
+    its row-level sibling for non-partition keys."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert "might_contain" in plan, plan[:2000]
