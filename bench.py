@@ -141,6 +141,7 @@ HEADLINE = [
     "window_trailing_30d_range",
     "agg_bucketed_no_shuffle",
     "agg_trend_slope_by_type",
+    "sketch_kmv_distinct_users",
 ]
 
 

@@ -1201,3 +1201,81 @@ def agg_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_distinct_users
+# ---------------------------------------------------------------------------
+
+KMV_K = 8
+_2_60 = 1152921504606846976  # 2^60: 15 hex chars of md5 span [0, 2^60)
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hv
+    )
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * {_2_60}.0 / CAST(h AS DOUBLE)
+           END AS kmv_estimate
+    FROM ranked
+    WHERE rn = LEAST(n_exact, {KMV_K})
+    """,
+    doc="k-minimum-values distinct sketch with an EXACT oracle: the "
+    "sketch is deterministic because the hash is fixed (md5 -> 15 hex "
+    "chars -> 60-bit int), so the kth-smallest hash — and therefore "
+    "the estimate (k-1)*2^60/h_k — is bit-reproducible cross-engine, "
+    "giving a driver hash-match row for an APPROXIMATE algorithm "
+    "(the streaming digest-set trick applied to cardinality "
+    "sketching). Distributed shape: the k-minima per group survive "
+    "partial aggregation (min-k is a mergeable statistic), so at "
+    "100 TB this is a map-side-combinable agg like HLL but auditable; "
+    "n_exact rides along to show the estimate lands near truth",
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hv = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    cw = Window.partitionBy("event_type")
+    ranked = hv.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_exact", F.count(F.lit(1)).over(cw)
+    )
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(float(_2_60)) / F.col("h").cast("double")
+    )
+    return ranked.filter(
+        F.col("rn") == F.least(F.col("n_exact"), F.lit(KMV_K))
+    ).select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        est.alias("kmv_estimate"),
+    )
