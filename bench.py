@@ -142,6 +142,7 @@ HEADLINE = [
     "agg_bucketed_no_shuffle",
     "agg_trend_slope_by_type",
     "sketch_kmv_distinct_users",
+    "dedup_simhash_pairs_md5",
 ]
 
 

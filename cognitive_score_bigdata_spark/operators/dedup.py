@@ -332,19 +332,30 @@ def minhash_candidate_pairs(
 
 
 def simhash_sketch(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document: (id_col, simhash bigint).
+    """n_bits-wide SimHash per document: (id_col, simhash bigint).
 
-    Per token: xxhash64 → 64 ±1 bit votes; sign of the per-position vote
-    sum becomes the sketch bit. Shaped as explode → hash-aggregate (64
-    SUMs) so Catalyst runs it as one vectorized partial-agg + shuffle on
-    the doc id — the layout that scales, unlike a per-row 64-step fold.
-    Duplicate tokens vote multiple times (multiset weighting, standard).
+    Per token: a 64-bit token hash → n_bits ±1 bit votes; sign of the
+    per-position vote sum becomes the sketch bit. Shaped as explode →
+    hash-aggregate (n_bits SUMs) so Catalyst runs it as one vectorized
+    partial-agg + shuffle on the doc id — the layout that scales, unlike
+    a per-row 64-step fold. Duplicate tokens vote multiple times
+    (multiset weighting, standard).
+
+    ``token_hash``: Column-producing callable for the per-token hash.
+    Defaults to ``F.xxhash64`` (fastest, JVM-side). Pass an md5-based
+    60-bit hash (with ``n_bits=60``) to make the sketch cross-engine
+    reproducible — see ``dedup_simhash_pairs_md5``'s DuckDB oracle.
     """
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     toks = fan_out(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " +")).alias("__t")
-    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
+    ).select(F.col(id_col), hash_fn(F.col("__t")).alias("__h"))
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -352,11 +363,11 @@ def simhash_sketch(
                     F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"__v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sketch = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(
             F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))

@@ -1279,3 +1279,119 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         est.alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_pairs_md5
+# ---------------------------------------------------------------------------
+
+SH_BITS = 60  # 15 md5 hex chars -> fits signed BIGINT in both engines
+SH_HAMMING = 3  # 4 chunks of 15 bits: hamming<=3 shares >=1 exact chunk
+
+
+@register(
+    "dedup_simhash_pairs_md5",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS hv
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.i AS bit,
+             SUM(CASE WHEN (hv >> CAST(b.i AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, UNNEST(range({SH_BITS})) AS b(i)
+      GROUP BY doc_id, b.i
+    ),
+    sk AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                           THEN (CAST(1 AS UBIGINT) << CAST(bit AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sh, c.i AS ck,
+             (sh >> CAST(c.i * 15 AS INTEGER)) & 32767 AS cv
+      FROM sk, UNNEST(range(4)) AS c(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sh AS sha, b.sh AS shb
+      FROM chunks a JOIN chunks b
+        ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sha, shb)) <= {SH_HAMMING}
+    """,
+    doc="SimHash near-dup pairs with an EXACT oracle: the bit votes use "
+    "an md5-derived 60-bit token hash instead of xxhash64, so the "
+    "sketch — an approximate similarity structure — is bit-identical "
+    "across engines and the full pipeline (votes -> sign bits -> "
+    "pigeonhole 15-bit-chunk blocking -> exact Hamming verify) gets a "
+    "driver hash-match row. Same one-shuffle explode/agg plan as "
+    "dedup_simhash_pairs (which keeps xxhash64 for speed and stays "
+    "rows-only); hamming <= 3 over 4 chunks guarantees a shared exact "
+    "chunk, so candidates come from an equi-join, never n^2",
+)
+def dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.dedup import simhash_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def md5_hash60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    sk = simhash_sketch(
+        docs, "doc_id", "text", token_hash=md5_hash60, n_bits=SH_BITS
+    )
+    chunks = sk.select(
+        F.col("doc_id"),
+        F.col("simhash").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("ck"),
+                        F.shiftright(F.col("simhash"), 15 * k)
+                        .bitwiseAND(F.lit(32767).cast("long"))
+                        .alias("cv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sha"),
+        "ck",
+        "cv",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        "ck",
+        "cv",
+    )
+    cand = (
+        a.join(b, ["ck", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sha", "shb")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sha").bitwiseXOR(F.col("shb"))
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
