@@ -143,6 +143,7 @@ HEADLINE = [
     "agg_trend_slope_by_type",
     "sketch_kmv_distinct_users",
     "dedup_simhash_pairs_md5",
+    "dedup_minhash_pairs_md5",
 ]
 
 

@@ -1395,3 +1395,149 @@ def dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SH_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_pairs_md5
+# ---------------------------------------------------------------------------
+
+MH_K = 16  # minhashes
+MH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+
+_MH_MINS = ",\n             ".join(
+    f"MIN(CAST(('0x' || substr(md5('{i}:' || s), 1, 15)) AS UBIGINT)) AS m{i}"
+    for i in range(MH_K)
+)
+_MH_BANDKEY = " ".join(
+    f"WHEN b.i = {k} THEN concat_ws('-', "
+    + ", ".join(f"CAST(m{4 * k + j} AS VARCHAR)" for j in range(4))
+    + ")"
+    for k in range(MH_BANDS)
+)
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(MH_K)
+)
+
+_MH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(u.i AS INTEGER):CAST(u.i + 2 AS INTEGER)],
+                             ' ') AS s
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.i AS band,
+             CASE {_MH_BANDKEY} END AS bkey
+      FROM sig, UNNEST(range({MH_BANDS})) AS b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_MH_AGREE} AS DOUBLE) / {MH_K} AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_pairs_md5",
+    oracle=_MH_ORACLE,
+    doc="MinHash-LSH near-dup candidates with an EXACT oracle: k=16 "
+    "md5-derived 60-bit minhashes over distinct 3-gram shingles, "
+    "banded 4x4 — every stage of the flagship LLM-dedup technique "
+    "(shingle, k-way min, band bucket join, signature-agreement "
+    "estimate) is bit-identical across engines, so the driver gets a "
+    "hash-match row for the approximate algorithm itself, not just a "
+    "rows-only run. The xxhash64 pipeline (dedup_minhash_pairs) stays "
+    "as the fast path; this variant pays ~k string md5s per shingle "
+    "for cross-engine verifiability. est_jaccard = agreeing positions "
+    "/ 16 — identical IEEE division both sides",
+)
+def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.io import fan_out
+    from cognitive_score_bigdata_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+        )
+        .distinct()
+    )
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(MH_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{4 * k + j}").cast("string")
+                                for j in range(4)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for k in range(MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MH_K)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
+        )
+    )
