@@ -144,6 +144,7 @@ HEADLINE = [
     "sketch_kmv_distinct_users",
     "dedup_simhash_pairs_md5",
     "dedup_minhash_pairs_md5",
+    "sketch_hll_md5_users",
 ]
 
 

@@ -1541,3 +1541,126 @@ def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_md5_users
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # 2^6 registers
+HLL_CAP = 32  # rho cap keeps 2^(CAP-rho) in BIGINT range
+_2_32 = 4294967296
+
+
+@register(
+    "sketch_hll_md5_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type, hv & {HLL_M - 1} AS bucket, hv >> 6 AS rest
+      FROM h
+    ),
+    rho AS (
+      SELECT event_type, bucket,
+             CASE WHEN rest = 0 THEN {HLL_CAP}
+                  ELSE LEAST(bit_count((rest & -rest) - 1) + 1, {HLL_CAP})
+             END AS r
+      FROM parts
+    ),
+    reg AS (
+      SELECT event_type, bucket, CAST(MAX(r) AS BIGINT) AS reg
+      FROM rho GROUP BY event_type, bucket
+    ),
+    acc AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_used,
+             CAST(SUM(CAST({_2_32} AS BIGINT) >> CAST(reg AS INTEGER))
+                  AS BIGINT) AS denom_used
+      FROM reg GROUP BY event_type
+    )
+    SELECT event_type, n_used,
+           CAST(denom_used + ({HLL_M} - n_used) * CAST({_2_32} AS BIGINT)
+                AS BIGINT) AS denom,
+           0.709 * {HLL_M} * {HLL_M} * {_2_32}.0
+             / (denom_used + ({HLL_M} - n_used) * CAST({_2_32} AS BIGINT))
+             AS hll_estimate
+    FROM acc
+    """,
+    doc="HyperLogLog with an EXACT oracle: md5-fixed hash, 64 "
+    "registers, and rho computed by the all-integer trailing-zero "
+    "trick bit_count((x & -x) - 1) + 1 — no log2, no float until the "
+    "single final division over identical operands, so registers, the "
+    "2^(32-rho) fixed-point denominator, and the alpha*m^2/denom "
+    "estimate are all bit-reproducible cross-engine. Registers are "
+    "MAX-merged (order-insensitive, partial-agg friendly) exactly as "
+    "in a production HLL; the theta/HLL sketches in operators/"
+    "sketches.py stay as the fast generic path, this row makes the "
+    "sketch FAMILY driver-auditable like the KMV and md5-MinHash rows. "
+    "NOTE: the small-range linear-counting correction (m*ln(m/empty)) "
+    "is deliberately omitted — ln is not bit-identical across libms — "
+    "so the raw estimate overshoots when n << m; n_used rides along so "
+    "a consumer can apply the correction downstream",
+)
+def sketch_hll_md5_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    parts = h.select(
+        "event_type",
+        F.col("hv").bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright("hv", 6).alias("rest"),
+    )
+    rho = parts.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(HLL_CAP))
+        .otherwise(
+            F.least(
+                F.bit_count(
+                    (F.col("rest").bitwiseAND(-F.col("rest"))) - 1
+                )
+                + 1,
+                F.lit(HLL_CAP),
+            )
+        )
+        .alias("r"),
+    )
+    reg = rho.groupBy("event_type", "bucket").agg(
+        F.max("r").cast("bigint").alias("reg")
+    )
+    acc = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        # pyspark's shiftright() only takes a literal shift amount; the
+        # SQL form accepts a column
+        F.sum(F.expr(f"shiftright(cast({_2_32} as bigint), cast(reg as int))"))
+        .cast("bigint")
+        .alias("denom_used"),
+    )
+    denom = F.col("denom_used") + (
+        F.lit(HLL_M) - F.col("n_used")
+    ) * F.lit(_2_32).cast("long")
+    return acc.select(
+        "event_type",
+        "n_used",
+        denom.cast("bigint").alias("denom"),
+        (
+            F.lit(0.709 * HLL_M * HLL_M) * F.lit(float(_2_32))
+            / denom.cast("double")
+        ).alias("hll_estimate"),
+    )
