@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_simhash_pairs_md5",
     "dedup_minhash_pairs_md5",
     "sketch_hll_md5_users",
+    "graph_minlabel_components",
 ]
 
 

@@ -143,3 +143,42 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.col("n").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+def minlabel_components(edges: DataFrame, n_iters: int = 8) -> DataFrame:
+    """Connected components by min-label propagation, fixed iterations.
+
+    ``edges`` needs ``src``/``dst`` with each undirected edge in ONE
+    direction; self-loops and symmetrization are added here. Every node
+    starts labeled with its own id; each round every node takes the
+    minimum label among itself and its neighbors. After ``n_iters``
+    rounds a node's label is the minimum node id within ``n_iters``
+    hops, so the result equals true connected components once
+    ``n_iters`` reaches the label-propagation diameter (distance from
+    each node to its component's minimum). Unlike the star-contraction
+    operator in ``operators/dedup.py`` (O(log d) rounds, rows-only
+    check), the fixed iteration count makes the output a pure function
+    of the input — which is what lets the registry query carry an exact
+    DuckDB oracle for a graph algorithm. Per round: one broadcast of
+    the |V|-row label vector into the edge list + one min-aggregate
+    shuffle on dst — the same Pregel shape as PageRank above.
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("n")).distinct()
+    withself = sym.unionAll(
+        nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    labels = nodes.select(
+        F.col("n").alias("node"), F.col("n").alias("lab")
+    )
+    for _ in range(n_iters):
+        labels = (
+            withself.join(F.broadcast(labels), labels.node == withself.src)
+            .groupBy("dst")
+            .agg(F.min("lab").alias("lab"))
+            .select(F.col("dst").alias("node"), "lab")
+        )
+    return labels

@@ -1664,3 +1664,91 @@ def sketch_hll_md5_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / denom.cast("double")
         ).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_minlabel_components
+# ---------------------------------------------------------------------------
+
+CC_ITERS = 8
+CC_SUPPORT = 2  # edge = parts co-purchased in >= 2 orders (sparser graph)
+
+_CC_ITER = """
+l{i} AS (
+  SELECT e.dst AS node, MIN(l.lab) AS lab
+  FROM es e JOIN l{prev} l ON l.node = e.src
+  GROUP BY e.dst
+)"""
+
+_CC_ORACLE = (
+    f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= {CC_SUPPORT}
+),
+sym AS (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS n FROM sym),
+es AS (
+  SELECT src, dst FROM sym
+  UNION ALL SELECT n, n FROM nodes
+),
+l0 AS (SELECT n AS node, n AS lab FROM nodes),
+"""
+    + ",".join(
+        _CC_ITER.format(i=i, prev=i - 1) for i in range(1, CC_ITERS + 1)
+    )
+    + f"""
+SELECT node AS part_key, CAST(lab AS BIGINT) AS component
+FROM l{CC_ITERS}
+"""
+)
+
+
+@register(
+    "graph_minlabel_components",
+    oracle=_CC_ORACLE,
+    doc=f"connected components over the support>={CC_SUPPORT} "
+    "co-purchase graph by min-label propagation with a FIXED iteration "
+    f"count ({CC_ITERS} rounds) — which makes the output a pure "
+    "function of the input, so a graph algorithm that is normally "
+    "rows-only (the star-contraction CC in operators/dedup.py "
+    "converges data-dependently) carries an exact unrolled-CTE oracle. "
+    "Convergence at this depth is pinned separately in "
+    "tests/test_graph_ops.py (8 vs 12 rounds identical on this graph); "
+    "per round: broadcast the |V|-row label vector, one min-agg "
+    "shuffle — Pregel shape, edges never reshuffle",
+)
+def graph_minlabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.graph import (
+        minlabel_components,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()  # basket semantics: a part counts once per order
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= CC_SUPPORT)
+        .select("src", "dst")
+    )
+    return minlabel_components(edges, n_iters=CC_ITERS).select(
+        F.col("node").alias("part_key"),
+        F.col("lab").cast("bigint").alias("component"),
+    )

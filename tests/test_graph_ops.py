@@ -128,3 +128,77 @@ def test_pagerank_irregular_matches_bruteforce(spark):
         ).collect()
     }
     assert got == _brute_pagerank(pairs, 7)
+
+
+# --- min-label connected components -----------------------------------------
+
+
+def test_minlabel_path_needs_depth(spark):
+    """A 0-9 path: node 9 is 9 hops from the minimum, so 8 rounds have
+    NOT converged (its label is still 1) while 9 rounds finish the job
+    — the fixed-iteration semantics the oracle depends on."""
+    from cognitive_score_bigdata_spark.operators.graph import (
+        minlabel_components,
+    )
+
+    path = [(i, i + 1) for i in range(9)]
+    eight = {
+        r.node: r.lab
+        for r in minlabel_components(_edges_df(spark, path), 8).collect()
+    }
+    nine = {
+        r.node: r.lab
+        for r in minlabel_components(_edges_df(spark, path), 9).collect()
+    }
+    assert eight[9] == 1 and nine[9] == 0
+    assert all(v == 0 for v in nine.values())
+
+
+def test_minlabel_two_components(spark):
+    from cognitive_score_bigdata_spark.operators.graph import (
+        minlabel_components,
+    )
+
+    pairs = [(0, 1), (1, 2), (10, 11), (11, 12), (12, 10)]
+    got = {
+        r.node: r.lab
+        for r in minlabel_components(_edges_df(spark, pairs), 5).collect()
+    }
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_minlabel_converged_on_copurchase_graph(spark):
+    """The registry query's semantic claim — 8 rounds = true components
+    on the support>=2 co-purchase graph — holds iff more rounds change
+    nothing."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.graph import (
+        minlabel_components,
+    )
+    from tests.conftest import SF_DIR
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+    )
+    eight = minlabel_components(edges, 8).toPandas()
+    twelve = minlabel_components(edges, 12).toPandas()
+    m8 = dict(zip(eight.node, eight.lab))
+    m12 = dict(zip(twelve.node, twelve.lab))
+    assert m8 == m12
