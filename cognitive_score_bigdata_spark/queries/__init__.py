@@ -65,13 +65,20 @@ def load_registry() -> dict[str, QuerySpec]:
     locally-green queries built late in round 3: event-analytics
     battery, exact-k stratified sample, IVFADC ANN, source-overlap
     matrix, forward as-of, SCD2 merge, time-grain rollup) AND
-    queries/round4_staging2.py (9 more: bucketed co-located join, DPP,
-    PageRank, triangle count, systematic weighted sampling, overlap
-    chunking, Levenshtein linkage, market basket, table profiling) plus
-    any round-4 additions, then fill the remaining window slots with
-    the stalest modules — corpus/extensions/aggregations and
-    analytics_tpch (r1-verified, not re-checked since) — keeping the
-    total window at exactly the first 50 entries.
+    queries/round4_staging2.py (18 more: bucketed co-located join +
+    bucketed aggregate, DPP, PageRank, triangle count, min-label CC,
+    systematic weighted sampling, overlap chunking, Levenshtein
+    linkage, market basket, table profiling, MAD anomalies, containment
+    near-dup, interval overlap, hierarchy rollup, time-RANGE window,
+    trend regression, and the auditable-sketch family: KMV,
+    md5-SimHash, md5-MinHash, md5-HLL) plus any round-4 additions, then
+    fill the remaining window slots with the stalest modules —
+    corpus/extensions/aggregations and analytics_tpch (r1-verified, not
+    re-checked since) — keeping the total window at exactly the first
+    50 entries.  If staging exceeds the window, prioritize the
+    auditable sketches and the co-location/DPP plan-pinned queries
+    (they upgrade previously-weak check classes), and carry the rest to
+    round 5.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         # --- round-3 driver window: first 50 registry entries ---
