@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_minhash_pairs_md5",
     "sketch_hll_md5_users",
     "graph_minlabel_components",
+    "streaming_hll_users",
 ]
 
 

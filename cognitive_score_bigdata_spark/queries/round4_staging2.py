@@ -1552,9 +1552,7 @@ HLL_CAP = 32  # rho cap keeps 2^(CAP-rho) in BIGINT range
 _2_32 = 4294967296
 
 
-@register(
-    "sketch_hll_md5_users",
-    oracle=f"""
+_HLL_ORACLE = f"""
     WITH h AS (
       SELECT DISTINCT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
@@ -1590,7 +1588,12 @@ _2_32 = 4294967296
              / (denom_used + ({HLL_M} - n_used) * CAST({_2_32} AS BIGINT))
              AS hll_estimate
     FROM acc
-    """,
+"""
+
+
+@register(
+    "sketch_hll_md5_users",
+    oracle=_HLL_ORACLE,
     doc="HyperLogLog with an EXACT oracle: md5-fixed hash, 64 "
     "registers, and rho computed by the all-integer trailing-zero "
     "trick bit_count((x & -x) - 1) + 1 — no log2, no float until the "
@@ -1751,4 +1754,59 @@ def graph_minlabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minlabel_components(edges, n_iters=CC_ITERS).select(
         F.col("node").alias("part_key"),
         F.col("lab").cast("bigint").alias("component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming_hll_users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hll_users",
+    oracle=_HLL_ORACLE,
+    doc="HLL registers maintained as a STREAMING aggregate (file "
+    "source -> md5/bucket/rho projection -> MAX-merge state -> memory "
+    "sink, availableNow) and finalized to the identical output as the "
+    "batch sketch — hash-matching the SAME oracle. MAX is associative, "
+    "commutative and idempotent, so micro-batch boundaries and replays "
+    "cannot perturb the registers: the streaming path is provably "
+    "batch-equivalent, and the state is bounded at groups x 64 rows "
+    "regardless of stream length — the use case HLL exists for",
+)
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cognitive_score_bigdata_spark.streaming.sketches import (
+        hll_register_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="csb_stream_hll_")
+    in_dir = os.path.join(work, "in")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .write.mode("overwrite")
+        .json(in_dir)
+    )
+    reg = hll_register_stream(
+        spark, in_dir, os.path.join(work, "ckpt"), m=HLL_M, rho_cap=HLL_CAP
+    )
+    acc = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr(f"shiftright(cast({_2_32} as bigint), cast(reg as int))"))
+        .cast("bigint")
+        .alias("denom_used"),
+    )
+    denom = F.col("denom_used") + (
+        F.lit(HLL_M) - F.col("n_used")
+    ) * F.lit(_2_32).cast("long")
+    return acc.select(
+        "event_type",
+        "n_used",
+        denom.cast("bigint").alias("denom"),
+        (
+            F.lit(0.709 * HLL_M * HLL_M) * F.lit(float(_2_32))
+            / denom.cast("double")
+        ).alias("hll_estimate"),
     )
