@@ -179,6 +179,7 @@ def main() -> None:
         "scan_zorder_two_dim",  # lake layout rewrite
         "join_bucketed_colocated",  # bucketed-table write
         "scan_dpp_partitioned_join",  # partitioned-lake write
+        "streaming_hll_users",  # stream-source JSON export
     ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()
