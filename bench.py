@@ -147,6 +147,8 @@ HEADLINE = [
     "sketch_hll_md5_users",
     "graph_minlabel_components",
     "streaming_hll_users",
+    "timeseries_twap_per_user",
+    "timeseries_ohlc_hourly",
 ]
 
 

@@ -1827,3 +1827,105 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / denom.cast("double")
         ).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_twap_per_user / timeseries_ohlc_hourly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_twap_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS BIGINT)
+               * (epoch_ms(nxt) - epoch_ms(ts)) AS wv,
+             CAST(epoch_ms(nxt) - epoch_ms(ts) AS BIGINT) AS dur
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(dur) AS BIGINT) AS total_ms,
+           CAST(SUM(wv) // SUM(dur) AS BIGINT) AS twap_micro
+    FROM iv GROUP BY user_id
+    HAVING SUM(dur) > 0
+    """,
+    doc="time-weighted average value per user (the step-function "
+    "integral between observations divided by elapsed time — TWAP, the "
+    "standard irregular-sampling average that a plain AVG gets wrong "
+    "whenever sampling density correlates with value). Entirely "
+    "integer: value in exact micro-units (via a DECIMAL(19,6) "
+    "intermediate, so the double->int conversion rounds identically "
+    "cross-engine), durations in ms, final integer division — a "
+    "decimal->double cast here diverges by an ulp because DuckDB "
+    "converts int128 decimals to double in two roundings where Spark "
+    "rounds once (found by the parity gate, worth recording). One "
+    "keyed window + one aggregate — the sessionization cost shape",
+)
+def timeseries_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dur = (
+        F.unix_millis(F.col("nxt").cast("timestamp"))
+        - F.unix_millis(F.col("ts").cast("timestamp"))
+    ).cast("bigint")
+    value_micro = (
+        F.col("value").cast("decimal(19,6)") * 1000000
+    ).cast("bigint")
+    iv = seq.select(
+        "user_id",
+        (value_micro * dur).alias("wv"),
+        dur.alias("dur"),
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("bigint").alias("total_ms"),
+            F.expr("sum(wv) div sum(dur)").cast("bigint").alias("twap_micro"),
+        )
+        .filter(F.col("total_ms") > 0)
+    )
+
+
+@register(
+    "timeseries_ohlc_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hr,
+           MIN({'t': ts, 'e': event_id, 'v': value})['v'] AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX({'t': ts, 'e': event_id, 'v': value})['v'] AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="OHLC bars (open/high/low/close per hour) — the market-data "
+    "downsampling primitive: open/close are first/last VALUE by event "
+    "time with event_id as the deterministic tiebreak, expressed as "
+    "lexicographic MIN/MAX over a (ts, event_id, value) struct — "
+    "order-insensitive, partial-agg friendly, no window, ONE shuffle. "
+    "The min_by/arg_min formulations are nondeterministic under ties "
+    "in both engines; the struct trick is the cross-engine-exact "
+    "rewrite (same pattern as span-dedup's winner selection)",
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    st = F.struct("ts", "event_id", "value")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.min(st).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(st).getField("value").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
