@@ -149,6 +149,7 @@ HEADLINE = [
     "streaming_hll_users",
     "timeseries_twap_per_user",
     "timeseries_ohlc_hourly",
+    "agg_equidepth_deciles",
 ]
 
 

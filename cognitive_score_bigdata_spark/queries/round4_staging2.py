@@ -1929,3 +1929,46 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(st).getField("value").alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_equidepth_deciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_equidepth_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT value, event_id,
+             ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM t GROUP BY decile
+    """,
+    doc="equi-depth histogram via NTILE(10): each bucket holds the same "
+    "row count and the (lo, hi] bounds trace the empirical deciles — "
+    "the complement of agg_histogram_value's equi-WIDTH bins, and the "
+    "exact audit for approx_percentile-derived bucketing. event_id "
+    "tiebreak makes bucket assignment deterministic for duplicate "
+    "values. The global NTILE is a single total-order sort; at 100 TB "
+    "the production form is approx quantile cuts + a broadcast "
+    "range-bin join (quality_rank_normalize shows the per-group "
+    "rank-percentile variant that avoids the global sort entirely)",
+)
+def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("value", "event_id"))
+    )
+    return t.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

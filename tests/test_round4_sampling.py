@@ -63,3 +63,39 @@ def test_partitioning_invariance(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_overlap_chunks_cover_every_token(spark):
+    """Chunker contract: stride windows cover [0, n) with no gap — the
+    last chunk's end reaches the token count, starts advance by STRIDE,
+    and chunk 0 starts at 0. Checked against independently computed
+    token counts."""
+    import pandas as pd  # noqa: F401
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.queries import load_registry
+    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+        STRIDE,
+        WIN,
+    )
+    from tests.conftest import SF_DIR
+
+    R = load_registry()
+    out = R["corpus_overlap_chunks"].fn(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    import re
+
+    true_n = {
+        r.doc_id: len(re.split(" +", r.text)) if r.text else 1
+        for r in docs.itertuples()
+    }
+    grouped = out.groupby("doc_id")
+    for doc_id, g in grouped:
+        n = true_n[doc_id]
+        ends = (g.chunk_id * STRIDE + g.n_tokens).max()
+        assert ends == n, (doc_id, ends, n)
+        assert g.chunk_id.min() == 0
+        # every chunk except possibly the last is full width
+        full = g[g.chunk_id < g.chunk_id.max()]
+        assert (full.n_tokens == WIN).all() or n <= WIN
+    assert set(grouped.groups) == set(true_n)
