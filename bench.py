@@ -150,6 +150,7 @@ HEADLINE = [
     "timeseries_twap_per_user",
     "timeseries_ohlc_hourly",
     "agg_equidepth_deciles",
+    "events_session_conversion",
 ]
 
 

@@ -1972,3 +1972,86 @@ def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_session_conversion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_conversion",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM (SELECT user_id, ts, event_type,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+      GROUP BY user_id, sid
+    )
+    SELECT CASE WHEN n_events <= 2 THEN 'short'
+                WHEN n_events <= 5 THEN 'medium'
+                ELSE 'long' END AS session_len,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+             AS conv_micro
+    FROM sess
+    GROUP BY 1
+    """,
+    doc="session-level conversion by session length (the do-longer-"
+    "sessions-convert product question): 30-min-gap sessionization, a "
+    "per-session converted flag (MAX over an indicator — "
+    "order-insensitive), then length-bucketed conversion in integer "
+    "micro-units. Composes the session window with conditional "
+    "aggregation; two keyed exchanges total (sessionize, bucket-agg) "
+    "and the session table is already tiny relative to the scan",
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.streaming.windows import session
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        ],
+    )
+    bucket = (
+        F.when(F.col("n_events") <= 2, "short")
+        .when(F.col("n_events") <= 5, "medium")
+        .otherwise("long")
+    )
+    return (
+        sess.groupBy(bucket.alias("session_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "session_len",
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_sessions")
+            .cast("bigint")
+            .alias("conv_micro"),
+        )
+    )
