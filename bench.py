@@ -184,6 +184,7 @@ def main() -> None:
         "join_bucketed_colocated",  # bucketed-table write
         "scan_dpp_partitioned_join",  # partitioned-lake write
         "streaming_hll_users",  # stream-source JSON export
+        "market_basket_pairs",  # co-purchase pair-support build
     ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()

@@ -143,6 +143,43 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared co-purchase build artifact: four graph/basket queries (PageRank,
+# triangle count, market basket, min-label CC) all start from the same
+# order-local pair self-join. Materialize the (p1 < p2, sup) support
+# table once per (session, corpus) — the same build-once/query-many
+# economics as the minhash/BM25/bucketed-table artifacts.
+_PAIR_CACHE: dict[tuple[int, str], str] = {}
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, p2, sup): distinct part pairs per order with co-purchase
+    support, p1 < p2; session-cached parquet."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIR_CACHE:
+        path = tempfile.mkdtemp(prefix="csb_copurchase_") + "/pairs"
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("pk"),
+            )
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        (
+            a.join(
+                b,
+                (F.col("a.ok") == F.col("b.ok"))
+                & (F.col("a.pk") < F.col("b.pk")),
+            )
+            .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .write.parquet(path)
+        )
+        _PAIR_CACHE[key] = path
+    return spark.read.parquet(_PAIR_CACHE[key])
+
+
 # ---------------------------------------------------------------------------
 # graph_pagerank_copurchase
 # ---------------------------------------------------------------------------
@@ -204,19 +241,7 @@ LIMIT {PR_TOPK}
     "right while ranks fit in memory (they do: one row per part)",
 )
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
-        .distinct()
-    )
+    pairs = copurchase_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
@@ -527,17 +552,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    li = li.localCheckpoint(eager=False)  # reused 3x: pairs, item, N
+    li = li.localCheckpoint(eager=False)  # reused: item supports, N
     item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("sup"))
-    a, b = li.alias("a"), li.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("sup_pair"))
+        copurchase_pairs(spark, sf_dir)
+        .select("p1", "p2", F.col("sup").alias("sup_pair"))
         .filter(F.col("sup_pair") >= MIN_SUPPORT)
     )
     n_baskets = li.groupBy().agg(F.count(F.lit(1)).alias("n"))
@@ -667,18 +686,8 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar result",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
+    edges = copurchase_pairs(spark, sf_dir).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
     )
     return triangle_count(edges)
 
@@ -1734,22 +1743,10 @@ def graph_minlabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         minlabel_components,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()  # basket semantics: a part counts once per order
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("sup"))
+        copurchase_pairs(spark, sf_dir)
         .filter(F.col("sup") >= CC_SUPPORT)
-        .select("src", "dst")
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
     )
     return minlabel_components(edges, n_iters=CC_ITERS).select(
         F.col("node").alias("part_key"),
