@@ -151,6 +151,7 @@ HEADLINE = [
     "timeseries_ohlc_hourly",
     "agg_equidepth_deciles",
     "events_session_conversion",
+    "text_prefix_filter_join",
 ]
 
 

@@ -2052,3 +2052,122 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conv_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_prefix_filter_join
+# ---------------------------------------------------------------------------
+
+PFJ_T_NUM, PFJ_T_DEN = 4, 5  # Jaccard threshold t = 4/5
+
+
+@register(
+    "text_prefix_filter_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+      FROM documents
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(sa.n + sb.n - i.n_common AS BIGINT) AS n_union
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * {PFJ_T_DEN}
+          >= {PFJ_T_NUM} * (sa.n + sb.n - i.n_common)
+    """,
+    doc="exact set-similarity join (Jaccard >= 0.8, GLOBAL — no source "
+    "blocking) by prefix filtering (Chaudhuri'06/Bayardo'07 AllPairs): "
+    "tokens canonically ordered by (global df, token), each doc emits "
+    "only its first n - ceil(t*n) + 1 tokens as candidate keys — any "
+    "qualifying pair provably shares a prefix token, so the posting "
+    "join runs on prefixes (sum of small prefix-df^2) instead of the "
+    "full sum-df^2 blow-up the oracle's naive formulation spells. The "
+    "hash-match against that naive oracle IS the recall-guarantee "
+    "proof on this corpus: a single missed pair would fail parity. "
+    "Integer threshold predicate; rarest-first ordering makes prefix "
+    "buckets the smallest available",
+)
+def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.io import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), " +"))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    df_t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(df_t, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
+                ),
+                lambda s: s.tok,
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks").cast("bigint"))
+        # prefix length n - ceil(t*n) + 1, all-integer ceil
+        .withColumn(
+            "p",
+            F.col("n")
+            - F.expr(
+                f"(n * {PFJ_T_NUM} + {PFJ_T_DEN - 1}) div {PFJ_T_DEN}"
+            )
+            + 1,
+        )
+        .localCheckpoint(eager=False)  # reused: prefix emit + verify
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.col("toks"), 1, F.col("p").cast("int"))
+        ).alias("tok"),
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    db = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    nc = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", nc)
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        .filter(
+            F.col("n_common") * PFJ_T_DEN >= PFJ_T_NUM * F.col("n_union")
+        )
+        .select("doc_a", "doc_b", "n_common", "n_union")
+    )
