@@ -152,6 +152,7 @@ HEADLINE = [
     "agg_equidepth_deciles",
     "events_session_conversion",
     "text_prefix_filter_join",
+    "graph_sssp_copurchase",
 ]
 
 

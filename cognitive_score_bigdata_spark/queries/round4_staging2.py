@@ -2171,3 +2171,95 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "n_common", "n_union")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_sssp_copurchase
+# ---------------------------------------------------------------------------
+
+SSSP_ITERS = 6
+
+_SSSP_ITER = """
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT d.node, d.dist FROM d{prev} d
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM es e JOIN d{prev} d ON d.node = e.src
+  ) GROUP BY node
+)"""
+
+_SSSP_ORACLE = (
+    """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+sym AS (
+  SELECT p1 AS src, p2 AS dst, sup FROM pairs
+  UNION ALL SELECT p2, p1, sup FROM pairs
+),
+es AS (SELECT src, dst, CAST(1000 // sup AS BIGINT) + 1 AS w FROM sym),
+src0 AS (SELECT MIN(src) AS s FROM es),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src0),
+"""
+    + ",".join(
+        _SSSP_ITER.format(i=i, prev=i - 1)
+        for i in range(1, SSSP_ITERS + 1)
+    )
+    + f"""
+SELECT node AS part_key, dist AS dist_milli FROM d{SSSP_ITERS}
+"""
+)
+
+
+@register(
+    "graph_sssp_copurchase",
+    oracle=_SSSP_ORACLE,
+    doc="single-source shortest paths (Bellman-Ford, the recursive-"
+    "aggregate benchmark query of RaSQL SIGMOD'19) over the weighted "
+    "co-purchase graph: edge weight = 1000 div support + 1 (stronger "
+    f"co-purchase = closer), {SSSP_ITERS} fixed min-plus relaxation "
+    "rounds from the minimum part key. Fixed iterations + integer "
+    "weights = pure function of the input, so the unrolled-CTE oracle "
+    "matches exactly whether or not the fixpoint has been reached "
+    "(same contract as graph_minlabel_components). Per round: "
+    "broadcast the frontier distances into the edge list, one min-agg "
+    "shuffle — Spark has no recursive SQL, the iterate-and-min-merge "
+    "loop IS the engine's recursive aggregate",
+)
+def graph_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = copurchase_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "sup"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"), "sup"
+        )
+    )
+    es = sym.select(
+        "src",
+        "dst",
+        (F.expr("1000 div sup") + 1).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=False)  # relaxed against every round
+    src0 = es.groupBy().agg(F.min("src").alias("node"))
+    dist = src0.select("node", F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(SSSP_ITERS):
+        relax = es.join(F.broadcast(dist), dist.node == es.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").alias("part_key"),
+        F.col("dist").cast("bigint").alias("dist_milli"),
+    )
