@@ -153,6 +153,7 @@ HEADLINE = [
     "events_session_conversion",
     "text_prefix_filter_join",
     "graph_sssp_copurchase",
+    "graph_kcore_copurchase",
 ]
 
 

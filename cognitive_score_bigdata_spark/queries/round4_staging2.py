@@ -2197,7 +2197,7 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SSSP_ITERS = 6
 
 _SSSP_ITER = """
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT node, MIN(dist) AS dist FROM (
     SELECT d.node, d.dist FROM d{prev} d
     UNION ALL
@@ -2279,4 +2279,89 @@ def graph_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("part_key"),
         F.col("dist").cast("bigint").alias("dist_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_copurchase
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+_KCORE_ITER = """
+keep{i} AS MATERIALIZED (
+  SELECT src AS n FROM e{prev} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{prev} e
+  JOIN keep{i} a ON a.n = e.src
+  JOIN keep{i} b ON b.n = e.dst
+)"""
+
+_KCORE_ORACLE = (
+    f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+"""
+    + ",".join(
+        _KCORE_ITER.format(i=i, prev=i - 1, k=KCORE_K)
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    + f"""
+SELECT src AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ROUNDS} GROUP BY src
+"""
+)
+
+
+@register(
+    "graph_kcore_copurchase",
+    oracle=_KCORE_ORACLE,
+    doc=f"k-core decomposition (k={KCORE_K}) of the support>=2 "
+    f"co-purchase graph by {KCORE_ROUNDS} fixed peeling rounds: drop "
+    "nodes with degree < k, restrict edges to survivors, repeat — the "
+    "cohesive-subgraph primitive behind spam-cluster and community "
+    "detection. Fixed rounds keep the output a pure function of the "
+    "input (the same contract as min-label CC and SSSP), and the "
+    "oracle's unrolled CTEs are AS MATERIALIZED — without it DuckDB "
+    "inlines each level's three references and the plan grows 3^8-fold "
+    "(found the hard way: 'too many open files' from 6561 inlined "
+    "parquet scans). Per round: one degree aggregate + two semi-joins, "
+    "all hash-partitioned on vertex ids",
+)
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = copurchase_pairs(spark, sf_dir).filter(F.col("sup") >= 2)
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    ).localCheckpoint(eager=False)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("n"))
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("n", "dst"), "dst", "semi")
+            .select("src", "dst")
+            # each round's survivor edge set feeds the next round's
+            # degree count AND both semi-joins: cut the lineage
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("src").alias("part_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
