@@ -154,6 +154,7 @@ HEADLINE = [
     "text_prefix_filter_join",
     "graph_sssp_copurchase",
     "graph_kcore_copurchase",
+    "text_novelty_score",
 ]
 
 

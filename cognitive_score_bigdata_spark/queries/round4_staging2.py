@@ -2365,3 +2365,75 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("part_key")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_novelty_score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_novelty_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(u.i AS INTEGER):CAST(u.i + 2 AS INTEGER)],
+                             ' ') AS s
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    ),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (df.df = 1) AS BIGINT) AS n_unique,
+           CAST((COUNT(*) FILTER (df.df = 1)) * 1000000 // COUNT(*)
+                AS BIGINT) AS novelty_micro
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc="per-document n-gram novelty: the fraction of a doc's distinct "
+    "3-gram shingles that appear NOWHERE else in the corpus — high "
+    "novelty = original content, low = boilerplate/template recombination "
+    "(the inverse signal of text_charngram_familiarity, computed "
+    "corpus-relative instead of model-relative). Shingle document "
+    "frequencies via one hash agg, joined back to the doc's shingles — "
+    "two shuffles on the shingle key; integer micro-unit ratio. The "
+    "upweight-novel/downweight-duplicated curriculum signal in LLM "
+    "data pipelines",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.io import fan_out
+    from cognitive_score_bigdata_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: df build + rejoin
+    )
+    df_s = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_s, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("(n_unique * 1000000) div n_shingles")
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
