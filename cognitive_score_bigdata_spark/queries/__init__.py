@@ -65,13 +65,16 @@ def load_registry() -> dict[str, QuerySpec]:
     locally-green queries built late in round 3: event-analytics
     battery, exact-k stratified sample, IVFADC ANN, source-overlap
     matrix, forward as-of, SCD2 merge, time-grain rollup) AND
-    queries/round4_staging2.py (18 more: bucketed co-located join +
-    bucketed aggregate, DPP, PageRank, triangle count, min-label CC,
-    systematic weighted sampling, overlap chunking, Levenshtein
-    linkage, market basket, table profiling, MAD anomalies, containment
-    near-dup, interval overlap, hierarchy rollup, time-RANGE window,
-    trend regression, and the auditable-sketch family: KMV,
-    md5-SimHash, md5-MinHash, md5-HLL) plus any round-4 additions, then
+    queries/round4_staging2.py (27 more: bucketed co-located join +
+    bucketed aggregate, DPP, the graph family [PageRank, triangle
+    count, min-label CC, Bellman-Ford SSSP, k-core], systematic
+    weighted sampling, overlap chunking, Levenshtein linkage, market
+    basket, table profiling, MAD anomalies, containment near-dup,
+    interval overlap, hierarchy rollup, time-RANGE window, trend
+    regression, TWAP, hourly OHLC, equi-depth deciles, session
+    conversion, prefix-filter similarity join, n-gram novelty, and the
+    auditable-sketch family: KMV, md5-SimHash, md5-MinHash, md5-HLL,
+    streaming HLL) plus any round-4 additions, then
     fill the remaining window slots with the stalest modules —
     corpus/extensions/aggregations and analytics_tpch (r1-verified, not
     re-checked since) — keeping the total window at exactly the first
