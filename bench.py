@@ -155,6 +155,7 @@ HEADLINE = [
     "graph_sssp_copurchase",
     "graph_kcore_copurchase",
     "text_novelty_score",
+    "graph_clustering_topk",
 ]
 
 

@@ -74,13 +74,11 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = 5) -> DataFrame:
     return ranks
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count via degree orientation; 1-row DataFrame.
-
-    ``edges`` needs columns ``src``/``dst`` holding each undirected edge
-    exactly once (either direction). Returns (n_vertices, n_edges,
-    n_triangles), all BIGINT.
-    """
+def _orient(edges: DataFrame):
+    """Degree-oriented edge list: returns (e, deg, rk, oe) where oe has
+    (lo, hi) vertex RANKS with rank(lo) < rank(hi), rank = row_number
+    over (degree, id). The V-sized global window touches one row per
+    vertex, never the edges."""
     e = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).localCheckpoint(eager=False)
@@ -90,8 +88,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # V-sized global window (one row per vertex, NOT per edge): the
-    # edges never pass through the single-partition sort.
     rk = deg.select(
         "node",
         F.row_number()
@@ -110,6 +106,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # reused: adjacency build + probe
     )
+    return e, deg, rk, oe
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via degree orientation; 1-row DataFrame.
+
+    ``edges`` needs columns ``src``/``dst`` holding each undirected edge
+    exactly once (either direction). Returns (n_vertices, n_edges,
+    n_triangles), all BIGINT.
+    """
+    e, deg, rk, oe = _orient(edges)
     # Edge-iterator with sorted out-adjacency arrays: each edge (lo,hi)
     # contributes |N+(lo) ∩ N+(hi)| triangles. 5x faster than the
     # explicit wedge join at sf0.1 (2.5 s vs 12 s, same count): the
@@ -182,3 +189,40 @@ def minlabel_components(edges: DataFrame, n_iters: int = 8) -> DataFrame:
             .select(F.col("dst").alias("node"), "lab")
         )
     return labels
+
+
+def local_triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation: (node, n_triangles, degree).
+
+    Same oriented edge-iterator as :func:`triangle_count`, but instead
+    of counting intersections it EXPLODES them: each common neighbor w
+    of oriented edge (lo, hi) witnesses triangle {lo, hi, w}, and all
+    three corners get credit. Output volume is 3x the triangle count —
+    linear in the answer, still no wedge relation materialized. Nodes
+    in no triangle are absent (join back to ``deg`` for zeros).
+    """
+    _, deg, rk, oe = _orient(edges)
+    adj = oe.groupBy("lo").agg(
+        F.sort_array(F.collect_list("hi")).alias("nbrs")
+    )
+    al = adj.select("lo", F.col("nbrs").alias("nl"))
+    ah = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nh"))
+    tri = (
+        oe.join(al, "lo")
+        .join(ah, "hi")
+        .select(
+            "lo", "hi", F.explode(F.array_intersect("nl", "nh")).alias("w")
+        )
+    )
+    credit = (
+        tri.select(F.col("lo").alias("r"))
+        .unionAll(tri.select(F.col("hi").alias("r")))
+        .unionAll(tri.select(F.col("w").alias("r")))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        credit.join(F.broadcast(rk), rk.r == credit.r)
+        .join(F.broadcast(deg), "node")
+        .select("node", "n_triangles", F.col("d").cast("bigint").alias("degree"))
+    )

@@ -2437,3 +2437,84 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_topk
+# ---------------------------------------------------------------------------
+
+LCC_TOPK = 50
+
+
+@register(
+    "graph_clustering_topk",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS MATERIALIZED (
+      SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x
+    ),
+    rk AS MATERIALIZED (
+      SELECT node, CAST(ROW_NUMBER() OVER (ORDER BY d, node) AS BIGINT) AS r
+      FROM deg
+    ),
+    oe AS MATERIALIZED (
+      SELECT LEAST(ru.r, rv.r) AS lo, GREATEST(ru.r, rv.r) AS hi
+      FROM e JOIN rk ru ON ru.node = e.u JOIN rk rv ON rv.node = e.v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM oe e1
+      JOIN oe e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN oe e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ),
+    pertri AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY x
+    )
+    SELECT rk.node AS part_key, p.t AS n_triangles, d.d AS degree,
+           CAST((p.t * 2000000) // (d.d * (d.d - 1)) AS BIGINT)
+             AS clustering_micro
+    FROM pertri p JOIN rk ON rk.r = p.x JOIN deg d ON d.node = rk.node
+    ORDER BY n_triangles DESC, part_key
+    LIMIT {LCC_TOPK}
+    """,
+    doc="local clustering coefficient, top-50 by triangle "
+    "participation: per-node triangle counts from the oriented "
+    "edge-iterator with the intersections EXPLODED (all three corners "
+    "credited; output linear in the triangle count, the wedge relation "
+    "still never materialized), coefficient = 2T/(d(d-1)) in integer "
+    "micro-units. The oracle enumerates triangles naively with "
+    "MATERIALIZED CTEs; the hash match transfers the edge-iterator's "
+    "correctness from global counting (graph_triangle_count) to the "
+    "per-node decomposition",
+)
+def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.graph import (
+        local_triangle_counts,
+    )
+
+    edges = copurchase_pairs(spark, sf_dir).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    )
+    lt = local_triangle_counts(edges)
+    return (
+        lt.select(
+            F.col("node").alias("part_key"),
+            "n_triangles",
+            "degree",
+            F.expr("(n_triangles * 2000000) div (degree * (degree - 1))")
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(LCC_TOPK)
+    )
