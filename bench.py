@@ -156,6 +156,7 @@ HEADLINE = [
     "graph_kcore_copurchase",
     "text_novelty_score",
     "graph_clustering_topk",
+    "graph_pagerank_weighted",
 ]
 
 

@@ -36,7 +36,9 @@ PR_BASE = 150_000  # (1 - d) in micro-units, d = 0.85
 PR_INIT = 1_000_000
 
 
-def pagerank_fixed_point(edges: DataFrame, n_iters: int = 5) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame, n_iters: int = 5, weight_col: str | None = None
+) -> DataFrame:
     """PageRank over a directed edge list, exact BIGINT micro-units.
 
     ``edges`` needs columns ``src`` and ``dst``. Every node must have at
@@ -44,11 +46,16 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = 5) -> DataFrame:
     undirected; dangling nodes would otherwise leak rank mass).
     Returns (node, rank_micro) for every node with an in-edge.
 
-    r_{t+1}(v) = 150000 + Σ_{u→v} (r_t(u) * 17) div (20 * outdeg(u))
+    Unweighted: r_{t+1}(v) = 150000 + Σ (r_t(u) * 17) div (20 * outdeg(u)).
+    With ``weight_col`` (integer edge weights), rank flows proportional
+    to weight: contribution = (r * 17 * w) div (20 * wdeg(u)) where
+    wdeg = Σ out-weights — still all-BIGINT, still bit-exact.
     """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    edges = edges.select("src", "dst", w.cast("bigint").alias("__w"))
     edges = edges.localCheckpoint(eager=False)  # reused every iteration
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # degree folded into the edge list once, outside the loop
+    deg = edges.groupBy("src").agg(F.sum("__w").alias("d"))
+    # weighted out-degree folded into the edge list once, outside the loop
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
 
     ranks = deg.select(
@@ -60,7 +67,7 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = 5) -> DataFrame:
             F.broadcast(ranks), ranks.node == ed.src
         ).select(
             F.col("dst"),
-            F.expr("(rank_micro * 17) div (20 * d)").alias("c"),
+            F.expr("(rank_micro * 17 * __w) div (20 * d)").alias("c"),
         )
         ranks = (
             contrib.groupBy("dst")

@@ -2518,3 +2518,78 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part_key")
         .limit(LCC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_weighted
+# ---------------------------------------------------------------------------
+
+_WPR_ITER = """
+r{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(150000 + SUM((r.r * 17 * e.sup) // (20 * d.d)) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+
+_WPR_ORACLE = (
+    """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+edges AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst, sup FROM pairs
+  UNION ALL
+  SELECT p2, p1, sup FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT src, CAST(SUM(sup) AS BIGINT) AS d FROM edges GROUP BY src
+),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+"""
+    + ",".join(
+        _WPR_ITER.format(i=i, prev=i - 1)
+        for i in range(1, PR_ITERS + 1)
+    )
+    + f"""
+SELECT node AS part_key, r AS rank_micro
+FROM r{PR_ITERS}
+ORDER BY rank_micro DESC, part_key
+LIMIT {PR_TOPK}
+"""
+)
+
+
+@register(
+    "graph_pagerank_weighted",
+    oracle=_WPR_ORACLE,
+    doc="support-weighted PageRank: rank flows proportional to "
+    "co-purchase strength — contribution (r * 17 * sup) div "
+    "(20 * weighted_outdeg), still all-BIGINT and bit-exact. NOTE the "
+    "weighted and unweighted variants rank DIFFERENT parts at the top "
+    "(a part in many weak baskets outranks one in few strong baskets "
+    "only in the unweighted walk) — which is why both are registered; "
+    "the operator takes weight_col and serves both from one "
+    "implementation. Unweighted li is DISTINCT'd per order (basket "
+    "semantics), same Pregel broadcast-and-aggregate loop",
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst"), "sup"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("src"), F.col("p1").alias("dst"), "sup"
+        )
+    )
+    ranks = pagerank_fixed_point(edges, n_iters=PR_ITERS, weight_col="sup")
+    return (
+        ranks.select(F.col("node").alias("part_key"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "part_key")
+        .limit(PR_TOPK)
+    )
