@@ -157,6 +157,9 @@ HEADLINE = [
     "text_novelty_score",
     "graph_clustering_topk",
     "graph_pagerank_weighted",
+    "setop_intersect_all",
+    "setop_except_all",
+    "timeseries_max_drawdown",
 ]
 
 

@@ -2593,3 +2593,102 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "part_key")
         .limit(PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# setop_intersect_all / setop_except_all  (multiset semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT user_id, CAST(FLOOR(value) AS BIGINT) AS v
+    FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id, CAST(FLOOR(value) AS BIGINT)
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="INTERSECT ALL — multiset intersection (each row survives "
+    "min(count_left, count_right) times), vs the distinct-set "
+    "intersect already covered by setop_intersect. Values bucketed to "
+    "BIGINT so duplicates actually occur; Spark intersectAll "
+    "implements the same bag semantics via a counted hash aggregate",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("value").cast("bigint").alias("v")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("value").cast("bigint").alias("v")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT user_id, CAST(FLOOR(value) AS BIGINT) AS v
+    FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id, CAST(FLOOR(value) AS BIGINT)
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="EXCEPT ALL — multiset difference (each row survives "
+    "count_left - count_right times, floored at zero): the bag "
+    "semantics a reconciliation/anti-delta job needs, where the "
+    "distinct EXCEPT would hide duplicate-count drift entirely",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("value").cast("bigint").alias("v")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("value").cast("bigint").alias("v")
+    )
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# timeseries_max_drawdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_max_drawdown",
+    oracle="""
+    WITH runmax AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           MAX(peak - value) AS max_drawdown,
+           MAX(peak) AS peak_value
+    FROM runmax GROUP BY user_id
+    """,
+    doc="maximum drawdown per user (largest drop from a running peak — "
+    "the risk metric every monitoring dashboard wants on a value "
+    "stream): running MAX window + one aggregate. Float-safe WITHOUT "
+    "decimal tricks because the arithmetic is max/subtract only — no "
+    "accumulation, so every engine computes the identical IEEE result "
+    "on identical operands. Same two-exchange shape as the other keyed "
+    "windows",
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runmax = ev.withColumn("peak", F.max("value").over(w))
+    return runmax.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
+        F.max("peak").alias("peak_value"),
+    )
