@@ -2692,3 +2692,54 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
         F.max("peak").alias("peak_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median_by_source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    )
+    SELECT source,
+           MIN(n_chars) FILTER (2 * cum >= total) AS weighted_median_chars,
+           CAST(MAX(total) AS BIGINT) AS total_chars
+    FROM w GROUP BY source
+    """,
+    doc="weighted median document length per source: the n_chars value "
+    "at which the cumulative character mass crosses half the total — "
+    "lower-weighted-nearest-rank selection via the integer predicate "
+    "2*cum >= total, so a handful of giant documents can't drag the "
+    "'typical length' the way a weighted MEAN lets them. Same exact "
+    "prefix-sum machinery as the systematic sampler; one keyed window "
+    "+ one aggregate. MIN FILTER picks the crossing row without a "
+    "second window pass",
+)
+def agg_weighted_median_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cum_w = Window.partitionBy("source").orderBy(
+        "n_chars", "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = Window.partitionBy("source")
+    w = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(cum_w).alias("cum"),
+        F.sum("n_chars").over(tot_w).alias("total"),
+    )
+    return w.groupBy("source").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("n_chars")))
+        .alias("weighted_median_chars"),
+        F.max("total").cast("bigint").alias("total_chars"),
+    )
