@@ -160,6 +160,8 @@ HEADLINE = [
     "setop_intersect_all",
     "setop_except_all",
     "timeseries_max_drawdown",
+    "agg_weighted_median_by_source",
+    "sketch_kmv_overlap3",
 ]
 
 

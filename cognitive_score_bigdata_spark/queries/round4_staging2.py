@@ -2743,3 +2743,113 @@ def agg_weighted_median_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("weighted_median_chars"),
         F.max("total").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_overlap3
+# ---------------------------------------------------------------------------
+
+KMV3_K = 8
+KMV3_THR = 90  # per-type high-value user sets: partial 3-way overlap
+
+
+@register(
+    "sketch_kmv_overlap3",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_c
+      FROM events WHERE value > {KMV3_THR}
+        AND event_type IN ('click', 'view', 'purchase')
+      GROUP BY user_id
+    ),
+    h AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS hv
+      FROM m
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY hv) AS rn,
+             count(*) OVER () AS n_union
+      FROM h
+    ),
+    bk AS (SELECT * FROM ranked WHERE rn <= {KMV3_K})
+    SELECT CAST(MAX(n_union) AS BIGINT) AS n_union_exact,
+           CAST((SELECT COUNT(*) FROM m
+                 WHERE in_a = 1 AND in_b = 1 AND in_c = 1) AS BIGINT)
+             AS n_abc_exact,
+           CAST(SUM(in_a * in_b * in_c) AS BIGINT) AS k_hits,
+           CAST({KMV3_K - 1} AS DOUBLE) * 1152921504606846976.0
+             / CAST(MAX(CASE WHEN rn = {KMV3_K} THEN hv END) AS DOUBLE)
+             * CAST(SUM(in_a * in_b * in_c) AS DOUBLE) / {KMV3_K}
+             AS est_abc
+    FROM bk
+    """,
+    doc="theta-sketch-style 3-way set-intersection estimate from ONE "
+    "bottom-k sample: the k minimum hashes of the UNION of the three "
+    "high-value user sets form an unbiased sample; intersection "
+    "estimate = union KMV estimate x fraction of the sample present "
+    "in all three sets. Deterministic md5 hashing makes the sketch "
+    "algebra itself hash-match the oracle (exact counts ride along "
+    "for error inspection). The set-operation composability that "
+    "plain distinct-counters lack is the whole reason theta/KMV "
+    "sketches exist; the generic theta implementation stays in "
+    "operators/sketches.py, this row makes the algebra auditable",
+)
+def sketch_kmv_overlap3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.filter(
+            (F.col("value") > KMV3_THR)
+            & F.col("event_type").isin("click", "view", "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("in_b"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_c"),
+        )
+    )
+    h = m.withColumn(
+        "hv",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    ranked = h.withColumn(
+        "rn", F.row_number().over(Window.orderBy("hv"))
+    ).withColumn("n_union", F.count(F.lit(1)).over(Window.partitionBy()))
+    bk = ranked.filter(F.col("rn") <= KMV3_K)
+    # exact intersection as a lazy 1-row aggregate (no driver .count():
+    # the exact side rides the same job as the sketch side)
+    abc = m.filter(
+        (F.col("in_a") == 1) & (F.col("in_b") == 1) & (F.col("in_c") == 1)
+    ).groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_abc_exact"))
+    kth = F.max(F.when(F.col("rn") == KMV3_K, F.col("hv")))
+    hits = F.sum(F.col("in_a") * F.col("in_b") * F.col("in_c"))
+    return bk.groupBy().agg(
+        F.max("n_union").cast("bigint").alias("n_union_exact"),
+        hits.cast("bigint").alias("k_hits"),
+        (
+            F.lit(float(KMV3_K - 1))
+            * F.lit(1152921504606846976.0)
+            / kth.cast("double")
+            * hits.cast("double")
+            / F.lit(KMV3_K)
+        ).alias("est_abc"),
+    ).crossJoin(F.broadcast(abc)).select(
+        "n_union_exact", "n_abc_exact", "k_hits", "est_abc"
+    )
