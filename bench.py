@@ -162,6 +162,8 @@ HEADLINE = [
     "timeseries_max_drawdown",
     "agg_weighted_median_by_source",
     "sketch_kmv_overlap3",
+    "ml_kfold_assignment",
+    "agg_corr_value_hour",
 ]
 
 

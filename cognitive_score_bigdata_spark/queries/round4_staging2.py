@@ -2853,3 +2853,126 @@ def sketch_kmv_overlap3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(abc)).select(
         "n_union_exact", "n_abc_exact", "k_hits", "est_abc"
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kfold_assignment / agg_corr_value_hour
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5
+
+
+@register(
+    "ml_kfold_assignment",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % {KFOLDS} AS fold
+      FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM f GROUP BY fold
+    """,
+    doc="deterministic k-fold assignment (k=5) by hash-mod of the "
+    "document id — the cross-validation prep that must be reproducible "
+    "across engines, reruns, and cluster sizes (a random split is "
+    "none of those); per-fold size/mass/source stats let a consumer "
+    "check balance before training. Same md5->60-bit mechanism as the "
+    "holdout split (corpus_train_holdout_split), generalized to k "
+    "ways; embarrassingly parallel, one aggregate",
+)
+def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(KFOLDS),
+    )
+    return (
+        docs.withColumn("fold", fold.cast("bigint"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "agg_corr_value_hour",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(19,6)) * 1000 AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             AS pearson_r
+    FROM s
+    """,
+    doc="Pearson correlation (value vs hour-of-day, per event type) "
+    "from one-pass integer sufficient statistics: y in exact "
+    "micro-units, all five sums exact, and the only floating point is "
+    "division and sqrt over identical operands — sqrt is CORRECTLY "
+    "ROUNDED by IEEE 754 (unlike ln/exp/pow), so the result is "
+    "bit-identical cross-engine and the correlation earns a hash row "
+    "where corr()'s streaming covariance (update-order-dependent) "
+    "could not. Near-zero r expected: value is hour-independent in "
+    "this data, which is itself the check a feature-screening job "
+    "wants",
+)
+def agg_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("x"),
+        # milli-units: y^2 sums stay under 2^63, so BOTH engines keep
+        # exact int64 all the way (micro-units pushed syy past 2^63,
+        # where DuckDB's hugeint->double two-step rounding can diverge)
+        (F.col("value").cast("decimal(19,6)") * 1000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    dx = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    dy = F.sqrt(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return s.select("event_type", "n", (num / dx / dy).alias("pearson_r"))
