@@ -164,6 +164,7 @@ HEADLINE = [
     "sketch_kmv_overlap3",
     "ml_kfold_assignment",
     "agg_corr_value_hour",
+    "agg_gini_value",
 ]
 
 

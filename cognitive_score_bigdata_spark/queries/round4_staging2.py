@@ -2976,3 +2976,75 @@ def agg_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sy").cast("double") * F.col("sy").cast("double")
     )
     return s.select("event_type", "n", (num / dx / dy).alias("pearson_r"))
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_value",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(19,6)) * 1000 AS BIGINT) AS y,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY y, event_id) AS BIGINT) AS i
+      FROM d
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(i * y) AS BIGINT) AS siy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (2.0 * CAST(siy AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of event value per type (the concentration/"
+    "inequality metric: 0 = uniform, ->1 = one event carries all the "
+    "mass — the long-tail diagnostic for monetization or token-count "
+    "distributions): rank-weighted sum formula G = 2*Sum(i*y_i)/(n*Sum y) "
+    "- (n+1)/n over milli-unit integer values, exact sums, final "
+    "arithmetic over identical operands. One keyed sort-window + one "
+    "aggregate; event_id tiebreak makes ranks (and thus Sum(i*y)) "
+    "deterministic under duplicate values",
+)
+def agg_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(19,6)") * 1000)
+        .cast("bigint")
+        .alias("y"),
+        "event_id",
+    )
+    r = d.withColumn(
+        "i",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("y", "event_id"))
+        .cast("bigint"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).cast("bigint").alias("siy"),
+    )
+    gini = (
+        F.lit(2.0)
+        * F.col("siy").cast("double")
+        / (F.col("n").cast("double") * F.col("sy").cast("double"))
+    ) - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
+    return s.select("event_type", "n", gini.alias("gini"))
