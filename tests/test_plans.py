@@ -391,3 +391,26 @@ def test_runtime_bloom_filter_injection(spark):
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan[:2000]
     assert "might_contain" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("agg_gini_value", 2),
+        ("agg_weighted_median_by_source", 2),
+        ("timeseries_max_drawdown", 2),
+        ("agg_corr_value_hour", 2),
+        ("agg_equidepth_deciles", 2),
+        ("agg_trend_slope_by_type", 4),
+        ("ml_kfold_assignment", 4),
+    ],
+)
+def test_exact_stats_battery_stays_joinless(spark, name, max_exchanges):
+    """The sufficient-statistics queries are scan -> (window) -> agg
+    pipelines by design: no join of any kind, map-side partial aggs
+    intact, and a bounded exchange count. A join or lost partial here
+    means someone rewrote a one-pass statistic as a self-join."""
+    a = _audit(spark, name)
+    assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
+    assert a["n_partial_aggs"] >= 1, a["text"]
+    assert a["n_exchanges"] <= max_exchanges, a["text"]
