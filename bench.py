@@ -165,6 +165,8 @@ HEADLINE = [
     "ml_kfold_assignment",
     "agg_corr_value_hour",
     "agg_gini_value",
+    "quality_benford_digits",
+    "corpus_dedup_rate_by_source",
 ]
 
 

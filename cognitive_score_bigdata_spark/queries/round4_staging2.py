@@ -3048,3 +3048,78 @@ def agg_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n").cast("double") * F.col("sy").cast("double"))
     ) - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
     return s.select("event_type", "n", gini.alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# quality_benford_digits / corpus_dedup_rate_by_source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_benford_digits",
+    oracle="""
+    SELECT CAST(substr(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS BIGINT) AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY 1
+    """,
+    doc="first-significant-digit profile of event values (the Benford "
+    "forensics screen: organic magnitudes lean on small leading "
+    "digits, fabricated or clipped data does not): digits extracted "
+    "integer-only — value x100 floored to an integer, first character "
+    "of its decimal rendering — so no log10 crosses the engines. "
+    "Output is raw counts; the consumer compares against log10(1+1/d) "
+    "downstream. One map-side-combined aggregate over the scan",
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    first_digit = F.substring(
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    return ev.groupBy(first_digit.alias("first_digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS d FROM documents
+    ),
+    g AS (
+      SELECT source, d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM h GROUP BY source, d
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_redundant,
+           CAST(((SUM(c) - COUNT(*)) * 1000000) // SUM(c) AS BIGINT)
+             AS dup_rate_micro
+    FROM g GROUP BY source
+    """,
+    doc="per-source exact-duplication report (the provenance screen a "
+    "corpus intake runs before committing crawl budget: a source with "
+    "30% redundancy needs dedup upstream, not more crawling): content "
+    "digests grouped per source, redundancy = docs minus distinct "
+    "digests, rate in integer micro-units. Two hash aggregates, both "
+    "map-side combinable; at 100 TB the digest groupBy is the same "
+    "single shuffle the exact-dedup pass already pays, so the report "
+    "is free when piggybacked on it",
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("source", F.md5("text").alias("d")).groupBy(
+        "source", "d"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_redundant"),
+        F.expr("((sum(c) - count(1)) * 1000000) div sum(c)")
+        .cast("bigint")
+        .alias("dup_rate_micro"),
+    )
