@@ -167,6 +167,7 @@ HEADLINE = [
     "agg_gini_value",
     "quality_benford_digits",
     "corpus_dedup_rate_by_source",
+    "events_dau_wau_stickiness",
 ]
 
 

@@ -3123,3 +3123,65 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_dau_wau_stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    cover AS (
+      SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS day
+      FROM ud, UNNEST(range(7)) AS g(i)
+    ),
+    wau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_micro
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+    doc="DAU/WAU stickiness per day (the product-engagement ratio): "
+    "WAU(D) = distinct users active in [D-6, D], computed by "
+    "EXPLODING each (user, day) into the 7 future days it covers and "
+    "distinct-counting per day — the binning trick that turns a "
+    "distinct-over-sliding-range (which window frames cannot express "
+    "over DISTINCT) into two plain hash aggregates with 7x fan-out. "
+    "Integer micro-unit ratio; only days with DAU > 0 emit (inner "
+    "join), so the ratio is always well-defined",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    ).distinct()
+    wau = cover.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau")
+            .cast("bigint")
+            .alias("stickiness_micro"),
+        )
+    )
