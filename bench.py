@@ -168,6 +168,7 @@ HEADLINE = [
     "quality_benford_digits",
     "corpus_dedup_rate_by_source",
     "events_dau_wau_stickiness",
+    "events_pareto_user_deciles",
 ]
 
 

@@ -3185,3 +3185,57 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_pareto_user_deciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pareto_user_deciles",
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT n_events,
+             ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile,
+             SUM(n_events) OVER () AS total
+      FROM uc
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST((SUM(n_events) * 1000000) // MAX(total) AS BIGINT)
+             AS share_micro
+    FROM t GROUP BY decile
+    """,
+    doc="Pareto activity curve: users ranked by event count into "
+    "deciles (busiest first, user_id tiebreak), each decile's share of "
+    "total events in integer micro-units — the who-produces-the-load "
+    "report behind capacity planning and the skew intuition the salted "
+    "join exists for. The per-user aggregate shrinks the sort input to "
+    "|users| rows, so the global NTILE sorts the small table, never "
+    "the event stream; complements agg_gini_value's scalar score with "
+    "the full curve",
+)
+def events_pareto_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    t = uc.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("n_events"), "user_id")),
+    ).withColumn("total", F.sum("n_events").over(Window.partitionBy()))
+    return t.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.expr("(sum(n_events) * 1000000) div max(total)")
+        .cast("bigint")
+        .alias("share_micro"),
+    )
