@@ -169,6 +169,7 @@ HEADLINE = [
     "corpus_dedup_rate_by_source",
     "events_dau_wau_stickiness",
     "events_pareto_user_deciles",
+    "events_weekday_profile",
 ]
 
 

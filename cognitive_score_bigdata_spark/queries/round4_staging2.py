@@ -3239,3 +3239,39 @@ def events_pareto_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_weekday_profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekday_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="weekday activity profile per event type (ISO day-of-week 1 = "
+    "Monday ... 7 = Sunday): counts + exact-decimal average value. "
+    "Day-numbering is a cross-engine trap worth one registered query: "
+    "Spark's dayofweek() is 1 = Sunday while DuckDB's dayofweek() is "
+    "0 = Sunday — the only pair that agrees is Spark "
+    "weekday()+1 == DuckDB isodow(), which this query pins. One "
+    "map-side-combined aggregate over the scan",
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.queries._helpers import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    # weekday(): 0 = Monday; +1 aligns with DuckDB isodow (1 = Monday)
+    dow = (F.weekday(F.col("ts").cast("timestamp")) + 1).cast("bigint")
+    return ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        davg("value", "avg_value"),
+    )
