@@ -170,6 +170,7 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "events_pareto_user_deciles",
     "events_weekday_profile",
+    "quality_independence_residuals",
 ]
 
 

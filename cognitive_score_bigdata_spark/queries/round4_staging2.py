@@ -3275,3 +3275,62 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         davg("value", "avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_independence_residuals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_independence_residuals",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM o)
+    SELECT o.event_type, o.dow, o.obs,
+           CAST(((o.obs * n.total - r.rt * c.ct) * 1000000)
+                // (r.rt * c.ct) AS BIGINT) AS residual_micro
+    FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    """,
+    doc="contingency-table independence residuals for event_type x "
+    "weekday: relative deviation of each observed cell from the "
+    "independence expectation (O*N - R*C)/(R*C) in integer micro-units "
+    "— the screen behind a chi-square test without the chi-square's "
+    "float accumulation (every operation is BIGINT, so the whole "
+    "residual table hash-matches). Row/column marginals broadcast "
+    "back onto the cell table; a large |residual| row is a "
+    "day-of-week effect worth a look. N*obs stays ~1e13 at sf0.1 — "
+    "well inside int64",
+)
+def quality_independence_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.weekday(F.col("ts").cast("timestamp")) + 1).cast("bigint")
+    o = ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    o = o.localCheckpoint(eager=False)  # reused: cells + three marginals
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    n = o.groupBy().agg(F.sum("obs").cast("bigint").alias("total"))
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            F.expr("((obs * total - rt * ct) * 1000000) div (rt * ct)")
+            .cast("bigint")
+            .alias("residual_micro"),
+        )
+    )
