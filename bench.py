@@ -223,14 +223,40 @@ def main() -> None:
         spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Full per-query detail goes to a file: the driver's log capture keeps
+    # only a 2000-char tail, and at 139 queries the full dict blew past it
+    # (BENCH_r03 recorded parsed: null). The LAST stdout line is a compact
+    # summary guaranteed to fit: total + per-family subtotals + worst-5.
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(result, fh)
+        fh.write("\n")
+
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = name.split("_", 1)[0]
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": result["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": result["sf"],
+                "n_queries": len(timings),
+                "families": families,
+                "queries": worst,
+                "detail": "BENCH_LOCAL.json",
             }
         )
     )

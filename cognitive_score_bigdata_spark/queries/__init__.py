@@ -46,81 +46,148 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-def load_registry() -> dict[str, QuerySpec]:
-    """Import all query modules (side effect: they register) and return.
+# The driver's correctness harness checks the FIRST 50 registry entries
+# per round; this explicit list IS the round-4 window (rounds 1-3 steered
+# the window by module import order; with single queries now needing
+# slots — the two r2-red fixes live in modules whose siblings are already
+# verified — an explicit name list is the honest mechanism).
+#
+# Composition (per VERDICT r3 "Next round" #1): the two r2-red fixes
+# first (agg_collect_sorted / scalar_array_funcs — the only formally red
+# rows, fixed in r3, need a green driver row to close), then the
+# round4_staging oracle battery (14), co-location/DPP plan-pinned trio,
+# graph family (7), auditable-sketch family (6), the two exact
+# similarity joins (containment after its round-4 blocking fix +
+# prefix-filter — the recall-guarantee proofs), the three verdict-
+# mandated oracle upgrades (IVFADC exact mode, SemDeDup exact mode, BPE
+# under a merge-table-literal oracle), and 13 highest-novelty staging2
+# entries (check-classes with no verified sibling: multiset setops,
+# interval/fuzzy joins, time-RANGE frame, k-fold, chunking, systematic
+# sampling, novelty, dedup-rate, DAU/WAU, basket, profiling).
+#
+# Carried to round 5 (16 — all in families with driver-verified
+# siblings): vector_ann_ivfpq_topk (rows-only; superseded by the exact-
+# mode row below), anomaly_daily_mad, hierarchy_rollup_to_root,
+# agg_trend_slope_by_type, timeseries_twap_per_user /
+# _ohlc_hourly / _max_drawdown, agg_equidepth_deciles,
+# events_session_conversion / _pareto_user_deciles / _weekday_profile /
+# _dau_wau... (dau_wau IS windowed), agg_weighted_median_by_source,
+# agg_corr_value_hour, agg_gini_value, quality_benford_digits,
+# quality_independence_residuals.
+ROUND4_WINDOW = [
+    # r2-red fixes (VERDICT "What's wrong" #1)
+    "agg_collect_sorted",
+    "scalar_array_funcs",
+    # round4_staging oracle battery
+    "events_funnel_conversion",
+    "events_retention_cohort",
+    "agg_histogram_value",
+    "agg_mode_event_type_daily",
+    "agg_exact_median_by_type",
+    "anomaly_daily_zscore",
+    "corpus_bigram_topk",
+    "sample_stratified_exact_k",
+    "corpus_source_overlap",
+    "quality_rank_normalize",
+    "agg_percentile_bands",
+    "join_asof_forward",
+    "scd2_incremental_merge",
+    "agg_time_grain_rollup",
+    # co-location / DPP plan-pinned trio
+    "join_bucketed_colocated",
+    "agg_bucketed_no_shuffle",
+    "scan_dpp_partitioned_join",
+    # graph family
+    "graph_pagerank_copurchase",
+    "graph_pagerank_weighted",
+    "graph_triangle_count",
+    "graph_minlabel_components",
+    "graph_sssp_copurchase",
+    "graph_kcore_copurchase",
+    "graph_clustering_topk",
+    # auditable-sketch family
+    "sketch_kmv_distinct_users",
+    "dedup_simhash_pairs_md5",
+    "dedup_minhash_pairs_md5",
+    "sketch_hll_md5_users",
+    "streaming_hll_users",
+    "sketch_kmv_overlap3",
+    # exact similarity joins (containment carries the round-4 fix)
+    "text_containment_neardup",
+    "text_prefix_filter_join",
+    # verdict-mandated oracle upgrades (r3 items #6 and #9)
+    "vector_ann_ivfpq_exact",
+    "dedup_semantic_exact",
+    "corpus_bpe_encode",
+    # highest-novelty staging2 (no driver-verified sibling class)
+    "join_fuzzy_levenshtein",
+    "join_interval_overlap",
+    "setop_intersect_all",
+    "setop_except_all",
+    "window_trailing_30d_range",
+    "text_novelty_score",
+    "ml_kfold_assignment",
+    "corpus_dedup_rate_by_source",
+    "corpus_overlap_chunks",
+    "sample_weighted_systematic",
+    "events_dau_wau_stickiness",
+    "market_basket_pairs",
+    "profile_table_stats",
+]
 
-    Import order is load-bearing: the driver's correctness harness checks
-    the first 50 registry entries per round, so modules rotate each round
-    to give every query a driver-verified row.  Round 1 covered
-    aggregations/analytics/analytics_tpch/corpus/dedup_similarity/
-    extensions (50); round 2 fronted the other 50 of that era.  ROUND 3
-    window: round3_additions (18 new queries) + the 11 modules added
-    during round 2 (24 queries, previously zero driver rows) +
-    dedup_similarity (8 incl. 2 previously unverified) = 50, the last
-    four slots having been re-taken from r1-verified analytics_tpch
-    fillers by the four late round-3 additions (holdout split, data
-    validation, centroids, SCD2) — those fillers keep their r1 rows, so
-    after round 3 EVERY registry query still has at least one driver row
-    cumulatively.  ROUND 4 TODO: front queries/round4_staging.py (15
-    locally-green queries built late in round 3: event-analytics
-    battery, exact-k stratified sample, IVFADC ANN, source-overlap
-    matrix, forward as-of, SCD2 merge, time-grain rollup) AND
-    queries/round4_staging2.py (27 more: bucketed co-located join +
-    bucketed aggregate, DPP, the graph family [PageRank, triangle
-    count, min-label CC, Bellman-Ford SSSP, k-core], systematic
-    weighted sampling, overlap chunking, Levenshtein linkage, market
-    basket, table profiling, MAD anomalies, containment near-dup,
-    interval overlap, hierarchy rollup, time-RANGE window, trend
-    regression, TWAP, hourly OHLC, equi-depth deciles, session
-    conversion, prefix-filter similarity join, n-gram novelty, and the
-    auditable-sketch family: KMV, md5-SimHash, md5-MinHash, md5-HLL,
-    streaming HLL) plus any round-4 additions, then
-    fill the remaining window slots with the stalest modules —
-    corpus/extensions/aggregations and analytics_tpch (r1-verified, not
-    re-checked since) — keeping the total window at exactly the first
-    50 entries.  If staging exceeds the window, prioritize the
-    auditable sketches and the co-location/DPP plan-pinned queries
-    (they upgrade previously-weak check classes), and carry the rest to
-    round 5.
+
+def load_registry() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: they register) and return
+    the registry reordered so :data:`ROUND4_WINDOW` comes first.
+
+    History: round 1 covered aggregations/analytics/analytics_tpch/
+    corpus/dedup_similarity/extensions (50); round 2 fronted the other
+    50 of that era; round 3 fronted round3_additions + the round-2
+    modules (CORRECTNESS_r03: 38 green, 12 rows-only, 0 red).  Round 4
+    fronts the 61 never-driver-checked staging queries (less 16 carried,
+    see ROUND4_WINDOW comment) plus the two r2-red fixes and the three
+    verdict-mandated oracle upgrades.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
-        # --- round-3 driver window: first 50 registry entries ---
-        round3_additions,  # new this round; each entry pushes one
-        # already-r1-verified filler out of the window tail
-        multimodal_real,  # 3
-        ann_exact,  # 1
-        tpch_rest,  # 4
-        textclean,  # 3
-        vector_crossover,  # 2
-        spandedup,  # 1
-        sketches,  # 1
-        quality,  # 3
-        corpus_pipeline,  # 2
-        sharding,  # 3
-        ann_pq,  # 1
-        dedup_similarity,  # 8 (2 unverified + 6 oldest r1-verified)
-        analytics_tpch,  # 13 (r1-verified)
-        analytics,  # 5 (r1-verified)  -> cumulative 50
-        # --- outside the window this round ---
+        aggregations,
+        analytics,
+        analytics_tpch,
+        ann_exact,
+        ann_pq,
+        corpus,
+        corpus_pipeline,
+        dedup_similarity,
+        extensions,
         flagship,
         joins,
+        mlops,
+        multimodal_q,
+        multimodal_real,
         projections,
-        windows,
-        windows_time,
-        windows_extra,
+        quality,
+        round3_additions,
+        round4_staging,
+        round4_staging2,
         scalar_funcs,
         setops,
+        sharding,
+        sketches,
+        spandedup,
         subqueries,
+        textclean,
         textops,
         timeseries,
+        tpch_rest,
+        vector_crossover,
         vectorops,
-        multimodal_q,
-        mlops,
-        aggregations,
-        corpus,
-        extensions,
-        round4_staging,  # added after the r3 window froze; front in r4
-        round4_staging2,  # ditto (co-location, PageRank, sampling, chunking)
+        windows,
+        windows_extra,
+        windows_time,
     )
 
-    return REGISTRY
+    missing = [n for n in ROUND4_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"ROUND4_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in ROUND4_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

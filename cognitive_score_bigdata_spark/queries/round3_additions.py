@@ -412,33 +412,39 @@ def sketch_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # BPE merge tables are training artifacts — once per corpus, like the
 # BM25/minhash/IVF indexes above.
-_BPE_CACHE: dict = {}
+def _bpe_oracle() -> str:
+    from cognitive_score_bigdata_spark.operators.bpe_artifact import (
+        bpe_oracle_sql,
+    )
+
+    return bpe_oracle_sql()
 
 
 @register(
     "corpus_bpe_encode",
-    oracle=None,  # iterative merge training + per-word merge application
-    # aren't SQL; round-trip, determinism, and compression pinned in
-    # test_corpus
+    oracle=_bpe_oracle(),  # chained-replace apply of the PINNED merge
+    # table (operators/bpe_artifact.py) — full hash-match row since r4;
+    # train round-trip/determinism/compression stay pinned in test_corpus
     doc="BPE tokenizer application at corpus scale (Sennrich et al. "
-    "2016): merge table trained driver-side on a bounded deterministic "
-    "sample (the build-artifact rule: merge statistics don't need every "
-    "document, exactly like IVF centroids), then applied as ONE Arrow "
-    "pass with per-worker word memoization — cost scales with distinct "
-    "words, not tokens. Output: per-doc token count + an order-sensitive "
-    "md5 fingerprint of the token stream (scalar, comparable)",
+    "2016): the merge table is a PINNED versioned artifact "
+    "(operators/bpe_artifact.py — trained once by bpe_train on sf0.01, "
+    "reproducible bit-for-bit; production applies THE tokenizer, it "
+    "does not retrain per corpus), applied as ONE Arrow pass with "
+    "per-worker word memoization — cost scales with distinct words, "
+    "not tokens. Output: per-doc token count + an order-sensitive md5 "
+    "fingerprint of the token stream. Oracle = the same merges applied "
+    "as a rank-ordered chain of boundary-safe string replaces in a "
+    "recursive CTE (equivalence with the greedy applier proven in "
+    "test_bpe_artifact)",
 )
 def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cognitive_score_bigdata_spark.operators.bpe import (
-        bpe_encode,
-        bpe_train,
+    from cognitive_score_bigdata_spark.operators.bpe import bpe_encode
+    from cognitive_score_bigdata_spark.operators.bpe_artifact import (
+        MERGES_64,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir)
-    if key not in _BPE_CACHE:
-        _BPE_CACHE[key] = bpe_train(docs, n_merges=64)
-    return bpe_encode(docs, _BPE_CACHE[key])
+    return bpe_encode(docs, MERGES_64)
 
 
 @register(

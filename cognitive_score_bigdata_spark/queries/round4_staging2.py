@@ -814,60 +814,41 @@ CONTAIN_PCT = 9  # flag when 10 * |A∩B| >= 9 * |A| (A the smaller set)
     "A): catches a short doc swallowed inside a much longer one — the "
     "quote/excerpt/boilerplate-wrapper case that symmetric Jaccard "
     "structurally misses (J <= |A|/|B| no matter how perfectly A is "
-    "contained). Same per-source block join + JVM array_intersect as "
-    "text_ngram_jaccard but WITHOUT the size-ratio prune (disparate "
-    "sizes are the quarry); threshold as the integer predicate "
-    "10*common >= 9*|A| so no division crosses the engines. Broder's "
-    "containment measure, the one sketched by the minhash index for "
-    "scale-out blocking",
+    "contained); threshold as the integer predicate 10*common >= 9*|A| "
+    "so no division crosses the engines. Round-4 rewrite "
+    "(operators/containment.py): token sets dictionary-encode to "
+    "packed int64 bitmaps, so the quadratic stage shuffles (id, n, "
+    "signature) — bytes, never token arrays (§9c; plan-pinned) — and "
+    "the verify is a zip_with/bit_count fold in codegen, not string "
+    "array_intersect. NOT blocked by the MinHash index, deliberately: "
+    "qualifying pairs have Jaccard down to 0.20 at sf0.01 (measured), "
+    "below any band threshold — a symmetric sketch cannot carry an "
+    "asymmetric measure's recall; external blocking injects via "
+    "candidate_pairs where the domain provides one",
 )
 def text_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognitive_score_bigdata_spark.functions import text as TX
     from cognitive_score_bigdata_spark.io import fan_out
+    from cognitive_score_bigdata_spark.operators.containment import (
+        containment_pairs,
+        token_bitmap_table,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
+    tok = (
         fan_out(docs)
         .select(
             "doc_id",
             "source",
-            F.array_distinct(TX.tokens("text")).alias("toks"),
-        )
-        .withColumn("n", F.size("toks").cast("bigint"))
-    )
-    a = toks.select(
-        "source",
-        F.col("doc_id").alias("da"),
-        F.col("toks").alias("toks_a"),
-        F.col("n").alias("na"),
-    )
-    b = toks.select(
-        "source",
-        F.col("doc_id").alias("db"),
-        F.col("toks").alias("toks_b"),
-        F.col("n").alias("nb"),
-    )
-    n_common = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    a_is_small = (F.col("na") < F.col("nb")) | (
-        (F.col("na") == F.col("nb")) & (F.col("da") < F.col("db"))
-    )
-    return (
-        a.join(b, "source")
-        .filter(F.col("da") < F.col("db"))
-        .withColumn("n_common", n_common)
-        .withColumn("n_small", F.least("na", "nb"))
-        .filter(F.col("n_common") * 10 >= CONTAIN_PCT * F.col("n_small"))
-        .select(
-            F.when(a_is_small, F.col("da"))
-            .otherwise(F.col("db"))
-            .alias("doc_small"),
-            F.when(a_is_small, F.col("db"))
-            .otherwise(F.col("da"))
-            .alias("doc_big"),
-            "n_common",
-            "n_small",
+            F.explode(F.array_distinct(TX.tokens("text"))).alias("tok"),
         )
     )
+    # reused by both sides of the pair join — materialize once (the §9d
+    # lesson: plan branches are not free references)
+    sigs = token_bitmap_table(tok, ["doc_id", "source"]).localCheckpoint(
+        eager=False
+    )
+    return containment_pairs(sigs, contain_pct=CONTAIN_PCT)
 
 
 # ---------------------------------------------------------------------------

@@ -414,3 +414,24 @@ def test_exact_stats_battery_stays_joinless(spark, name, max_exchanges):
     assert a["n_sortmerge_joins"] == 0 and a["n_broadcast_joins"] == 0
     assert a["n_partial_aggs"] >= 1, a["text"]
     assert a["n_exchanges"] <= max_exchanges, a["text"]
+
+
+def test_containment_pair_shuffle_carries_no_token_arrays(spark):
+    """The containment join's §9c contract (round-4 fix): the quadratic
+    pair stage moves packed int64 bitmap signatures, never token arrays
+    and never string intersection. A regression to array payloads would
+    multiply every pair-shuffle byte by ~50x at 100 TB."""
+    import re
+
+    a = _audit(spark, "text_containment_neardup")
+    t = a["text"]
+    assert "array_intersect" not in t, "string intersect back in the plan"
+    # no exchange may output a token ARRAY attribute (scalar tok rows in
+    # the vocabulary-dictionary build are fine; arrays of tokens are not)
+    for m in re.finditer(
+        r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\n"
+        r"Input \[\d+\]: \[([^\]]*)\]",
+        t,
+    ):
+        cols = m.group(1)
+        assert "toks" not in cols, f"token array in exchange: {cols}"
