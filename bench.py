@@ -205,6 +205,7 @@ def main() -> None:
         "scan_dpp_partitioned_join",  # partitioned-lake write
         "streaming_hll_users",  # stream-source JSON export
         "market_basket_pairs",  # co-purchase pair-support build
+        "vector_ann_pq_topk",  # PQ codebook train + code-table encode
     ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()

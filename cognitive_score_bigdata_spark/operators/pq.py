@@ -182,6 +182,8 @@ def pq_topk(
     refine: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Train + encode + ADC search + exact re-rank (the full FAISS
     IVFADC-with-refine shape).
@@ -192,9 +194,15 @@ def pq_topk(
     those with exact cosine against the raw vectors — recall 0.97 at
     refine=5, 1.00 at refine=10, while the corpus scan still reads only
     codes. The re-rank join touches n_queries × refine × k_top rows.
+
+    ``books``/``codes``: pass a pretrained codebook + encoded code
+    table to skip the build — they are per-corpus artifacts (the FAISS
+    index file), not per-probe cost; callers cache them per session.
     """
-    books = pq_train(vectors, m, k, seed, id_col, vec_col)
-    codes = pq_encode(vectors, books, id_col, vec_col)
+    if books is None:
+        books = pq_train(vectors, m, k, seed, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(vectors, books, id_col, vec_col)
     adc = pq_adc_topk(
         codes, queries, books, k_top * refine, id_col, vec_col
     )

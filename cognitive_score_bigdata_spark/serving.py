@@ -77,3 +77,38 @@ def dashboard_stats(
         # main.py:172: average is int-truncated at the edge
         "avg_cognitive_score": int(agg["avg_score"]) if rows else 0,
     }
+
+
+def worker_status(wearables: DataFrame, user_id: str) -> dict[str, Any]:
+    """GET ``/api/worker/{user_id}/status`` — the "Last Pulse" payload
+    (reference ``src/backend/main.py:73-81`` over the DynamoDB helper at
+    ``:55-65``): the single most recent wearable snapshot for one user,
+    int-cast at the edge, with the no-data-yet default row (heart rate /
+    steps 0, timestamp None) rather than a 404.
+
+    The scan side is the S8 point-read: an equality predicate on the
+    partition/key column (pushes to the store) + top-1 by event time
+    (TakeOrderedAndProject — never a global sort). Only one row crosses
+    to the driver.
+    """
+    row = (
+        wearables.filter(F.col("user_id") == user_id)
+        .orderBy(F.desc("timestamp"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return {
+            "user_id": user_id,
+            "last_heart_rate": 0,
+            "last_steps": 0,
+            "timestamp": None,
+        }
+    r = row[0]
+    return {
+        "user_id": user_id,
+        "last_heart_rate": int(r["heart_rate"] or 0),
+        "last_steps": int(r["steps"] or 0),
+        # F11: timestamps cross the JSON edge as strings
+        "timestamp": str(r["timestamp"]) if r["timestamp"] is not None else None,
+    }

@@ -17,6 +17,7 @@ which is what the tests pin.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -24,11 +25,13 @@ from typing import Any
 
 DASHBOARD_ROUTE = "/api/dashboard/stats"
 PREDICT_ROUTE = "/api/predict"
+WORKER_STATUS_RE = re.compile(r"^/api/worker/([^/]+)/status$")
 
 
 def make_handler(
     stats_fn: Callable[[], dict[str, Any]],
     predict_fn: Callable[[dict[str, Any]], dict[str, Any]] | None = None,
+    worker_status_fn: Callable[[str], dict[str, Any]] | None = None,
 ):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict[str, Any]) -> None:
@@ -42,8 +45,14 @@ def make_handler(
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == DASHBOARD_ROUTE:
                 self._send(200, stats_fn())
-            else:
-                self._send(404, {"detail": "Not Found"})
+                return
+            m = WORKER_STATUS_RE.match(self.path)
+            if m and worker_status_fn is not None:
+                # main.py:73-81 — "Last Pulse"; missing user returns the
+                # default payload (not 404), matching the reference
+                self._send(200, worker_status_fn(m.group(1)))
+                return
+            self._send(404, {"detail": "Not Found"})
 
         def do_POST(self):  # noqa: N802
             if self.path != PREDICT_ROUTE or predict_fn is None:
@@ -73,9 +82,12 @@ class ServingServer:
     ephemeral port, serves until exit.
     """
 
-    def __init__(self, stats_fn, predict_fn=None, port: int = 0):
+    def __init__(
+        self, stats_fn, predict_fn=None, worker_status_fn=None, port: int = 0
+    ):
         self._httpd = ThreadingHTTPServer(
-            ("127.0.0.1", port), make_handler(stats_fn, predict_fn)
+            ("127.0.0.1", port),
+            make_handler(stats_fn, predict_fn, worker_status_fn),
         )
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

@@ -125,3 +125,63 @@ def test_http_serving_edge(spark):
                 raise AssertionError(f"{bad_url} should have errored")
             except urllib.error.HTTPError as e:
                 assert e.code == want
+
+
+def test_worker_status_contract(spark):
+    """`GET /api/worker/{user_id}/status` parity (main.py:73-81): latest
+    wearable snapshot per user with int casts, string timestamp, and the
+    default payload — not a 404 — for a user with no data yet."""
+    import json
+    import urllib.request
+
+    from cognitive_score_bigdata_spark.serving import worker_status
+    from cognitive_score_bigdata_spark.serving_http import ServingServer
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    wearables = spark.createDataFrame(
+        [
+            ("u1", ts, 61, 1000),
+            ("u1", ts.replace(hour=14), 72, 4300),   # latest for u1
+            ("u1", ts.replace(hour=13), 65, 2000),
+            ("u2", ts, None, None),                  # null readings -> 0
+        ],
+        "user_id string, timestamp timestamp, heart_rate int, steps int",
+    )
+
+    got = worker_status(wearables, "u1")
+    assert got == {
+        "user_id": "u1",
+        "last_heart_rate": 72,
+        "last_steps": 4300,
+        "timestamp": "2024-01-01 14:00:00",
+    }
+    assert worker_status(wearables, "u2") == {
+        "user_id": "u2",
+        "last_heart_rate": 0,
+        "last_steps": 0,
+        "timestamp": "2024-01-01 12:00:00",
+    }
+    # missing user: default row, mirroring the reference's dynamo helper
+    assert worker_status(wearables, "nobody") == {
+        "user_id": "nobody",
+        "last_heart_rate": 0,
+        "last_steps": 0,
+        "timestamp": None,
+    }
+
+    with ServingServer(
+        lambda: {}, worker_status_fn=lambda uid: worker_status(wearables, uid)
+    ) as url:
+        got = json.loads(
+            urllib.request.urlopen(f"{url}/api/worker/u1/status").read()
+        )
+        assert got["last_heart_rate"] == 72 and got["last_steps"] == 4300
+        got = json.loads(
+            urllib.request.urlopen(f"{url}/api/worker/ghost/status").read()
+        )
+        assert got == {
+            "user_id": "ghost",
+            "last_heart_rate": 0,
+            "last_steps": 0,
+            "timestamp": None,
+        }
