@@ -66,14 +66,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # sampling, novelty, dedup-rate, DAU/WAU, basket, profiling).
 #
 # Carried to round 5 (16 — all in families with driver-verified
-# siblings): vector_ann_ivfpq_topk (rows-only; superseded by the exact-
-# mode row below), anomaly_daily_mad, hierarchy_rollup_to_root,
-# agg_trend_slope_by_type, timeseries_twap_per_user /
-# _ohlc_hourly / _max_drawdown, agg_equidepth_deciles,
-# events_session_conversion / _pareto_user_deciles / _weekday_profile /
-# _dau_wau... (dau_wau IS windowed), agg_weighted_median_by_source,
+# siblings): vector_ann_ivfpq_topk (rows-only; the exact-mode sibling
+# below carries the machinery's hash row), anomaly_daily_mad,
+# hierarchy_rollup_to_root, agg_trend_slope_by_type,
+# timeseries_twap_per_user / _ohlc_hourly / _max_drawdown,
+# agg_equidepth_deciles, events_session_conversion /
+# _pareto_user_deciles / _weekday_profile, agg_weighted_median_by_source,
 # agg_corr_value_hour, agg_gini_value, quality_benford_digits,
-# quality_independence_residuals.
+# quality_independence_residuals. Front these 16 in round 5, then refill
+# with the stalest r1-verified modules.
 ROUND4_WINDOW = [
     # r2-red fixes (VERDICT "What's wrong" #1)
     "agg_collect_sorted",
