@@ -127,7 +127,17 @@ def build_replica(spark, factor: int) -> str:
         .parquet(f"{out}/orders.parquet")
     )
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    n_part = li.agg(F.max("l_partkey")).first()[0] + 1
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    # one modulus for BOTH tables so replica r's lineitem still joins
+    # replica r's part catalog (round 4: part added for the linkage /
+    # basket-dimension queries)
+    n_part = (
+        max(
+            li.agg(F.max("l_partkey")).first()[0],
+            part.agg(F.max("p_partkey")).first()[0],
+        )
+        + 1
+    )
     (
         li.crossJoin(reps)
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__r") * n_ord)
@@ -137,6 +147,20 @@ def build_replica(spark, factor: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/lineitem.parquet")
     )
+    (
+        part.crossJoin(reps)
+        .withColumn("p_partkey", F.col("p_partkey") + F.col("__r") * n_part)
+        .drop("__r")
+        .repartition(max(4, factor))
+        .write.mode("overwrite")
+        .parquet(f"{out}/part.parquet")
+    )
+    # remaining dims (customer/supplier/nation/region): copy unscaled so
+    # any registry query resolves its tables against the replica dir
+    for t in ("customer", "supplier", "nation", "region"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", dst)
     return out
 
 
