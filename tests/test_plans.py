@@ -435,3 +435,11 @@ def test_containment_pair_shuffle_carries_no_token_arrays(spark):
     ):
         cols = m.group(1)
         assert "toks" not in cols, f"token array in exchange: {cols}"
+
+
+def test_prefix_join_verify_is_bitmap(spark):
+    """The AllPairs verify stage must score candidates on packed bitmap
+    signatures (codegen bit_count), never string array_intersect — the
+    round-4 rewrite that cut the emit-bound query's per-candidate cost."""
+    a = _audit(spark, "text_prefix_filter_join")
+    assert "array_intersect" not in a["text"], "string intersect regressed"
