@@ -2117,35 +2117,56 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # reused: prefix emit + verify
     )
-    prefix = ordered.select(
-        "doc_id",
-        "n",
+    # ASYMMETRIC prefixes (the full Bayardo'07 AllPairs, round 4): the
+    # larger record of a qualifying pair must share a token within its
+    # PROBE prefix (n - ceil(t*n) + 1: alpha >= t*n_big once the length
+    # filter holds), while the smaller record only needs its INDEX
+    # prefix of n - ceil(2t/(1+t)*n) + 1 tokens (alpha >= t/(1+t) *
+    # (n_big+n_small) >= 2t/(1+t)*n_small) — and the FIRST common token
+    # in the global (df, token) canonical order provably sits inside
+    # BOTH. At t=4/5 the index prefix is ~n/9+1 vs the probe's ~n/5+1,
+    # cutting candidate instances ~45% (28.7M -> 16.3M at sf0.1) before
+    # the dedup shuffle, which is where the wall time lived. Recall
+    # stays exact — the hash-match against the naive all-pairs oracle
+    # is the proof, as before.
+    probe = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("pna"),
         F.explode(
             F.slice(F.col("toks"), 1, F.col("p").cast("int"))
         ).alias("tok"),
     )
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("pna"), "tok"
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("pnb"), "tok"
+    # index prefix length: n - ceil(2t/(1+t) * n) + 1, all-integer
+    # (2t/(1+t) at t=4/5 is 8/9)
+    idx = ordered.withColumn(
+        "pi", F.col("n") - F.expr("(n * 8 + 8) div 9") + 1
+    ).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("pnb"),
+        F.explode(
+            F.slice(F.col("toks"), 1, F.col("pi").cast("int"))
+        ).alias("tok"),
     )
     # AllPairs length filter at candidate GENERATION: J >= t forces
-    # min(|A|,|B|) >= t*max(|A|,|B|), an integer predicate evaluated
-    # inside the prefix join before the distinct — without it a
-    # flat-df vocabulary (this corpus) degenerates the prefix buckets
-    # and the verify stage intersects millions of hopeless candidates
+    # n_small >= t*n_big, an integer predicate evaluated inside the
+    # prefix join before the dedup shuffle — without it a flat-df
+    # vocabulary (this corpus) degenerates the prefix buckets
     # (25.5 s -> 17.1 s at sf0.1; the remaining cost is OUTPUT volume:
     # this synthetic corpus really contains ~3M J>=0.8 pairs at sf0.1,
     # so the query is emit-bound, not filter-bound).
-    size_ok = (
-        F.least(F.col("pna"), F.col("pnb")) * PFJ_T_DEN
-        >= PFJ_T_NUM * F.greatest(F.col("pna"), F.col("pnb"))
+    size_ok = F.col("pnb") * PFJ_T_DEN >= PFJ_T_NUM * F.col("pna")
+    # orientation: probe side is the larger record (ties by id), so
+    # each unordered pair is generated exactly one way
+    bigger = (F.col("pna") > F.col("pnb")) | (
+        (F.col("pna") == F.col("pnb")) & (F.col("doc_a") < F.col("doc_b"))
     )
     cand = (
-        a.join(b, "tok")
-        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
-        .select("doc_a", "doc_b")
+        probe.join(idx, "tok")
+        .filter(bigger & size_ok)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
     # Verify on packed bitmap signatures, not token arrays (round 4 —
