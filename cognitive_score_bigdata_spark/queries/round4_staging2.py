@@ -1,8 +1,8 @@
 """Round-4 staging, part 2: co-location, graph, and sampling patterns.
 
-Added after the round-3 driver window froze (see ``load_registry``);
-imported LAST so these stay outside the first-50 window until the
-round-4 rotation fronts them. Every query here is oracle-checked.
+Built in round 3 after that round's driver window froze; the round-4
+rotation fronts them (ROUND4_WINDOW in ``queries/__init__``). Every
+query here is oracle-checked.
 
 Contents (first four):
 
