@@ -126,6 +126,7 @@ def containment_pairs(
     block_col: str = "source",
     id_col: str = "doc_id",
     candidate_pairs: DataFrame | None = None,
+    n_salts: int = 1,
 ) -> DataFrame:
     """(doc_small, doc_big, n_common, n_small) with
     10*n_common >= contain_pct*n_small, n_small = |smaller set|.
@@ -135,6 +136,16 @@ def containment_pairs(
     self-join (the exact-recall unit); pass ``candidate_pairs``
     (da, db) to swap in any external blocking. Either way the join
     moves (id, n, sig) rows — bytes, not token arrays.
+
+    ``n_salts``: parallelism for the block self-join. The default join
+    hashes on ``block_col`` alone, so max parallelism = number of
+    blocks and one giant block is one straggler task. With n_salts=S
+    the left side deterministically salts by id and the right side
+    replicates S×, spreading each block's pair work over S tasks —
+    total work unchanged (it's output-bound anyway), stragglers gone.
+    Replication multiplies shuffle bytes by S, which the bitmap
+    signatures make cheap (~20 B/row); the same trade as
+    operators/skew.salted_join.
     """
     a = sigs.select(
         F.col(block_col).alias("__blk"),
@@ -149,7 +160,26 @@ def containment_pairs(
         F.col("sig").alias("sig_b"),
     )
     if candidate_pairs is None:
-        cand = a.join(b, "__blk").filter(F.col("da") < F.col("db"))
+        if n_salts > 1:
+            a = a.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col("da")), F.lit(n_salts)).cast("int"),
+            )
+            b = b.withColumn(
+                "__salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.lit(n_salts - 1)
+                    ).cast("array<int>")
+                ),
+            )
+            cand = (
+                a.join(b, ["__blk", "__salt"])
+                .filter(F.col("da") < F.col("db"))
+                .drop("__salt")
+            )
+        else:
+            cand = a.join(b, "__blk").filter(F.col("da") < F.col("db"))
     else:
         cand = (
             candidate_pairs.select("da", "db")

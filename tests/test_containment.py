@@ -116,3 +116,21 @@ def test_different_sources_never_pair(spark):
     b = _tok_df(spark, {2: {"x", "y"}}, source="s2")
     sigs = token_bitmap_table(a.union(b), ["doc_id", "source"])
     assert containment_pairs(sigs, contain_pct=9).count() == 0
+
+
+def test_salted_block_join_same_pairs(spark):
+    """n_salts parallelizes the block self-join without changing the
+    pair set (deterministic id salt; right side replicated)."""
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = {i: set(rng.sample(vocab, rng.randint(10, 30))) for i in range(30)}
+    sigs = token_bitmap_table(_tok_df(spark, docs), ["doc_id", "source"])
+    plain = {
+        (r["doc_small"], r["doc_big"], r["n_common"])
+        for r in containment_pairs(sigs, contain_pct=5).collect()
+    }
+    salted = {
+        (r["doc_small"], r["doc_big"], r["n_common"])
+        for r in containment_pairs(sigs, contain_pct=5, n_salts=7).collect()
+    }
+    assert plain == salted and plain
