@@ -1394,9 +1394,15 @@ def dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 MH_K = 16  # minhashes
 MH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
 
+# Two-hash scheme (Kirsch & Mitzenmacher 2006): ONE md5 per shingle,
+# split into two 56-bit halves h1/h2; minhash i uses h1 + i*h2. 56-bit
+# halves keep i*h2 (i <= 15) under 2^60 — safe in Spark's SIGNED long
+# and DuckDB's UBIGINT alike, so both engines compute bit-identical
+# signatures. 16x fewer digests than the per-i md5 formulation.
+_MH_H1 = "CAST(('0x' || substr(md5(s), 1, 14)) AS UBIGINT)"
+_MH_H2 = "CAST(('0x' || substr(md5(s), 17, 14)) AS UBIGINT)"
 _MH_MINS = ",\n             ".join(
-    f"MIN(CAST(('0x' || substr(md5('{i}:' || s), 1, 15)) AS UBIGINT)) AS m{i}"
-    for i in range(MH_K)
+    f"MIN({_MH_H1} + {i} * {_MH_H2}) AS m{i}" for i in range(MH_K)
 )
 _MH_BANDKEY = " ".join(
     f"WHEN b.i = {k} THEN concat_ws('-', "
@@ -1452,9 +1458,12 @@ _MH_ORACLE = f"""
     "estimate) is bit-identical across engines, so the driver gets a "
     "hash-match row for the approximate algorithm itself, not just a "
     "rows-only run. The xxhash64 pipeline (dedup_minhash_pairs) stays "
-    "as the fast path; this variant pays ~k string md5s per shingle "
-    "for cross-engine verifiability. est_jaccard = agreeing positions "
-    "/ 16 — identical IEEE division both sides",
+    "as the fast path; this variant pays ONE string md5 per shingle "
+    "(two-hash scheme, Kirsch & Mitzenmacher 2006: minhash i = "
+    "h1 + i*h2 from the digest's two 56-bit halves — bit-identical in "
+    "Spark signed long and DuckDB UBIGINT) for cross-engine "
+    "verifiability. est_jaccard = agreeing positions / 16 — identical "
+    "IEEE division both sides",
 )
 def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognitive_score_bigdata_spark.io import fan_out
@@ -1469,19 +1478,17 @@ def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    digest = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     mins = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"m{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
         for i in range(MH_K)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    # reused by the band explode AND both agreement sides — materialize
+    # once (the §9d lesson: plan branches are not free references)
+    sig = hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
         F.explode(
