@@ -1339,9 +1339,11 @@ def dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     def md5_hash60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
+    # both sides of the chunk-bucket self-join consume the sketch —
+    # materialize once (plan branches are not free references)
     sk = simhash_sketch(
         docs, "doc_id", "text", token_hash=md5_hash60, n_bits=SH_BITS
-    )
+    ).localCheckpoint(eager=False)
     chunks = sk.select(
         F.col("doc_id"),
         F.col("simhash").alias("sh"),
