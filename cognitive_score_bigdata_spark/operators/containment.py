@@ -137,15 +137,18 @@ def containment_pairs(
     (da, db) to swap in any external blocking. Either way the join
     moves (id, n, sig) rows — bytes, not token arrays.
 
-    ``n_salts``: parallelism for the block self-join. The default join
-    hashes on ``block_col`` alone, so max parallelism = number of
-    blocks and one giant block is one straggler task. With n_salts=S
-    the left side deterministically salts by id and the right side
-    replicates S×, spreading each block's pair work over S tasks —
-    total work unchanged (it's output-bound anyway), stragglers gone.
-    Replication multiplies shuffle bytes by S, which the bitmap
-    signatures make cheap (~20 B/row); the same trade as
-    operators/skew.salted_join.
+    ``n_salts``: parallelism for the block self-join in the
+    BEYOND-BROADCAST regime only. While the signature table fits the
+    broadcast threshold (~1.6M docs at 20 B/row under the default
+    32 MB), Catalyst broadcasts one side and parallelism equals the
+    probe side's partitioning — salting there is pure overhead
+    (measured at the 8× replica: 4.8 s plain vs 22.3 s salted, same
+    pair set). Once the table exceeds the threshold the join shuffles
+    on ``block_col`` alone, max parallelism collapses to the block
+    count, and one giant block is one straggler task — THEN n_salts=S
+    spreads each block over S tasks (left side salted by id, right
+    side replicated S×; total work unchanged, it's output-bound
+    anyway). Same trade as operators/skew.salted_join. Default 1.
     """
     a = sigs.select(
         F.col(block_col).alias("__blk"),
