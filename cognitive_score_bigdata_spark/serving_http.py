@@ -23,6 +23,7 @@ from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+HEALTH_ROUTE = "/health"
 DASHBOARD_ROUTE = "/api/dashboard/stats"
 PREDICT_ROUTE = "/api/predict"
 WORKER_STATUS_RE = re.compile(r"^/api/worker/([^/]+)/status$")
@@ -43,6 +44,10 @@ def make_handler(
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path == HEALTH_ROUTE:
+                # main.py:70-71 — load-balancer liveness probe
+                self._send(200, {"status": "healthy"})
+                return
             if self.path == DASHBOARD_ROUTE:
                 self._send(200, stats_fn())
                 return

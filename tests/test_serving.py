@@ -172,6 +172,8 @@ def test_worker_status_contract(spark):
     with ServingServer(
         lambda: {}, worker_status_fn=lambda uid: worker_status(wearables, uid)
     ) as url:
+        got = json.loads(urllib.request.urlopen(f"{url}/health").read())
+        assert got == {"status": "healthy"}  # main.py:70-71
         got = json.loads(
             urllib.request.urlopen(f"{url}/api/worker/u1/status").read()
         )
