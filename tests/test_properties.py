@@ -94,3 +94,63 @@ def test_pack_sequences_partitions_every_token(spark, texts, seq_len):
         for (_, a1, b1), (_, a2, _b2) in zip(parts_, parts_[1:]):
             assert b1 == a2  # contiguous, no gap or overlap
         assert all(0 < b - a <= seq_len for _, a, b in parts_)
+
+
+@given(
+    docs=st.dictionaries(
+        st.integers(min_value=0, max_value=50),
+        st.sets(TOK, min_size=1, max_size=10),
+        min_size=2,
+        max_size=10,
+    ),
+    pct=st.integers(min_value=0, max_value=10),
+)
+@SETTINGS
+def test_containment_pairs_match_set_arithmetic(spark, docs, pct):
+    """For ANY doc->token-set map and ANY integer threshold: the bitmap
+    containment operator's (n_common, n_small) and pair membership equal
+    python set arithmetic exactly (covers both signature layouts via the
+    tiny shared alphabet -> single int64 word)."""
+    from cognitive_score_bigdata_spark.operators.containment import (
+        containment_pairs,
+        token_bitmap_table,
+    )
+
+    rows = [(i, "s", t) for i, toks in docs.items() for t in toks]
+    tok = spark.createDataFrame(rows, "doc_id long, source string, tok string")
+    sigs = token_bitmap_table(tok, ["doc_id", "source"])
+    got = {
+        (r["doc_small"], r["doc_big"]): (r["n_common"], r["n_small"])
+        for r in containment_pairs(sigs, contain_pct=pct).collect()
+    }
+    expect = {}
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            nc = len(docs[a] & docs[b])
+            small, big = (
+                (a, b)
+                if (len(docs[a]), a) <= (len(docs[b]), b)
+                else (b, a)
+            )
+            ns = len(docs[small])
+            if nc * 10 >= pct * ns:
+                expect[(small, big)] = (nc, ns)
+    assert got == expect
+
+
+@given(
+    word=st.text(alphabet="abcdefky!7", min_size=1, max_size=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_chained_equals_greedy_any_alphabet(word):
+    """The chained-replace/greedy equivalence must hold for words over
+    ANY alphabet — including characters the merge table never saw (no
+    merge applies to them) and characters colliding with merge symbol
+    prefixes."""
+    from tests.test_bpe_artifact import RANKS, _chained
+
+    from cognitive_score_bigdata_spark.operators.bpe import _encode_word
+
+    assert _encode_word(word, RANKS) == _chained(word)
