@@ -2297,6 +2297,11 @@ def graph_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(relax)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            # dist appears TWICE per round (relax join + keep-old union),
+            # so an uncut lineage inlines 2^k-fold — the executed plan
+            # carried 63 broadcast joins for 6 rounds before this cut
+            # (the Spark-side twin of the oracle's AS MATERIALIZED fix)
+            .localCheckpoint(eager=False)
         )
     return dist.select(
         F.col("node").alias("part_key"),
