@@ -496,8 +496,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if edges.count() <= local_finish_edges:  # cheap: edges checkpointed
-        half = edges.filter(F.col("src") < F.col("dst")).collect()
-        lab = _local_min_labels([(r["src"], r["dst"]) for r in half])
+        # Arrow transfer, not row collect: py4j Row conversion measured
+        # 8x slower (1.33 s vs 0.17 s at 300k edges, round 4)
+        half = edges.filter(F.col("src") < F.col("dst")).toPandas()
+        lab = _local_min_labels(
+            list(zip(half["src"].tolist(), half["dst"].tolist()))
+        )
         out = nodes.select(F.col(id_col).alias("node"))
         if lab:
             lab_df = nodes.sparkSession.createDataFrame(
@@ -651,8 +655,9 @@ def connected_components_star(
         # contraction, so the result is identical; the threshold bounds
         # driver memory at ~16 bytes/edge.
         if local_finish_edges and sig[0] <= local_finish_edges:
+            pdf = sym.toPandas()  # Arrow, not py4j rows (8x, see above)
             labels = _local_min_labels(
-                [(r["src"], r["dst"]) for r in sym.collect()]
+                list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
             )
             if labels:
                 centers = nodes.sparkSession.createDataFrame(
