@@ -172,11 +172,17 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # fan_out: tokenization is the only pre-shuffle compute; single-row-
     # group local files would otherwise run it on one core.
-    toks = fan_out(docs).select(
-        "doc_id",
-        "source",
-        F.array_distinct(TX.tokens("text")).alias("toks"),
-    ).withColumn("n", F.size("toks"))
+    toks = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(TX.tokens("text")).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        # both join sides consume this — materialize the tokenize once
+        .localCheckpoint(eager=False)
+    )
     a = toks.select(
         F.col("source"),
         F.col("doc_id").alias("doc_a"),
