@@ -72,11 +72,14 @@ def token_bitmap_table(
             "bit", F.row_number().over(Window.orderBy(tok_col)) - F.lit(1)
         )
     )
-    # driver-side scalar (one number): picks the signature layout
+    # driver-side scalar (one number): picks the signature layout; an
+    # empty token input aggregates max(bit) to NULL → default to the
+    # single-word layout (the result is an empty signature table either
+    # way, but `None <= 1` would raise)
     nw = (
         vocab.agg(((F.max("bit") + F.lit(64)) / F.lit(64)).cast("int"))
         .first()[0]
-    )
+    ) or 1
     bits = tok.join(F.broadcast(vocab), tok_col)
     if nw <= 1:
         return bits.groupBy(*id_cols).agg(

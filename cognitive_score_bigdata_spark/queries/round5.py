@@ -1,0 +1,213 @@
+"""Round-5 additions.
+
+``dedup_pipeline_blocked_verify`` — the production near-dup posture as
+ONE registered, oracle-checked pipeline (VERDICT r4 "Next round" #3).
+The §9d/§9g scale studies conclude that on a near-dup-dense corpus the
+exact similarity joins are EMIT-bound (the answer itself is quadratic),
+and that the 100 TB answer is a composition, previously documented only
+as prose:
+
+1. **exact dedup first** — collapse literal copies (md5 digest groupBy,
+   min doc_id canonical), shrinking every downstream block;
+2. **MinHash-LSH blocking** — candidate pairs come from band-bucket
+   joins (bounded buckets), never from an all-pairs or whole-block
+   self-join;
+3. **bitmap verify** — candidates are scored on packed int64 bitmap
+   signatures (codegen ``bit_count``), so the verify stage shuffles
+   (id, n, sig) bytes, never token arrays.
+
+Every stage is deterministic and cross-engine reproducible (the md5
+two-hash minhash scheme from ``dedup_minhash_pairs_md5``), so the whole
+composition gets a full value-hash driver row — the recall/threshold
+behavior of the blocking IS part of the checked answer, like
+``dedup_semantic_exact``. Plan contract (pinned in
+``tests/test_plans.py``): candidate generation joins on (band, bkey)
+— bucket-bounded — and no exchange after the signature build carries a
+token array.
+
+Reference parity note: the reference (an AWS scoring stack,
+`/root/reference/src/backend/main.py`) has no dedup surface; this
+module belongs to the brief's LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import fan_out, load_table
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    _MH_BANDKEY,
+    _MH_MINS,
+    MH_BANDS,
+    MH_K,
+)
+
+# verify threshold: flag when 10 * |A∩B| >= 9 * |A| (A the smaller set)
+PIPE_CONTAIN_PCT = 9
+
+_PIPE_ORACLE = f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM canon)
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(text, ' +') AS t FROM d
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(u.i AS INTEGER):CAST(u.i + 2 AS INTEGER)],
+                             ' ') AS s
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.i AS band,
+             CASE {_MH_BANDKEY} END AS bkey
+      FROM sig, UNNEST(range({MH_BANDS})) AS b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(text, ' +')) AS tok
+      FROM d
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM cand c
+      JOIN tok a ON a.doc_id = c.da
+      JOIN tok b ON b.doc_id = c.db AND b.tok = a.tok
+      GROUP BY c.da, c.db
+    )
+    SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.da < i.db)
+                THEN i.da ELSE i.db END AS doc_small,
+           CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.da < i.db)
+                THEN i.db ELSE i.da END AS doc_big,
+           i.nc AS n_common,
+           LEAST(sa.n, sb.n) AS n_small
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE i.nc * 10 >= {PIPE_CONTAIN_PCT} * LEAST(sa.n, sb.n)
+"""
+
+
+def _md5_minhash_candidates(d: DataFrame) -> DataFrame:
+    """(da, db) LSH candidate pairs over ``d(doc_id, text)`` using the
+    md5 two-hash minhash scheme (Kirsch & Mitzenmacher 2006; identical
+    constants to ``dedup_minhash_pairs_md5``, whose driver row verifies
+    the machinery bit-for-bit against DuckDB)."""
+    from cognitive_score_bigdata_spark.operators.dedup import shingles
+
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+        )
+        .distinct()
+    )
+    digest = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    mins = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
+        for i in range(MH_K)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    rows_per_band = MH_K // MH_BANDS
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{rows_per_band * k + j}").cast(
+                                    "string"
+                                )
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for k in range(MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = banded.select(F.col("doc_id").alias("da"), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias("db"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_pipeline_blocked_verify",
+    oracle=_PIPE_ORACLE,
+    doc="the production near-dup composition as one checked pipeline: "
+    "exact dedup (md5 groupBy, min-doc_id canonical) -> MinHash-LSH "
+    "blocking (md5 two-hash scheme, 4x4 bands — bucket-bounded "
+    "candidate generation, the 100 TB alternative to the emit-bound "
+    "whole-block self-joins) -> packed-bitmap containment verify "
+    "(codegen bit_count over dictionary-encoded int64 signatures; "
+    "10*common >= 9*|A| integer predicate). Deterministic end to end, "
+    "so the driver hash-checks the composition INCLUDING the blocking "
+    "recall at these thresholds; plan-pinned: candidates join on "
+    "(band, bkey), and no exchange after the signature build moves a "
+    "token array",
+)
+def dedup_pipeline_blocked_verify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cognitive_score_bigdata_spark.functions import text as TX
+    from cognitive_score_bigdata_spark.operators.containment import (
+        containment_pairs,
+        token_bitmap_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon_ids = (
+        docs.groupBy(F.md5("text").alias("dig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = fan_out(
+        docs.join(canon_ids, "doc_id").select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    cand = _md5_minhash_candidates(d)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens("text"))).alias("tok"),
+    )
+    sigs = token_bitmap_table(tok, ["doc_id"]).localCheckpoint(eager=False)
+    return containment_pairs(
+        sigs,
+        contain_pct=PIPE_CONTAIN_PCT,
+        block_col="doc_id",
+        candidate_pairs=cand,
+    )

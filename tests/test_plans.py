@@ -443,3 +443,29 @@ def test_prefix_join_verify_is_bitmap(spark):
     round-4 rewrite that cut the emit-bound query's per-candidate cost."""
     a = _audit(spark, "text_prefix_filter_join")
     assert "array_intersect" not in a["text"], "string intersect regressed"
+
+
+def test_dedup_pipeline_blocking_is_bucket_bounded(spark):
+    """The production near-dup composition's plan contract (round 5):
+    candidate pairs must come from the LSH band-bucket equi-join — the
+    join keys include (band, bkey) — never a whole-corpus or
+    whole-block self-join, and the verify stage downstream of the
+    signature build moves packed bitmap signatures, not token arrays
+    or string intersections."""
+    import re
+
+    a = _audit(spark, "dedup_pipeline_blocked_verify")
+    t = a["text"]
+    # bucket-bounded candidate generation: a join keyed by band+bkey
+    assert re.search(r"(?:hashpartitioning|Join)[^\n]*band", t), t[:2000]
+    assert "bkey" in t
+    # bitmap verify, not string set intersection
+    assert "array_intersect" not in t
+    # no exchange may carry a token ARRAY attribute
+    for m in re.finditer(
+        r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\n"
+        r"Input \[\d+\]: \[([^\]]*)\]",
+        t,
+    ):
+        cols = m.group(1)
+        assert "toks" not in cols, f"token array in exchange: {cols}"
