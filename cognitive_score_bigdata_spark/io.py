@@ -11,6 +11,7 @@ is lossless.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import pyspark.sql.functions as F
@@ -50,8 +51,12 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass  # locked down (e.g. spark-connect policy) — reads may still work
+    except Exception as exc:  # locked down (e.g. spark-connect policy)
+        # reads may still work if the session was pre-configured; log so
+        # a PARQUET_TYPE_ILLEGAL failure downstream is diagnosable
+        logging.getLogger(__name__).debug(
+            "could not self-heal nanos confs (session locked down): %s", exc
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

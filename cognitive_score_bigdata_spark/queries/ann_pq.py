@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cognitive_score_bigdata_spark.io import load_table
 from cognitive_score_bigdata_spark.operators.pq import pq_topk
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.session_cache import session_scoped
 
 
 @register(
@@ -36,11 +37,11 @@ def vector_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index file, not the probe): train/encode once per (session, dir)
     # like the BM25/minhash/IVF builds. BENCH_r03 flagged the regression
     # (1.80 -> 2.65 s) when the encode share drifted into the timed path.
-    key = (id(spark), sf_dir)
-    if key not in _PQ_CACHE:
+    def build():
         books = pq_train(emb, m=16, k=64, seed=42)
-        _PQ_CACHE[key] = (books, pq_encode(emb, books).persist())
-    books, codes = _PQ_CACHE[key]
+        return books, pq_encode(emb, books).persist()
+
+    books, codes = session_scoped(_PQ_CACHE, spark, (sf_dir,), build)
     return pq_topk(emb, queries, k_top=10, books=books, codes=codes)
 
 

@@ -25,6 +25,7 @@ from cognitive_score_bigdata_spark.operators.similarity import (
     ivf_probe,
 )
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.session_cache import session_scoped
 
 NEARDUP_THRESHOLD = 0.46  # testdata embeddings are random; pairs peak ~0.51
 
@@ -36,11 +37,11 @@ _IVF_CACHE: dict[tuple[int, str, int], object] = {}
 
 
 def ivf_index(spark: SparkSession, sf_dir: str, n_cells: int):
-    key = (id(spark), sf_dir, n_cells)
-    if key not in _IVF_CACHE:
+    def build():
         emb = load_table(spark, sf_dir, "embeddings")
-        _IVF_CACHE[key] = ivf_build(emb, n_cells=n_cells)
-    return _IVF_CACHE[key]
+        return ivf_build(emb, n_cells=n_cells)
+
+    return session_scoped(_IVF_CACHE, spark, (sf_dir, n_cells), build)
 
 
 @register(
@@ -169,15 +170,15 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
         save_minhash_index,
     )
 
-    key = (id(spark), sf_dir)
-    if key not in _MH_INDEX_CACHE:
+    def build() -> str:
         corpus = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
         path = tempfile.mkdtemp(prefix="csb_mh_index_") + "/idx"
         save_minhash_index(corpus, path)
-        _MH_INDEX_CACHE[key] = path
-    return _MH_INDEX_CACHE[key]
+        return path
+
+    return session_scoped(_MH_INDEX_CACHE, spark, (sf_dir,), build)
 
 
 @register(

@@ -34,11 +34,11 @@ _MODEL_CACHE: dict[int, object] = {}
 
 
 def _serving_model(spark: SparkSession):
-    key = id(spark)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE.clear()  # a new session invalidates the old JVM model
-        _MODEL_CACHE[key] = train(spark)
-    return _MODEL_CACHE[key]
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    # a new session invalidates the old JVM model; session_scoped evicts
+    # other-session entries on rebuild
+    return session_scoped(_MODEL_CACHE, spark, (), lambda: train(spark))
 
 
 @register(

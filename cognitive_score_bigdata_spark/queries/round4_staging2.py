@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import load_table
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.session_cache import session_scoped
 from cognitive_score_bigdata_spark.operators.graph import (
     pagerank_fixed_point,
     triangle_count,
@@ -89,9 +90,8 @@ def bucketed_pair(
     bucket i with bucket i. ``tests/test_plans.py`` pins the
     no-Exchange property.
     """
-    key = (id(spark), sf_dir)
-    if key not in _BUCKET_CACHE:
-        tag = f"{abs(hash(key)) % 10**8:08d}"
+    def build() -> tuple[str, str]:
+        tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))) % 10**8:08d}"
         names = (f"csb_bkt_orders_{tag}", f"csb_bkt_lineitem_{tag}")
         base = tempfile.mkdtemp(prefix="csb_bucketed_")
         for name, table, key_col in (
@@ -106,8 +106,9 @@ def bucketed_pair(
                 .option("path", f"{base}/{name}")
                 .saveAsTable(name)
             )
-        _BUCKET_CACHE[key] = names
-    o, l = _BUCKET_CACHE[key]
+        return names
+
+    o, l = session_scoped(_BUCKET_CACHE, spark, (sf_dir,), build)
     return spark.table(o), spark.table(l)
 
 
@@ -154,8 +155,7 @@ _PAIR_CACHE: dict[tuple[int, str], str] = {}
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p1, p2, sup): distinct part pairs per order with co-purchase
     support, p1 < p2; session-cached parquet."""
-    key = (id(spark), sf_dir)
-    if key not in _PAIR_CACHE:
+    def build() -> str:
         path = tempfile.mkdtemp(prefix="csb_copurchase_") + "/pairs"
         li = (
             load_table(spark, sf_dir, "lineitem")
@@ -176,8 +176,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("sup"))
             .write.parquet(path)
         )
-        _PAIR_CACHE[key] = path
-    return spark.read.parquet(_PAIR_CACHE[key])
+        return path
+
+    return spark.read.parquet(
+        session_scoped(_PAIR_CACHE, spark, (sf_dir,), build)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -381,8 +384,7 @@ def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     query below — lets Catalyst inject a *dynamic* partition filter from
     the dimension side of a join at runtime.
     """
-    key = (id(spark), sf_dir)
-    if key not in _PART_CACHE:
+    def build() -> str:
         path = tempfile.mkdtemp(prefix="csb_dpp_") + "/lineitem"
         (
             load_table(spark, sf_dir, "lineitem")
@@ -392,8 +394,11 @@ def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.partitionBy("ship_month")
             .parquet(path)
         )
-        _PART_CACHE[key] = path
-    return spark.read.parquet(_PART_CACHE[key])
+        return path
+
+    return spark.read.parquet(
+        session_scoped(_PART_CACHE, spark, (sf_dir,), build)
+    )
 
 
 @register(
@@ -1759,8 +1764,7 @@ def _hll_stream_indir(spark: SparkSession, sf_dir: str) -> str:
     one-time export."""
     import os
 
-    key = (id(spark), sf_dir)
-    if key not in _HLL_STREAM_IN:
+    def build() -> str:
         in_dir = os.path.join(tempfile.mkdtemp(prefix="csb_stream_hll_"), "in")
         (
             load_table(spark, sf_dir, "events")
@@ -1768,8 +1772,9 @@ def _hll_stream_indir(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .json(in_dir)
         )
-        _HLL_STREAM_IN[key] = in_dir
-    return _HLL_STREAM_IN[key]
+        return in_dir
+
+    return session_scoped(_HLL_STREAM_IN, spark, (sf_dir,), build)
 
 
 @register(

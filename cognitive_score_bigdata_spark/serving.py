@@ -91,9 +91,12 @@ def worker_status(wearables: DataFrame, user_id: str) -> dict[str, Any]:
     (TakeOrderedAndProject — never a global sort). Only one row crosses
     to the driver.
     """
+    # heart_rate/steps break timestamp ties deterministically (the
+    # DynamoDB reference never faces ties — its sort key is unique;
+    # repeated calls here must return a stable row regardless)
     row = (
         wearables.filter(F.col("user_id") == user_id)
-        .orderBy(F.desc("timestamp"))
+        .orderBy(F.desc("timestamp"), F.desc("heart_rate"), F.desc("steps"))
         .limit(1)
         .collect()
     )

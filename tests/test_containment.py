@@ -134,3 +134,12 @@ def test_salted_block_join_same_pairs(spark):
         for r in containment_pairs(sigs, contain_pct=5, n_salts=7).collect()
     }
     assert plain == salted and plain
+
+
+def test_empty_token_input_yields_empty_signature_table(spark):
+    """ADVICE r4: an empty token input must return an empty signature
+    table, not raise on the NULL max(bit) scalar."""
+    empty = _tok_df(spark, {}).limit(0)
+    sigs = token_bitmap_table(empty, ["doc_id", "source"])
+    assert sigs.count() == 0
+    assert containment_pairs(sigs).count() == 0

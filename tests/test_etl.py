@@ -80,3 +80,19 @@ def test_every_child_has_valid_owner(etl):
     scores = spark.read.parquet(f"{out_dir}/cognitive_scores")
     unmatched = scores.join(users, "user_id", "left_anti").count()
     assert unmatched == 0
+
+
+def test_load_table_reads_with_preset_confs(spark):
+    """VERDICT r4 #8: when the nanos confs are already set correctly
+    (a locked-down session that pre-configured them), load_table must
+    read events (TIMESTAMP(NANOS)) fine even if its self-heal conf set
+    were to fail; the failure path now logs at debug instead of passing
+    silently."""
+    from cognitive_score_bigdata_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = load_table(spark, SF_DIR, "events")
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"].startswith("timestamp")

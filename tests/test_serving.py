@@ -187,3 +187,45 @@ def test_worker_status_contract(spark):
             "last_steps": 0,
             "timestamp": None,
         }
+
+
+def test_worker_status_timestamp_tie_is_deterministic(spark):
+    """ADVICE r4: on timestamp ties the returned snapshot must be stable
+    across runs/partitionings (the DynamoDB reference has a unique sort
+    key; we add heart_rate/steps as explicit tiebreakers)."""
+    import datetime
+
+    from cognitive_score_bigdata_spark.serving import worker_status
+
+    ts = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [("u1", ts, hr, hr * 10) for hr in (55, 90, 71)]
+    for nparts in (1, 3):
+        wearables = spark.createDataFrame(
+            rows,
+            "user_id string, timestamp timestamp, "
+            "heart_rate int, steps int",
+        ).repartition(nparts)
+        got = worker_status(wearables, "u1")
+        assert got["last_heart_rate"] == 90 and got["last_steps"] == 900
+
+
+def test_session_scoped_cache_evicts_stale_appids():
+    """session_cache.session_scoped keys by applicationId (id(spark) can
+    be recycled by the allocator) and drops other-session entries on
+    rebuild."""
+    class _Ctx:
+        def __init__(self, app):
+            self.applicationId = app
+
+    class _S:
+        def __init__(self, app):
+            self.sparkContext = _Ctx(app)
+
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    store: dict = {}
+    s1, s2 = _S("app-1"), _S("app-2")
+    assert session_scoped(store, s1, ("x",), lambda: 1) == 1
+    assert session_scoped(store, s1, ("x",), lambda: 2) == 1  # cached
+    assert session_scoped(store, s2, ("x",), lambda: 3) == 3  # new session
+    assert list(store) == [("app-2", "x")]  # app-1 entry evicted
