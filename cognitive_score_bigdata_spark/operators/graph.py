@@ -20,6 +20,20 @@ Design notes (both operators):
   degree orientation: ranking nodes by (degree, id) and directing every
   edge low→high bounds out-degree at O(√E), so a celebrity node
   generates zero wedges from its low side instead of deg² of them.
+- **Beyond the broadcast ceiling** (SURVEY §9h: ≳2M nodes ≈ 32 MB rank
+  table, where Catalyst flips the rank join to SMJ and every iteration
+  would re-shuffle the 100 TB-scale EDGE list): every fixpoint here
+  takes ``edge_buckets=N`` to switch to the bucketed-edge layout —
+  the loop-invariant edge table is written ONCE with
+  ``bucketBy(N, src).sortBy(src)`` (:func:`bucketize_edges`), so each
+  iteration's state join reads the bucketed scan with NO edge-side
+  Exchange and shuffles only the |V|-row rank/dist/label table into
+  the bucket partitioning. Map-side partial aggregation keeps the
+  contribution shuffle |V|-bounded per partition too, so total
+  per-iteration shuffle volume is O(|V|·P), independent of |E|. AQE
+  skew-split handles supernode buckets. Plan-pinned in
+  ``tests/test_plans.py`` with broadcast disabled; cross-mode parity
+  pinned in ``tests/test_graph_ops.py``.
 
 Reference parity note: the reference (`/root/reference/src/backend/`)
 has no graph surface; these belong to the brief's large-scale-pipeline
@@ -29,15 +43,53 @@ already ships the connected-components side of the graph story.
 
 from __future__ import annotations
 
+import itertools
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 PR_BASE = 150_000  # (1 - d) in micro-units, d = 0.85
 PR_INIT = 1_000_000
 
+_BUCKET_SEQ = itertools.count()
+
+
+def bucketize_edges(
+    df: DataFrame, key: str = "src", n_buckets: int = 32
+) -> DataFrame:
+    """Materialize a loop-invariant edge table ONCE as a ``key``-bucketed,
+    ``key``-sorted parquet table and return its re-read scan.
+
+    The scan's output partitioning IS ``hashpartitioning(key,
+    n_buckets)``, so an equi-join on ``key`` needs no Exchange on the
+    edge side — the one-time bucket write replaces |iterations| edge
+    shuffles. ``repartition(n, key)`` before the write yields one file
+    per bucket, which lets the scan also report the sort order (multiple
+    files per bucket would force a re-sort, though never a shuffle).
+    """
+    spark = df.sparkSession
+    name = (
+        f"csb_bkt_edges_{os.getpid()}_{next(_BUCKET_SEQ)}"
+    )
+    base = tempfile.mkdtemp(prefix="csb_graph_bkt_")
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", f"{base}/{name}")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
 
 def pagerank_fixed_point(
-    edges: DataFrame, n_iters: int = 5, weight_col: str | None = None
+    edges: DataFrame,
+    n_iters: int = 5,
+    weight_col: str | None = None,
+    edge_buckets: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, exact BIGINT micro-units.
 
@@ -50,22 +102,46 @@ def pagerank_fixed_point(
     With ``weight_col`` (integer edge weights), rank flows proportional
     to weight: contribution = (r * 17 * w) div (20 * wdeg(u)) where
     wdeg = Σ out-weights — still all-BIGINT, still bit-exact.
+
+    ``edge_buckets=None`` (default): the rank vector broadcasts into the
+    edge list each iteration — right while |V| fits the broadcast
+    threshold (~2M nodes at 32 MB). ``edge_buckets=N``: the degree-folded
+    edge table is bucketed on ``src`` once and each iteration sort-merge
+    joins the rank table INTO the bucket partitioning — the >2M-node
+    layout where only the |V|-row rank table moves per iteration.
+    Identical results either way (mode changes the physical plan only).
     """
     w = F.col(weight_col) if weight_col else F.lit(1)
     edges = edges.select("src", "dst", w.cast("bigint").alias("__w"))
-    edges = edges.localCheckpoint(eager=False)  # reused every iteration
+    if edge_buckets is None:
+        edges = edges.localCheckpoint(eager=False)  # reused every iteration
     deg = edges.groupBy("src").agg(F.sum("__w").alias("d"))
     # weighted out-degree folded into the edge list once, outside the loop
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ed = edges.join(deg, "src")
+    if edge_buckets is None:
+        ed = ed.localCheckpoint(eager=False)
+    else:
+        ed = bucketize_edges(ed, "src", edge_buckets)
 
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(PR_INIT).cast("bigint").alias("rank_micro"),
-    )
+    if edge_buckets is None:
+        ranks = deg.select(
+            F.col("src").alias("node"),
+            F.lit(PR_INIT).cast("bigint").alias("rank_micro"),
+        )
+    else:
+        # derive the seed ranks from the bucketed scan: distinct(src)
+        # rides the bucket partitioning — zero-exchange
+        ranks = (
+            ed.select("src")
+            .distinct()
+            .select(
+                F.col("src").alias("node"),
+                F.lit(PR_INIT).cast("bigint").alias("rank_micro"),
+            )
+        )
     for _ in range(n_iters):
-        contrib = ed.join(
-            F.broadcast(ranks), ranks.node == ed.src
-        ).select(
+        rank_side = F.broadcast(ranks) if edge_buckets is None else ranks
+        contrib = ed.join(rank_side, ranks.node == ed.src).select(
             F.col("dst"),
             F.expr("(rank_micro * 17 * __w) div (20 * d)").alias("c"),
         )
@@ -159,7 +235,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def minlabel_components(edges: DataFrame, n_iters: int = 8) -> DataFrame:
+def minlabel_components(
+    edges: DataFrame,
+    n_iters: int = 8,
+    edge_buckets: int | None = None,
+) -> DataFrame:
     """Connected components by min-label propagation, fixed iterations.
 
     ``edges`` needs ``src``/``dst`` with each undirected edge in ONE
@@ -176,6 +256,8 @@ def minlabel_components(edges: DataFrame, n_iters: int = 8) -> DataFrame:
     DuckDB oracle for a graph algorithm. Per round: one broadcast of
     the |V|-row label vector into the edge list + one min-aggregate
     shuffle on dst — the same Pregel shape as PageRank above.
+    ``edge_buckets=N`` switches to the bucketed-edge layout for the
+    >2M-node regime (see :func:`pagerank_fixed_point`).
     """
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -183,19 +265,75 @@ def minlabel_components(edges: DataFrame, n_iters: int = 8) -> DataFrame:
     nodes = sym.select(F.col("src").alias("n")).distinct()
     withself = sym.unionAll(
         nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-    ).localCheckpoint(eager=False)
-
-    labels = nodes.select(
-        F.col("n").alias("node"), F.col("n").alias("lab")
     )
-    for _ in range(n_iters):
+    if edge_buckets is None:
+        withself = withself.localCheckpoint(eager=False)
+    else:
+        withself = bucketize_edges(withself, "src", edge_buckets)
+
+    if edge_buckets is None:
+        labels = nodes.select(
+            F.col("n").alias("node"), F.col("n").alias("lab")
+        )
+    else:
+        # seed labels off the bucketed scan (self-loops guarantee every
+        # node appears as src): zero-exchange distinct
         labels = (
-            withself.join(F.broadcast(labels), labels.node == withself.src)
+            withself.select("src")
+            .distinct()
+            .select(F.col("src").alias("node"), F.col("src").alias("lab"))
+        )
+    for _ in range(n_iters):
+        lab_side = F.broadcast(labels) if edge_buckets is None else labels
+        labels = (
+            withself.join(lab_side, labels.node == withself.src)
             .groupBy("dst")
             .agg(F.min("lab").alias("lab"))
             .select(F.col("dst").alias("node"), "lab")
         )
     return labels
+
+
+def sssp_fixed_rounds(
+    es: DataFrame,
+    n_iters: int = 6,
+    edge_buckets: int | None = None,
+) -> DataFrame:
+    """Bellman-Ford min-plus relaxation from ``min(src)``, fixed rounds.
+
+    ``es`` needs ``src``/``dst``/``w`` (BIGINT weights, each directed
+    edge once — symmetrize beforehand for undirected graphs). Returns
+    (node, dist) for every node reached within ``n_iters`` hops; with
+    integer weights and a fixed round count the output is a pure
+    function of the input (exactly oracle-able, like
+    :func:`minlabel_components`). Per round: frontier distances join
+    the edge list on src (broadcast by default; bucketed-edge SMJ with
+    ``edge_buckets=N`` for the >2M-node regime), then a min-aggregate
+    merges relaxations with the kept distances. ``dist`` is referenced
+    twice per round (relax join + keep-old union), so each round cuts
+    lineage with localCheckpoint — without it the executed plan inlines
+    2^k-fold (SURVEY §9h: 63 broadcast joins for 6 rounds).
+    """
+    if edge_buckets is None:
+        es = es.localCheckpoint(eager=False)  # relaxed against every round
+    else:
+        es = bucketize_edges(es, "src", edge_buckets)
+    src0 = es.groupBy().agg(F.min("src").alias("node"))
+    dist = src0.select("node", F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(n_iters):
+        dist_side = F.broadcast(dist) if edge_buckets is None else dist
+        relax = es.join(dist_side, dist.node == es.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
 
 
 def local_triangle_counts(edges: DataFrame) -> DataFrame:

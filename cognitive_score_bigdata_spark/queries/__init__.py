@@ -121,6 +121,81 @@ ROUND5_WINDOW = [
 ]
 
 
+# Why each rows-only (oracle=None) query CANNOT be value-hash-checked
+# against DuckDB, and which driver-VERIFIED sibling pins the same
+# machinery (VERDICT r4 item 4: every rows-only entry must name its
+# coverage or be retired). Appended to the spec doc at load time;
+# completeness pinned by tests/test_oracle_parity.py.
+ROWS_ONLY_RATIONALE: dict[str, str] = {
+    "vector_ann_ivfpq_topk": "probe mode is approximate by design "
+    "(n_probe<n_cells drops true neighbors); machinery hash-verified by "
+    "sibling vector_ann_ivfpq_exact (driver r4, n_probe=n_cells), "
+    "recall>=0.7 pinned in test_pq",
+    "agg_approx_distinct": "HLL estimate is engine-specific (different "
+    "register layouts); exact sibling agg_distinct is driver-verified, "
+    "error bound pinned in tests",
+    "vector_ann_lsh_neardup": "sign-LSH recall is probabilistic (plane "
+    "draws differ per engine); exact sibling vector_cosine_neardup "
+    "(driver-verified) defines the target set, recall pinned in tests",
+    "vector_ann_ivf_topk": "probe mode approximate; exact sibling "
+    "vector_ann_ivf_exact (driver r2, n_probe=n_cells) hash-verifies "
+    "the same build/probe machinery",
+    "dedup_minhash_pairs": "fast path on xxhash64 (JVM-internal hash, "
+    "no DuckDB equivalent); the IDENTICAL shingle->min->band->bucket "
+    "machinery is hash-verified by sibling dedup_minhash_pairs_md5 "
+    "(driver r4, md5 two-hash scheme)",
+    "dedup_simhash_pairs": "fast path on xxhash64; sketch/blocking/"
+    "Hamming-verify machinery hash-verified by sibling "
+    "dedup_simhash_pairs_md5 (driver r4)",
+    "dedup_cluster_docs_star": "iterative contraction with data-"
+    "dependent round count (not a pure function SQL can unroll); "
+    "label parity vs union-find pinned in tests, fixed-iteration "
+    "sibling graph_minlabel_components is driver-verified (r4)",
+    "dedup_incremental_newbatch": "xxhash64 LSH banding (see "
+    "dedup_minhash_pairs); banding math verified via the md5 sibling, "
+    "index round-trip + planted-copy recovery pinned in tests",
+    "vector_ann_pq_topk": "ADC scores are approximations; the "
+    "codebook/encode/LUT machinery is hash-verified by sibling "
+    "vector_ann_ivfpq_exact (driver r4), recall pinned in test_pq",
+    "dedup_cluster_docs": "clusters over xxhash64-LSH candidates (see "
+    "dedup_minhash_pairs); exact-jaccard sibling dedup_cluster_exact "
+    "(driver r3) hash-verifies the clustering composition",
+    "vector_kmeans_cluster_sizes": "MLlib KMeans float iterations are "
+    "engine-specific; k-means-as-partitioner machinery hash-verified "
+    "via dedup_semantic_exact (driver r4, n_cells=1) and the IVF exact "
+    "modes",
+    "sample_stratified": "sampleBy's per-row RNG stream has no DuckDB "
+    "equivalent; deterministic sibling sample_stratified_exact_k "
+    "(driver r4) hash-verifies exact-k stratified selection",
+    "agg_percentile_approx": "KLL-sketch quantiles are estimator-"
+    "specific; exact siblings agg_exact_median_by_type / "
+    "agg_percentile_bands (driver r4) are hash-verified, error bound "
+    "pinned in tests",
+    "sample_seeded": "F9 parity row: Bernoulli sampling rides Spark's "
+    "per-partition RNG stream (engine-specific by nature); "
+    "deterministic sibling sample_weighted_systematic (driver r4) "
+    "hash-verifies exact weighted selection",
+    "ml_score_batch": "GBT transform is model inference, not SQL; the "
+    "deterministic serving prefix is hash-verified by sibling "
+    "ml_feature_assembly (driver r3), model path pinned in test_ml",
+    "dedup_semantic_pairs": "probe mode prunes by approximate cell "
+    "assignment; sibling dedup_semantic_exact (driver r4, n_cells=1 = "
+    "exhaustive) hash-verifies the Gram-matmul pair machinery, planted "
+    "near-dups pinned in tests",
+    "sketch_hll_group_users": "Datasketches HLL register values are "
+    "library-specific; sibling sketch_hll_md5_users (driver r4) "
+    "hash-verifies md5-auditable HLL register maintenance end-to-end, "
+    "merge+bounds pinned in test_sketches",
+    "sketch_theta_user_overlap": "Datasketches theta internals are "
+    "library-specific; sibling sketch_kmv_overlap3 (driver r4) "
+    "hash-verifies the KMV/theta-style set-algebra machinery",
+    "agg_pandas_udaf_gmean": "geometric mean goes through exp/log "
+    "transcendentals (cross-engine ulp drift by design of the check); "
+    "the row exists for the grouped pandas-UDAF API surface, Arrow "
+    "batch shape pinned in tests",
+}
+
+
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
     the registry reordered so :data:`ROUND5_WINDOW` comes first.
@@ -176,6 +251,12 @@ def load_registry() -> dict[str, QuerySpec]:
     missing = [n for n in ROUND5_WINDOW if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"ROUND5_WINDOW names not registered: {missing}")
+    from dataclasses import replace
+
+    for n, why in ROWS_ONLY_RATIONALE.items():
+        spec = REGISTRY.get(n)
+        if spec is not None and spec.oracle is None and why not in spec.doc:
+            REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
     ordered = {n: REGISTRY[n] for n in ROUND5_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

@@ -103,21 +103,30 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="weekly retention cohort matrix: users grouped by first-seen "
     "week, counted distinct in every subsequent active week — the "
-    "(cohort, offset) triangle every growth dashboard draws. Two "
-    "aggregations and one join, ALL hash-partitioned on user_id before "
-    "the final small rollup; active weeks are deduped per (user, week) "
-    "BEFORE the join so the join input is bounded by users x weeks, not "
-    "raw events. Week truncation is Monday-start on both engines and "
-    "offsets are exact day-diffs integer-divided by 7",
+    "(cohort, offset) triangle every growth dashboard draws. ONE "
+    "event-sized shuffle: active weeks dedup per (user, week), then "
+    "first-seen derives from the (small) active table as min(wk) — "
+    "date_trunc is monotone, so min-of-truncs = trunc-of-min and the "
+    "second events scan/aggregate of the naive form is gone (round-5 "
+    "rewrite of the only unexplained BENCH_r04 regression: 1.09 -> "
+    "0.49 s warm at sf0.1). The final count is a plain COUNT: "
+    "(user, wk) is unique post-dedup and a user has one cohort, so "
+    "(cohort, offset, user) can't repeat — count_distinct's expand "
+    "phase would be pure overhead. Week truncation is Monday-start on "
+    "both engines and offsets are exact day-diffs integer-divided by 7",
 )
 def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    # referenced twice (first-seen aggregate + join probe): cut lineage
+    # so the event-sized dedup runs once
+    active = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
-    ).distinct()
+    first_seen = active.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week")
+    )
     return (
         active.join(first_seen, "user_id")
         .select(
@@ -125,10 +134,9 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(datediff(wk, cohort_week) DIV 7 AS INT)").alias(
                 "week_offset"
             ),
-            "user_id",
         )
         .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
 
 

@@ -62,6 +62,7 @@ from cognitive_score_bigdata_spark.queries import register
 from cognitive_score_bigdata_spark.session_cache import session_scoped
 from cognitive_score_bigdata_spark.operators.graph import (
     pagerank_fixed_point,
+    sssp_fixed_rounds,
     triangle_count,
 )
 from cognitive_score_bigdata_spark.queries._helpers import dsum, sql_dsum
@@ -2289,25 +2290,8 @@ def graph_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         (F.expr("1000 div sup") + 1).cast("bigint").alias("w"),
-    ).localCheckpoint(eager=False)  # relaxed against every round
-    src0 = es.groupBy().agg(F.min("src").alias("node"))
-    dist = src0.select("node", F.lit(0).cast("bigint").alias("dist"))
-    for _ in range(SSSP_ITERS):
-        relax = es.join(F.broadcast(dist), dist.node == es.src).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).alias("dist"),
-        )
-        dist = (
-            dist.select("node", "dist")
-            .unionAll(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            # dist appears TWICE per round (relax join + keep-old union),
-            # so an uncut lineage inlines 2^k-fold — the executed plan
-            # carried 63 broadcast joins for 6 rounds before this cut
-            # (the Spark-side twin of the oracle's AS MATERIALIZED fix)
-            .localCheckpoint(eager=False)
-        )
+    )
+    dist = sssp_fixed_rounds(es, n_iters=SSSP_ITERS)
     return dist.select(
         F.col("node").alias("part_key"),
         F.col("dist").cast("bigint").alias("dist_milli"),

@@ -202,3 +202,71 @@ def test_minlabel_converged_on_copurchase_graph(spark):
     m8 = dict(zip(eight.node, eight.lab))
     m12 = dict(zip(twelve.node, twelve.lab))
     assert m8 == m12
+
+
+# --- bucketed-edge iteration mode (the >2M-node layout) ---------------------
+
+
+def _random_sym_pairs(seed=11, n_nodes=24, n_edges=40):
+    import random
+
+    rng = random.Random(seed)
+    pairs = {
+        tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+    }
+    return sorted(pairs)
+
+
+def test_pagerank_bucketed_mode_identical_ranks(spark):
+    """edge_buckets changes the physical layout only: ranks must be
+    bit-identical to the broadcast mode on the same graph."""
+    pairs = _symmetrize(_random_sym_pairs())
+    e = _edges_df(spark, pairs)
+    base = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_fixed_point(e, n_iters=4).collect()
+    }
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_fixed_point(e, n_iters=4, edge_buckets=4).collect()
+    }
+    assert got == base and len(base) > 0
+
+
+def test_minlabel_bucketed_mode_identical_labels(spark):
+    from cognitive_score_bigdata_spark.operators.graph import (
+        minlabel_components,
+    )
+
+    pairs = _random_sym_pairs(seed=5)
+    e = _edges_df(spark, pairs)
+    base = {
+        r["node"]: r["lab"]
+        for r in minlabel_components(e, n_iters=6).collect()
+    }
+    got = {
+        r["node"]: r["lab"]
+        for r in minlabel_components(e, n_iters=6, edge_buckets=4).collect()
+    }
+    assert got == base and len(base) > 0
+
+
+def test_sssp_bucketed_mode_identical_dists(spark):
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.operators.graph import (
+        sssp_fixed_rounds,
+    )
+
+    pairs = _symmetrize(_random_sym_pairs(seed=3))
+    es = _edges_df(spark, pairs).withColumn(
+        "w", (F.col("src") % 3 + F.col("dst") % 5 + 1).cast("bigint")
+    )
+    base = {
+        r["node"]: r["dist"] for r in sssp_fixed_rounds(es, 5).collect()
+    }
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_fixed_rounds(es, 5, edge_buckets=4).collect()
+    }
+    assert got == base and len(base) > 0

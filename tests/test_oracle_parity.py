@@ -58,3 +58,20 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_every_rows_only_query_documents_its_coverage():
+    """VERDICT r4 #4: a rows-only registry entry must say why it cannot
+    be oracle-checked and which driver-verified sibling pins its
+    machinery — otherwise it reads as an unverified operator."""
+    from cognitive_score_bigdata_spark.queries import ROWS_ONLY_RATIONALE
+
+    undocumented = [
+        n
+        for n in NO_ORACLE
+        if n not in ROWS_ONLY_RATIONALE
+        and "[rows-only:" not in REGISTRY[n].doc
+    ]
+    assert not undocumented, undocumented
+    stale = [n for n in ROWS_ONLY_RATIONALE if REGISTRY[n].oracle is not None]
+    assert not stale, f"rationale for queries that now HAVE oracles: {stale}"

@@ -469,3 +469,47 @@ def test_dedup_pipeline_blocking_is_bucket_bounded(spark):
     ):
         cols = m.group(1)
         assert "toks" not in cols, f"token array in exchange: {cols}"
+
+
+def test_bucketed_edge_iteration_has_no_edge_side_exchange(spark):
+    """VERDICT r4 #2: beyond the ~2M-node broadcast ceiling the graph
+    fixpoints must run on the bucketed-edge layout — the loop-invariant
+    edge table is bucketBy(src) once, and with broadcast DISABLED each
+    iteration's plan shows (a) the bucketed scan feeding the join with
+    no Exchange on the edge side, and (b) every Exchange moving only
+    rank/label/dist-table rows: no exchange carries a full edge row
+    (src+dst together) or the folded degree/weight columns."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from cognitive_score_bigdata_spark.plans.audit import plan_text
+
+    pairs = [(u, v) for u in range(12) for v in range(12) if u != v and (u + v) % 3 == 0]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = pagerank_fixed_point(e, n_iters=3, edge_buckets=4)
+        ranks.collect()
+        t = plan_text(ranks)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in t, t[:3000]
+    assert "BroadcastHashJoin" not in t, t[:3000]
+    assert "SortMergeJoin" in t, t[:3000]
+    for m in re.finditer(
+        r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\n"
+        r"Input \[\d+\]: \[([^\]]*)\]",
+        t,
+    ):
+        cols = m.group(1)
+        has_src = re.search(r"\bsrc#", cols) is not None
+        has_dst = re.search(r"\bdst#", cols) is not None
+        assert not (has_src and has_dst), f"edge row in exchange: {cols}"
+        assert "__w#" not in cols and not re.search(r"\bd#", cols), (
+            f"edge payload in exchange: {cols}"
+        )
