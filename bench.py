@@ -171,6 +171,8 @@ HEADLINE = [
     "events_pareto_user_deciles",
     "events_weekday_profile",
     "quality_independence_residuals",
+    # round-5 addition: the production near-dup composition
+    "dedup_pipeline_blocked_verify",
 ]
 
 
