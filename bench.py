@@ -173,6 +173,11 @@ HEADLINE = [
     "quality_independence_residuals",
     # round-5 addition: the production near-dup composition
     "dedup_pipeline_blocked_verify",
+    # round-6 staging (benched from day one): skyline sweep + the
+    # bucketed-edge pagerank physical mode (pays its one-time bucket
+    # write inside the timed run, like the bucketed-join pair)
+    "analytics_skyline_parts",
+    "graph_pagerank_bucketed",
 ]
 
 

@@ -270,3 +270,43 @@ def test_sssp_bucketed_mode_identical_dists(spark):
         for r in sssp_fixed_rounds(es, 5, edge_buckets=4).collect()
     }
     assert got == base and len(base) > 0
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Skyline sweep vs brute-force dominance on a small set with ties
+    on each coordinate and full-duplicate points (both must survive)."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.queries import load_registry
+
+    pts = [
+        (1, 10.0, 5), (2, 10.0, 5),   # duplicates: both survive
+        (3, 10.0, 4),                  # dominated by 1/2 (same price)
+        (4, 9.0, 3),                   # cheaper, smaller: survives
+        (5, 12.0, 9), (6, 12.0, 9),
+        (7, 11.0, 9),                  # dominates 5/6 (cheaper, same size)
+        (8, 13.0, 8),                  # dominated by 5-7
+        (9, 8.0, 1),
+    ]
+    df = spark.createDataFrame(
+        pts, "p_partkey long, p_retailprice double, p_size int"
+    )
+    brute = {
+        pk
+        for pk, pr, sz in pts
+        if not any(
+            (qr <= pr and qs >= sz and (qr < pr or qs > sz))
+            for _, qr, qs in pts
+        )
+    }
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="csb_sky_")
+    df.write.parquet(os.path.join(d, "part.parquet"))
+    got = {
+        r["part_key"]
+        for r in load_registry()["analytics_skyline_parts"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert got == brute == {1, 2, 4, 7, 9}

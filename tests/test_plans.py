@@ -513,3 +513,19 @@ def test_bucketed_edge_iteration_has_no_edge_side_exchange(spark):
         assert "__w#" not in cols and not re.search(r"\bd#", cols), (
             f"edge payload in exchange: {cols}"
         )
+
+
+def test_skyline_is_sweep_not_self_join(spark):
+    """The skyline query must run the sort-sweep formulation: per-price
+    aggregate + window over the distinct-price table + one broadcast
+    join back — never the O(n²) not-exists self-join the oracle runs.
+    A SortMergeJoin or a second scan-sized join means someone rewrote
+    the sweep as the naive dominance test."""
+    a = _audit(spark, "analytics_skyline_parts")
+    assert a["n_sortmerge_joins"] == 0, a["text"]
+    # the naive dominance test plans as a nested-loop theta-join
+    assert "NestedLoop" not in a["text"], a["text"]
+    # exactly one join: the tiny price-frontier broadcast back onto part
+    # (formatted explain lists each node twice: tree + detail)
+    assert a["n_broadcast_joins"] == 2, a["text"]
+    assert a["n_partial_aggs"] >= 1, a["text"]
