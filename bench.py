@@ -178,6 +178,7 @@ HEADLINE = [
     # write inside the timed run, like the bucketed-join pair)
     "analytics_skyline_parts",
     "graph_pagerank_bucketed",
+    "events_markov_transitions",
 ]
 
 

@@ -334,3 +334,56 @@ def analytics_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("bigint").alias("size"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / t.tot AS p
+    FROM c JOIN t USING (prev_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences (the user-journey mining primitive behind funnel/"
+    "next-action models): lag over (user, ts, event_id) — event_id "
+    "breaks timestamp ties so the sequence is deterministic on both "
+    "engines — then exact BIGINT transition counts; p is ONE double "
+    "division of identical integers (the est_jaccard rule). One "
+    "event-sized shuffle on user_id for the lag window, then "
+    "|types|²-bounded aggregates — the transition matrix is tiny at "
+    "any corpus scale, the sequence pass is linear",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("tot")).alias("p"),
+        )
+    )

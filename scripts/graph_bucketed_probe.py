@@ -136,6 +136,31 @@ def main() -> None:
             )
             assert base == smj == bkt, "modes disagree on ranks!"
             print("  all three modes: identical ranks")
+
+            # the other two fixpoints, broadcast vs bucketed
+            from cognitive_score_bigdata_spark.operators.graph import (
+                minlabel_components,
+                sssp_fixed_rounds,
+            )
+
+            half = edges.filter(F.col("src") < F.col("dst"))
+            ml_b, _ = _run("minlabel bcast", minlabel_components(half, 8))
+            ml_k, _ = _run(
+                "minlabel bucketed",
+                minlabel_components(half, 8, edge_buckets=32),
+            )
+            assert ml_b == ml_k, "minlabel modes disagree!"
+            es = edges.select(
+                "src", "dst",
+                (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1)
+                .cast("bigint").alias("w"),
+            )
+            ss_b, _ = _run("sssp bcast", sssp_fixed_rounds(es, 6))
+            ss_k, _ = _run(
+                "sssp bucketed", sssp_fixed_rounds(es, 6, edge_buckets=32)
+            )
+            assert ss_b == ss_k, "sssp modes disagree!"
+            print("  minlabel + sssp: identical across modes")
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.stop()
