@@ -101,7 +101,7 @@ def _run(label, df):
         f"SMJ={ex.count('SortMergeJoin')} "
         f"shuffles={ex.count('Exchange hashpartitioning')}"
     )
-    return {(r["node"]): r["rank_micro"] for r in rows}, wall
+    return frozenset(tuple(r) for r in rows), wall
 
 
 def main() -> None:
