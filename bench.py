@@ -179,6 +179,7 @@ HEADLINE = [
     "analytics_skyline_parts",
     "graph_pagerank_bucketed",
     "events_markov_transitions",
+    "streaming_markov_transitions",
 ]
 
 

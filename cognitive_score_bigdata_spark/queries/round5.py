@@ -336,9 +336,7 @@ def analytics_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_markov_transitions",
-    oracle="""
+_MARKOV_ORACLE = """
     WITH seq AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
@@ -355,7 +353,12 @@ def analytics_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.prev_type, c.next_type, c.n,
            CAST(c.n AS DOUBLE) / t.tot AS p
     FROM c JOIN t USING (prev_type)
-    """,
+"""
+
+
+@register(
+    "events_markov_transitions",
+    oracle=_MARKOV_ORACLE,
     doc="first-order Markov transition matrix over per-user event "
     "sequences (the user-journey mining primitive behind funnel/"
     "next-action models): lag over (user, ts, event_id) — event_id "
@@ -386,4 +389,90 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("n").cast("double") / F.col("tot")).alias("p"),
         )
+    )
+
+
+# Stream-source fixture: events exported once per (session, sf_dir) as
+# JSON with integer micros + the event_id tiebreak column (the stream
+# exists already in production; caching keeps the timed query measuring
+# the drain + state machinery, not the export).
+_MARKOV_STREAM_IN: dict = {}
+_MARKOV_SEQ = __import__("itertools").count()
+
+
+def _markov_stream_indir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    def build() -> str:
+        in_dir = os.path.join(
+            tempfile.mkdtemp(prefix="csb_stream_markov_"), "in"
+        )
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                "event_type",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "event_id",
+            )
+            .write.mode("overwrite")
+            .json(in_dir)
+        )
+        return in_dir
+
+    return session_scoped(_MARKOV_STREAM_IN, spark, (sf_dir,), build)
+
+
+@register(
+    "streaming_markov_transitions",
+    oracle=_MARKOV_ORACLE,
+    doc="the Markov transition matrix maintained as a STREAMING "
+    "stateful operator (applyInPandasWithState: one (last ts, id, "
+    "type) state row per user; each batch sorts its rows by "
+    "(ts_us, event_id) and emits the transition PAIRS as the change "
+    "stream) and aggregated to the identical matrix as the batch lag "
+    "window — hash-matching the SAME oracle. Order-sensitive streaming "
+    "state, the class the HLL row (order-INsensitive max-merge) cannot "
+    "witness: with a single-batch availableNow drain the in-function "
+    "sort reproduces the lag-window order exactly; multi-batch "
+    "carryover is pinned separately in tests (time-split files), and "
+    "cross-batch reordering is the documented limit. State bounded by "
+    "|users|, not stream length",
+)
+def streaming_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.streaming.transitions import (
+        transition_stream,
+    )
+
+    in_dir = _markov_stream_indir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="csb_stream_markov_run_")
+    pairs = transition_stream(
+        spark,
+        in_dir,
+        os.path.join(work, "ckpt"),
+        query_name=f"csb_markov_{next(_MARKOV_SEQ)}",
+    )
+    # localCheckpoint: c is referenced by both the matrix and its row
+    # totals, and Spark's memory-sink view cannot self-join its own
+    # lineage (conflicting-reference resolution fails); the cut also
+    # means the tiny matrix is computed once
+    c = (
+        pairs.groupBy("prev_type", F.col("next_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("p"),
     )

@@ -1,0 +1,99 @@
+"""Order-sensitive stateful streaming: per-user event-transition mining.
+
+The batch query ``events_markov_transitions`` computes first-order
+transitions with a lag window over (user, ts, event_id). This module is
+the STREAMING form of the same computation: per-user state in the Spark
+state store (``applyInPandasWithState``) carries the last-seen event
+across micro-batches, each batch's rows are sorted by (ts_us, event_id)
+inside the state function, and the emitted change stream is the
+transition PAIRS themselves.
+
+Determinism contract (what lets the registry row share the batch
+query's DuckDB oracle): with an ``availableNow`` drain and no
+``maxFilesPerTrigger`` cap, the whole source lands in ONE micro-batch,
+so every user's full history reaches its state function at once and the
+in-function sort reproduces the batch lag-window order exactly. Under
+MULTI-batch drains the operator is still correct whenever file order
+respects per-user event-time order (the state carries the last event
+across the boundary — pinned in tests with a two-file time-split);
+out-of-order arrivals ACROSS batches are the documented limit of any
+order-sensitive streaming statistic without a watermark-bounded
+reorder buffer, which is why the registry row drains single-batch.
+
+State is one row per user (ts_us, event_id, event_type) — bounded by
+the user population, not the stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_IN_SCHEMA = "user_id long, event_type string, ts_us long, event_id long"
+_OUT_SCHEMA = "user_id long, prev_type string, next_type string"
+_STATE_SCHEMA = "ts_us long, event_id long, event_type string"
+
+
+def _emit_transitions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = [pdf for pdf in pdfs if not pdf.empty]
+    if not rows:
+        return
+    batch = pd.concat(rows).sort_values(["ts_us", "event_id"])
+    types = batch["event_type"].tolist()
+    prev = [None] + types[:-1]
+    if state.exists:
+        prev[0] = state.get[2]
+    out = pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(types),
+            "prev_type": prev,
+            "next_type": types,
+        }
+    ).dropna(subset=["prev_type"])
+    last = batch.iloc[-1]
+    state.update(
+        (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
+    )
+    if not out.empty:
+        yield out
+
+
+def transition_stream(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain ``in_dir`` (JSON: user_id, event_type, ts_us, event_id)
+    availableNow, emitting one row per observed (prev, next) transition;
+    returns the memory-sink table of all emitted transitions."""
+    reader = spark.readStream.schema(_IN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(in_dir)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(query_name)

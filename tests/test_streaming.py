@@ -425,3 +425,68 @@ def test_aggregate_maintenance_counts_and_replay(spark, tmp_path):
         for r in read_aggregate_view(spark, compacted).collect()
     }
     assert got == expected
+
+
+def test_transition_stream_state_carries_across_batches(spark, tmp_path):
+    """Order-sensitive stateful streaming (streaming/transitions.py):
+    with a two-file time-split drained one file per trigger, the
+    boundary transition (a user's last event of batch 1 -> first event
+    of batch 2) must come from the STATE STORE, and the full emitted
+    set must equal the batch lag-window answer."""
+    import json
+    import os
+    import time as _time
+
+    from cognitive_score_bigdata_spark.streaming.transitions import (
+        transition_stream,
+    )
+
+    rows = [
+        # user 1: a->b in file1, then b->c, c->a in file2 (boundary b->c)
+        (1, "a", 100, 1), (1, "b", 200, 2),
+        (1, "c", 300, 3), (1, "a", 400, 4),
+        # user 2: single event in file1, one more in file2 (boundary d->e)
+        (2, "d", 150, 5), (2, "e", 250, 6),
+    ]
+    f1 = [r for r in rows if r[2] < 250]
+    f2 = [r for r in rows if r[2] >= 250]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, batch in enumerate((f1, f2)):
+        p = in_dir / f"part-{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "user_id": u,
+                        "event_type": t,
+                        "ts_us": ts,
+                        "event_id": e,
+                    }
+                )
+                for u, t, ts, e in batch
+            )
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        _time.sleep(0.05)
+    got = transition_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "ckpt"),
+        query_name="csb_markov_test_carry",
+        max_files_per_trigger=1,
+    )
+    pairs = {
+        (r["user_id"], r["prev_type"], r["next_type"])
+        for r in got.collect()
+    }
+    # batch answer: lag over (user, ts, id)
+    expect = set()
+    by_user: dict = {}
+    for u, t, ts, e in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        if u in by_user:
+            expect.add((u, by_user[u], t))
+        by_user[u] = t
+    assert pairs == expect == {
+        (1, "a", "b"), (1, "b", "c"), (1, "c", "a"), (2, "d", "e"),
+    }
