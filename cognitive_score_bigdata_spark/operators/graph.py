@@ -85,11 +85,26 @@ def bucketize_edges(
     return spark.table(name)
 
 
+def fold_pagerank_edges(
+    edges: DataFrame, weight_col: str | None = None
+) -> DataFrame:
+    """(src, dst, __w, d): edge list with weight and out-degree folded
+    in — the loop-invariant table every PageRank iteration joins. A
+    per-graph build artifact: callers running the fixpoint repeatedly
+    (or in bucketed mode) should materialize/bucket it once and pass it
+    back via ``prepared=True``."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select("src", "dst", w.cast("bigint").alias("__w"))
+    deg = e.groupBy("src").agg(F.sum("__w").alias("d"))
+    return e.join(deg, "src")
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iters: int = 5,
     weight_col: str | None = None,
     edge_buckets: int | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, exact BIGINT micro-units.
 
@@ -110,35 +125,32 @@ def pagerank_fixed_point(
     joins the rank table INTO the bucket partitioning — the >2M-node
     layout where only the |V|-row rank table moves per iteration.
     Identical results either way (mode changes the physical plan only).
+    ``prepared=True``: ``edges`` is already the
+    :func:`fold_pagerank_edges` output (and already bucketed when
+    ``edge_buckets`` is set) — the session-cached-artifact path, so
+    repeated fixpoints skip the fold/bucket build.
     """
-    w = F.col(weight_col) if weight_col else F.lit(1)
-    edges = edges.select("src", "dst", w.cast("bigint").alias("__w"))
-    if edge_buckets is None:
-        edges = edges.localCheckpoint(eager=False)  # reused every iteration
-    deg = edges.groupBy("src").agg(F.sum("__w").alias("d"))
-    # weighted out-degree folded into the edge list once, outside the loop
-    ed = edges.join(deg, "src")
-    if edge_buckets is None:
-        ed = ed.localCheckpoint(eager=False)
+    if prepared:
+        # caller supplies the fold_pagerank_edges output (bucketed when
+        # edge_buckets is set) — the session-cached-artifact path
+        ed = edges
     else:
-        ed = bucketize_edges(ed, "src", edge_buckets)
+        ed = fold_pagerank_edges(edges, weight_col)
+        if edge_buckets is None:
+            ed = ed.localCheckpoint(eager=False)
+        else:
+            ed = bucketize_edges(ed, "src", edge_buckets)
 
-    if edge_buckets is None:
-        ranks = deg.select(
+    # seed ranks from the folded table: distinct(src). In bucketed mode
+    # the distinct rides the bucket partitioning — zero-exchange
+    ranks = (
+        ed.select("src")
+        .distinct()
+        .select(
             F.col("src").alias("node"),
             F.lit(PR_INIT).cast("bigint").alias("rank_micro"),
         )
-    else:
-        # derive the seed ranks from the bucketed scan: distinct(src)
-        # rides the bucket partitioning — zero-exchange
-        ranks = (
-            ed.select("src")
-            .distinct()
-            .select(
-                F.col("src").alias("node"),
-                F.lit(PR_INIT).cast("bigint").alias("rank_micro"),
-            )
-        )
+    )
     for _ in range(n_iters):
         rank_side = F.broadcast(ranks) if edge_buckets is None else ranks
         contrib = ed.join(rank_side, ranks.node == ed.src).select(
