@@ -53,6 +53,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # with the stalest r1-verified queries — their rows were recorded on
 # 4-round-old code).
 #
+# Round-6 rotation plan (for the next session): front the 4 round-5
+# staged rows (graph_pagerank_bucketed, analytics_skyline_parts,
+# events_markov_transitions, streaming_markov_transitions — all locally
+# green at sf0.001+sf0.01), then the 5 r1 rows this window dropped
+# (agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
+# agg_cube), then the stalest r2-verified-only modules (windows/setops/
+# scalar_funcs/projections era — see CORRECTNESS_r02).
+#
 # Composition: the 16 round-4 carries first (closing the last
 # verification debt — after this window, 0 registry queries have never
 # been driver-checked), then the new round-5 production-posture
