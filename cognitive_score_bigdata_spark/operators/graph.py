@@ -205,7 +205,7 @@ def _orient(edges: DataFrame):
 
 
 def triangle_count(
-    edges: DataFrame, oriented: tuple | None = None
+    edges: DataFrame | None = None, oriented: tuple | None = None
 ) -> DataFrame:
     """Global triangle count via degree orientation; 1-row DataFrame.
 
@@ -218,6 +218,8 @@ def triangle_count(
     should build once and share (session-cached in the copurchase
     queries; ~1.5 s per avoided rebuild at sf0.1).
     """
+    if (edges is None) == (oriented is None):
+        raise ValueError("pass exactly one of edges / oriented")
     e, deg, rk, oe = oriented if oriented is not None else _orient(edges)
     # Edge-iterator with sorted out-adjacency arrays: each edge (lo,hi)
     # contributes |N+(lo) ∩ N+(hi)| triangles. 5x faster than the
@@ -356,7 +358,7 @@ def sssp_fixed_rounds(
 
 
 def local_triangle_counts(
-    edges: DataFrame, oriented: tuple | None = None
+    edges: DataFrame | None = None, oriented: tuple | None = None
 ) -> DataFrame:
     """Per-node triangle participation: (node, n_triangles, degree).
 
@@ -369,6 +371,8 @@ def local_triangle_counts(
     ``oriented``: prebuilt :func:`_orient` tuple (see
     :func:`triangle_count`).
     """
+    if (edges is None) == (oriented is None):
+        raise ValueError("pass exactly one of edges / oriented")
     _, deg, rk, oe = oriented if oriented is not None else _orient(edges)
     adj = oe.groupBy("lo").agg(
         F.sort_array(F.collect_list("hi")).alias("nbrs")

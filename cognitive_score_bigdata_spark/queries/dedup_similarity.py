@@ -33,7 +33,7 @@ NEARDUP_THRESHOLD = 0.46  # testdata embeddings are random; pairs peak ~0.51
 # persist the inverted file and probe it many times. One build per
 # (session, corpus, n_cells), explicitly keyed so a new session or a
 # different scale factor rebuilds.
-_IVF_CACHE: dict[tuple[int, str, int], object] = {}
+_IVF_CACHE: dict[tuple, object] = {}
 
 
 def ivf_index(spark: SparkSession, sf_dir: str, n_cells: int):
@@ -160,7 +160,7 @@ def dedup_cluster_docs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (like the IVF inverted file and the serving model); rebuilding it per
 # probe call was 2-3 s of bench noise that misstates the incremental
 # path's actual cost. Keyed by (session, corpus dir).
-_MH_INDEX_CACHE: dict[tuple[int, str], str] = {}
+_MH_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:

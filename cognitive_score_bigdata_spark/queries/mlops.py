@@ -30,7 +30,7 @@ from cognitive_score_bigdata_spark.streaming.pipeline import enrich
 # Serving scores with a LOADED model artifact — the reference hits an
 # already-deployed endpoint per request (main.py:96-103); it does not
 # retrain per query. One train per session, keyed weakly by session.
-_MODEL_CACHE: dict[int, object] = {}
+_MODEL_CACHE: dict[tuple, object] = {}
 
 
 def _serving_model(spark: SparkSession):

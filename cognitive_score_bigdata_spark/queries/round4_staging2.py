@@ -76,7 +76,7 @@ N_BUCKETS = 8
 # Bucketed-table materialization is keyed per (session, sf_dir): pay the
 # one-time bucket shuffle once, reuse across calls — the same
 # write-once/join-many economics the pattern has in production.
-_BUCKET_CACHE: dict[tuple[int, str], tuple[str, str]] = {}
+_BUCKET_CACHE: dict[tuple, tuple[str, str]] = {}
 
 
 def bucketed_pair(
@@ -150,7 +150,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-local pair self-join. Materialize the (p1 < p2, sup) support
 # table once per (session, corpus) — the same build-once/query-many
 # economics as the minhash/BM25/bucketed-table artifacts.
-_PAIR_CACHE: dict[tuple[int, str], str] = {}
+_PAIR_CACHE: dict[tuple, str] = {}
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,7 +373,7 @@ def corpus_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JUMBO = 480_000  # o_totalprice threshold: keeps the dim month-set sparse
 
-_PART_CACHE: dict[tuple[int, str], str] = {}
+_PART_CACHE: dict[tuple, str] = {}
 
 
 def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,10 +692,7 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar result",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = copurchase_pairs(spark, sf_dir).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    )
-    return triangle_count(edges, oriented=_oriented_copurchase(spark, sf_dir))
+    return triangle_count(oriented=_oriented_copurchase(spark, sf_dir))
 
 
 # The degree orientation (vertex ranks + oriented edge list) is a
@@ -1777,7 +1774,7 @@ def graph_minlabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_HLL_STREAM_IN: dict[tuple[int, str], str] = {}
+_HLL_STREAM_IN: dict[tuple, str] = {}
 
 
 def _hll_stream_indir(spark: SparkSession, sf_dir: str) -> str:
@@ -2540,11 +2537,8 @@ def graph_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_triangle_counts,
     )
 
-    edges = copurchase_pairs(spark, sf_dir).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    )
     lt = local_triangle_counts(
-        edges, oriented=_oriented_copurchase(spark, sf_dir)
+        oriented=_oriented_copurchase(spark, sf_dir)
     )
     return (
         lt.select(

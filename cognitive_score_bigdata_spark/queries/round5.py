@@ -32,6 +32,8 @@ module belongs to the brief's LLM-pipeline extension surface.
 
 from __future__ import annotations
 
+import itertools
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -405,9 +407,13 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
-    c = seq.groupBy(
-        "prev_type", F.col("event_type").alias("next_type")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # c is referenced by the matrix AND its row totals: cut lineage so
+    # the event-sized lag window + aggregation run once, not twice
+    c = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
     return (
         c.join(F.broadcast(t), "prev_type")
@@ -425,7 +431,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exists already in production; caching keeps the timed query measuring
 # the drain + state machinery, not the export).
 _MARKOV_STREAM_IN: dict = {}
-_MARKOV_SEQ = __import__("itertools").count()
+_MARKOV_SEQ = itertools.count()
 
 
 def _markov_stream_indir(spark: SparkSession, sf_dir: str) -> str:

@@ -76,5 +76,12 @@ def hll_register_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "hll_register_stream: availableNow drain exceeded 300s — "
+            "the register table would be PARTIAL; raise the timeout for "
+            "this scale instead of consuming a half-drained state"
+        )
     return spark.table(query_name)

@@ -95,5 +95,12 @@ def transition_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "transition_stream: availableNow drain exceeded 300s — the "
+            "memory sink would be PARTIAL; raise the timeout for this "
+            "scale instead of consuming a half-drained table"
+        )
     return spark.table(query_name)
