@@ -1475,6 +1475,72 @@ _MH_ORACLE = f"""
 """
 
 
+def md5_minhash_signatures(d) -> "DataFrame":
+    """(doc_id, m0..m{k-1}): the md5 two-hash minhash signature table
+    over ``d(doc_id, text)`` (Kirsch & Mitzenmacher 2006; constants
+    MH_K/MH_BANDS shared with the DuckDB oracle fragments _MH_MINS /
+    _MH_BANDKEY above). THE single implementation — both
+    ``dedup_minhash_pairs_md5`` and round5's blocked-verify pipeline
+    compose these helpers, so the Spark side cannot drift from the
+    oracle in one query but not the other."""
+    from cognitive_score_bigdata_spark.operators.dedup import shingles
+
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+        )
+        .distinct()
+    )
+    digest = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    mins = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
+        for i in range(MH_K)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def md5_minhash_band_candidates(sig, a_col: str = "doc_a", b_col: str = "doc_b"):
+    """(a_col, b_col) distinct id pairs sharing at least one full band
+    of the signature table from :func:`md5_minhash_signatures`."""
+    rows_per_band = MH_K // MH_BANDS
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{rows_per_band * k + j}").cast(
+                                    "string"
+                                )
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for k in range(MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = banded.select(F.col("doc_id").alias(a_col), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias(b_col), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col(a_col) < F.col(b_col))
+        .select(a_col, b_col)
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_pairs_md5",
     oracle=_MH_ORACLE,
@@ -1494,56 +1560,14 @@ _MH_ORACLE = f"""
 )
 def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognitive_score_bigdata_spark.io import fan_out
-    from cognitive_score_bigdata_spark.operators.dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        fan_out(docs)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
-        )
-        .distinct()
-    )
-    digest = F.md5(F.col("s"))
-    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    mins = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
-        for i in range(MH_K)
-    ]
     # reused by the band explode AND both agreement sides — materialize
     # once (the §9d lesson: plan branches are not free references)
-    sig = hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"m{4 * k + j}").cast("string")
-                                for j in range(4)
-                            ],
-                        ).alias("bkey"),
-                    )
-                    for k in range(MH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    sig = md5_minhash_signatures(
+        fan_out(docs).select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    cand = md5_minhash_band_candidates(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(MH_K)],

@@ -111,60 +111,17 @@ _PIPE_ORACLE = f"""
 
 
 def _md5_minhash_candidates(d: DataFrame) -> DataFrame:
-    """(da, db) LSH candidate pairs over ``d(doc_id, text)`` using the
-    md5 two-hash minhash scheme (Kirsch & Mitzenmacher 2006; identical
-    constants to ``dedup_minhash_pairs_md5``, whose driver row verifies
-    the machinery bit-for-bit against DuckDB)."""
-    from cognitive_score_bigdata_spark.operators.dedup import shingles
+    """(da, db) LSH candidate pairs over ``d(doc_id, text)`` — composes
+    the SHARED md5 two-hash minhash helpers in round4_staging2 (whose
+    ``dedup_minhash_pairs_md5`` driver row verifies the machinery
+    bit-for-bit against DuckDB)."""
+    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+        md5_minhash_band_candidates,
+        md5_minhash_signatures,
+    )
 
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
-        )
-        .distinct()
-    )
-    digest = F.md5(F.col("s"))
-    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    mins = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
-        for i in range(MH_K)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*mins)
-    rows_per_band = MH_K // MH_BANDS
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"m{rows_per_band * k + j}").cast(
-                                    "string"
-                                )
-                                for j in range(rows_per_band)
-                            ],
-                        ).alias("bkey"),
-                    )
-                    for k in range(MH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
-    a = banded.select(F.col("doc_id").alias("da"), "band", "bkey")
-    b = banded.select(F.col("doc_id").alias("db"), "band", "bkey")
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
+    return md5_minhash_band_candidates(
+        md5_minhash_signatures(d), a_col="da", b_col="db"
     )
 
 
