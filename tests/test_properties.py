@@ -154,3 +154,91 @@ def test_bpe_chained_equals_greedy_any_alphabet(word):
     from cognitive_score_bigdata_spark.operators.bpe import _encode_word
 
     assert _encode_word(word, RANKS) == _chained(word)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # price (small domain
+            st.integers(min_value=0, max_value=8),   # + size => many ties)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_skyline_sweep_equals_bruteforce(spark, pts):
+    """For ANY point set (dense tie structure on both coordinates): the
+    sort-sweep skyline equals the brute-force dominance definition."""
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.queries import load_registry
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    brute = {
+        pk
+        for pk, pr, sz in rows
+        if not any(
+            qr <= pr and qs >= sz and (qr < pr or qs > sz)
+            for _, qr, qs in rows
+        )
+    }
+    d = tempfile.mkdtemp(prefix="csb_sky_prop_")
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    got = {
+        r["part_key"]
+        for r in load_registry()["analytics_skyline_parts"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert got == brute
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.sampled_from(["a", "b", "c"]),         # type
+            st.integers(min_value=0, max_value=5),    # ts (ties likely)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SETTINGS
+def test_markov_counts_match_reference(spark, events):
+    """For ANY event set (including heavy timestamp ties, broken by
+    event_id): transition counts equal the python lag reference."""
+    import collections
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(events)]
+    ref: collections.Counter = collections.Counter()
+    last: dict = {}
+    for u, t, ts, i in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        if u in last:
+            ref[(last[u], t)] += 1
+        last[u] = t
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = collections.Counter(
+        {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in df.select(
+                "event_type",
+                F.lag("event_type").over(w).alias("prev_type"),
+            )
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
+    assert got == ref
