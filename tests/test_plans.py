@@ -529,3 +529,12 @@ def test_skyline_is_sweep_not_self_join(spark):
     # (formatted explain lists each node twice: tree + detail)
     assert a["n_broadcast_joins"] == 2, a["text"]
     assert a["n_partial_aggs"] >= 1, a["text"]
+
+
+def test_pagerank_bucketed_query_rides_bucketed_scan(spark):
+    """The registered bucketed-PageRank row must consume the
+    session-cached bucketBy(src) table (a regression here — e.g. the
+    cache returning an unbucketed fold — would silently turn the
+    physical-mode demonstration back into a plain shuffle plan)."""
+    a = _audit(spark, "graph_pagerank_bucketed")
+    assert "Bucketed: true" in a["text"], a["text"][:2000]
