@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -55,9 +56,28 @@ PR_INIT = 1_000_000
 
 _BUCKET_SEQ = itertools.count()
 
+# Bookkeeping for tables bucketize_edges created, so repeated calls
+# don't grow catalog + disk without bound: {"app": applicationId,
+# "adhoc": OrderedDict(name -> dir), "pinned": [(name, dir)]}. Ad-hoc
+# tables (per-invocation fixpoint internals, consumed within the call)
+# are kept LRU-bounded at _ADHOC_KEEP; pinned tables (session-cached
+# build artifacts, e.g. queries/round5._pr_bucketed_table) live until
+# the applicationId changes. On a new applicationId the old context's
+# catalog entries died with it — only the temp dirs need removing.
+_ADHOC_KEEP = 4
+_BKT_STATE: dict = {"app": None, "adhoc": {}, "pinned": []}
+
+
+def _drop_bucket_table(spark, name: str, path: str) -> None:
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    except Exception:
+        pass  # best-effort: session may already be stopped
+    shutil.rmtree(path, ignore_errors=True)
+
 
 def bucketize_edges(
-    df: DataFrame, key: str = "src", n_buckets: int = 32
+    df: DataFrame, key: str = "src", n_buckets: int = 32, pin: bool = False
 ) -> DataFrame:
     """Materialize a loop-invariant edge table ONCE as a ``key``-bucketed,
     ``key``-sorted parquet table and return its re-read scan.
@@ -68,20 +88,45 @@ def bucketize_edges(
     shuffles. ``repartition(n, key)`` before the write yields one file
     per bucket, which lets the scan also report the sort order (multiple
     files per bucket would force a re-sort, though never a shuffle).
+
+    Lifecycle: each call creates a fresh table; unpinned tables are
+    dropped (catalog + temp dir) once more than ``_ADHOC_KEEP`` newer
+    ones exist — callers consume the scan within the invocation, so the
+    LRU margin is generous. Pass ``pin=True`` when the returned scan is
+    cached across calls (session-scoped build artifacts); pinned tables
+    are cleaned only when a new applicationId appears. The write uses
+    ``mode("overwrite")`` so a stale same-name metastore entry (pid
+    reuse + counter reset against a persistent warehouse) can never
+    fail the build.
     """
     spark = df.sparkSession
-    name = (
-        f"csb_bkt_edges_{os.getpid()}_{next(_BUCKET_SEQ)}"
-    )
+    app = spark.sparkContext.applicationId
+    st = _BKT_STATE
+    if st["app"] != app:
+        # prior context's catalog is gone; reclaim its temp dirs
+        for _n, path in list(st["adhoc"].items()) + st["pinned"]:
+            shutil.rmtree(path, ignore_errors=True)
+        st["adhoc"].clear()
+        st["pinned"] = []
+        st["app"] = app
+    name = f"csb_bkt_edges_{os.getpid()}_{next(_BUCKET_SEQ)}"
     base = tempfile.mkdtemp(prefix="csb_graph_bkt_")
     (
         df.repartition(n_buckets, F.col(key))
         .write.format("parquet")
+        .mode("overwrite")
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .option("path", f"{base}/{name}")
         .saveAsTable(name)
     )
+    if pin:
+        st["pinned"].append((name, base))
+    else:
+        st["adhoc"][name] = base
+        while len(st["adhoc"]) > _ADHOC_KEEP:
+            old = next(iter(st["adhoc"]))
+            _drop_bucket_table(spark, old, st["adhoc"].pop(old))
     return spark.table(name)
 
 

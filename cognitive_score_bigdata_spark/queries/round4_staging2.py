@@ -52,6 +52,7 @@ belongs to the brief's LLM-pipeline / scale-pattern extension surface.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -1420,6 +1421,9 @@ def dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MH_K = 16  # minhashes
 MH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+MH_ROWS = MH_K // MH_BANDS  # rows per band, shared by BOTH the Spark
+# band keys below and the DuckDB _MH_BANDKEY fragment — one constant,
+# so changing MH_K/MH_BANDS can't desynchronize engine from oracle
 
 # Two-hash scheme (Kirsch & Mitzenmacher 2006): ONE md5 per shingle,
 # split into two 56-bit halves h1/h2; minhash i uses h1 + i*h2. 56-bit
@@ -1433,7 +1437,9 @@ _MH_MINS = ",\n             ".join(
 )
 _MH_BANDKEY = " ".join(
     f"WHEN b.i = {k} THEN concat_ws('-', "
-    + ", ".join(f"CAST(m{4 * k + j} AS VARCHAR)" for j in range(4))
+    + ", ".join(
+        f"CAST(m{MH_ROWS * k + j} AS VARCHAR)" for j in range(MH_ROWS)
+    )
     + ")"
     for k in range(MH_BANDS)
 )
@@ -1506,7 +1512,7 @@ def md5_minhash_signatures(d) -> "DataFrame":
 def md5_minhash_band_candidates(sig, a_col: str = "doc_a", b_col: str = "doc_b"):
     """(a_col, b_col) distinct id pairs sharing at least one full band
     of the signature table from :func:`md5_minhash_signatures`."""
-    rows_per_band = MH_K // MH_BANDS
+    rows_per_band = MH_ROWS
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -1845,6 +1851,12 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = hll_register_stream(
         spark, in_dir, os.path.join(work, "ckpt"), m=HLL_M, rho_cap=HLL_CAP
     )
+    # Register table is bounded (groups x m rows): materialize it
+    # eagerly so the memory-sink view and per-run checkpoint dir can be
+    # reclaimed here instead of leaking one work dir per bench iteration.
+    reg = reg.localCheckpoint(eager=True)
+    spark.catalog.dropTempView("csb_hll_registers")
+    shutil.rmtree(work, ignore_errors=True)
     acc = reg.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_used"),
         F.sum(F.expr(f"shiftright(cast({_2_32} as bigint), cast(reg as int))"))

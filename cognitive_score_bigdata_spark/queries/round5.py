@@ -206,7 +206,11 @@ def _pr_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionAll(
             pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
         )
-        return bucketize_edges(fold_pagerank_edges(edges), "src", 32)
+        # pin=True: this scan is cached across calls by session_scoped
+        # below — bucketize_edges' ad-hoc LRU must never drop its table
+        return bucketize_edges(
+            fold_pagerank_edges(edges), "src", 32, pin=True
+        )
 
     return session_scoped(_PR_BKT_CACHE, spark, (sf_dir,), build_df)
 
@@ -437,6 +441,7 @@ def streaming_markov_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     from cognitive_score_bigdata_spark.streaming.transitions import (
@@ -445,21 +450,24 @@ def streaming_markov_transitions(
 
     in_dir = _markov_stream_indir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="csb_stream_markov_run_")
+    name = f"csb_markov_{next(_MARKOV_SEQ)}"
     pairs = transition_stream(
-        spark,
-        in_dir,
-        os.path.join(work, "ckpt"),
-        query_name=f"csb_markov_{next(_MARKOV_SEQ)}",
+        spark, in_dir, os.path.join(work, "ckpt"), query_name=name
     )
     # localCheckpoint: c is referenced by both the matrix and its row
     # totals, and Spark's memory-sink view cannot self-join its own
     # lineage (conflicting-reference resolution fails); the cut also
-    # means the tiny matrix is computed once
+    # means the tiny matrix is computed once. EAGER so the memory-sink
+    # table and checkpoint dir can be dropped right here — otherwise
+    # every bench iteration leaks a csb_markov_<n> view (driver memory)
+    # and a work dir (disk), unbounded across repeated calls.
     c = (
         pairs.groupBy("prev_type", F.col("next_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
     t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
     return c.join(F.broadcast(t), "prev_type").select(
         "prev_type",

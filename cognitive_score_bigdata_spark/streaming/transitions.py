@@ -59,9 +59,13 @@ def _emit_transitions(
         }
     ).dropna(subset=["prev_type"])
     last = batch.iloc[-1]
-    state.update(
-        (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
-    )
+    cand = (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
+    # Monotone state: a batch wholly OLDER than the stored last event
+    # (late arrival across batches) must not regress the carried state —
+    # the documented cross-batch reorder limit applies to the EMISSION
+    # side only; state always tracks the max (ts_us, event_id) seen.
+    if not state.exists or cand[:2] > tuple(state.get[:2]):
+        state.update(cand)
     if not out.empty:
         yield out
 

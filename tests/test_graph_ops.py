@@ -310,3 +310,35 @@ def test_skyline_matches_bruteforce(spark):
         .collect()
     }
     assert got == brute == {1, 2, 4, 7, 9}
+
+
+def test_bucketize_edges_lifecycle_bounded_and_pin(spark):
+    """bucketize_edges must not grow catalog/disk without bound
+    (ADVICE r5): ad-hoc tables are LRU-dropped past _ADHOC_KEEP
+    (catalog entry gone, temp dir gone), pinned tables survive."""
+    import os
+
+    from cognitive_score_bigdata_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    pinned = G.bucketize_edges(edges, "src", 2, pin=True)
+    adhoc_names = []
+    for _ in range(G._ADHOC_KEEP + 2):
+        G.bucketize_edges(edges, "src", 2)
+        adhoc_names = list(G._BKT_STATE["adhoc"])
+    assert len(adhoc_names) == G._ADHOC_KEEP  # LRU bound holds
+    live = {t.name for t in spark.catalog.listTables()}
+    # pinned table still queryable, still in the catalog
+    pin_name, pin_dir = G._BKT_STATE["pinned"][-1]
+    assert pin_name in live and pinned.count() == 3
+    assert os.path.isdir(pin_dir)
+    # dropped ad-hoc tables are gone from the catalog
+    dropped = [
+        n
+        for n in live
+        if n.startswith("csb_bkt_edges_") and n not in adhoc_names
+        and n != pin_name
+    ]
+    assert not dropped

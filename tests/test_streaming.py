@@ -490,3 +490,57 @@ def test_transition_stream_state_carries_across_batches(spark, tmp_path):
     assert pairs == expect == {
         (1, "a", "b"), (1, "b", "c"), (1, "c", "a"), (2, "d", "e"),
     }
+
+
+def test_transition_stream_late_batch_does_not_regress_state(
+    spark, tmp_path
+):
+    """A micro-batch wholly OLDER than the stored last event (late
+    arrival across batches) must not overwrite the carried state: the
+    next on-time batch chains off the max (ts_us, event_id) seen so
+    far, not off the late batch's tail (ADVICE r5: state.update was
+    unconditional, so one late batch corrupted all future boundaries).
+    The late batch's own EMISSION is still the documented cross-batch
+    reorder limit — only state monotonicity is pinned here."""
+    import json
+    import os
+    import time as _time
+
+    from cognitive_score_bigdata_spark.streaming.transitions import (
+        transition_stream,
+    )
+
+    files = [
+        [(1, "a", 100, 1), (1, "b", 200, 2)],  # on-time: state -> b@200
+        [(1, "x", 50, 0)],  # LATE: entirely before b@200
+        [(1, "c", 300, 3)],  # on-time: must chain b->c, NOT x->c
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, batch in enumerate(files):
+        p = in_dir / f"part-{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "user_id": u,
+                        "event_type": t,
+                        "ts_us": ts,
+                        "event_id": e,
+                    }
+                )
+                for u, t, ts, e in batch
+            )
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        _time.sleep(0.05)
+    got = transition_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "ckpt"),
+        query_name="csb_markov_test_late",
+        max_files_per_trigger=1,
+    )
+    pairs = {(r["prev_type"], r["next_type"]) for r in got.collect()}
+    assert ("b", "c") in pairs  # chained off the non-regressed state
+    assert ("x", "c") not in pairs  # the late tail did NOT become state
