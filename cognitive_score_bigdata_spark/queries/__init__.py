@@ -47,85 +47,79 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's correctness harness checks the FIRST 50 registry entries
-# per round; this explicit list IS the round-5 window (VERDICT r4 "Next
-# round" #1: front the 16 carried never-checked queries so every one of
-# the 206+ registered queries has a driver CORRECTNESS row, then refill
-# with the stalest r1-verified queries — their rows were recorded on
-# 4-round-old code).
-#
-# Round-6 rotation plan (for the next session): front the 4 round-5
-# staged rows (graph_pagerank_bucketed, analytics_skyline_parts,
-# events_markov_transitions, streaming_markov_transitions — all locally
-# green at sf0.001+sf0.01), then the 5 r1 rows this window dropped
-# (agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
-# agg_cube), then the stalest r2-verified-only modules (windows/setops/
-# scalar_funcs/projections era — see CORRECTNESS_r02).
-#
-# Composition: the 16 round-4 carries first (closing the last
-# verification debt — after this window, 0 registry queries have never
-# been driver-checked), then the new round-5 production-posture
-# composition row (`dedup_pipeline_blocked_verify`, VERDICT r4 #3), then
-# 33 refills from the 38 stalest hash-green r1 rows. The five r1 rows
-# left out (`agg_median`, `window_percentiles`, `scalar_regexp_replace`,
-# `agg_rollup`, `agg_cube`) each have a STRONGER or equal sibling
-# verified in r2-r4 on the same machinery (`agg_exact_median_by_type`,
-# `agg_percentile_bands`, `scalar_string_funcs`/`scalar_array_funcs`,
-# `agg_grouping_sets` — the generalization that subsumes rollup/cube —
-# all green in r4 or refreshed here).
-ROUND5_WINDOW = [
-    # the 16 round-4 carries (queries never driver-checked before)
-    "vector_ann_ivfpq_topk",
-    "anomaly_daily_mad",
-    "hierarchy_rollup_to_root",
-    "agg_trend_slope_by_type",
-    "timeseries_twap_per_user",
-    "timeseries_ohlc_hourly",
-    "timeseries_max_drawdown",
-    "agg_equidepth_deciles",
-    "events_session_conversion",
-    "events_pareto_user_deciles",
-    "events_weekday_profile",
-    "agg_weighted_median_by_source",
-    "agg_corr_value_hour",
-    "agg_gini_value",
-    "quality_benford_digits",
-    "quality_independence_residuals",
-    # round-5 addition: the production near-dup composition (VERDICT #3)
-    "dedup_pipeline_blocked_verify",
-    # stalest r1-verified refills (driver rows recorded in round 1 only)
-    "agg_filtered_count",
-    "agg_group_q1",
-    "agg_latest_per_key",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_variance_manual",
-    "agg_pivot_event_types",
-    "analytics_q3_shipping",
-    "analytics_q4_exists_priority",
-    "analytics_q5_region_volume",
-    "analytics_q6_selective",
-    "analytics_q7_volume",
-    "analytics_q8_market_share",
-    "analytics_q9_profit",
-    "analytics_q10_returns",
-    "analytics_q11_share",
-    "analytics_q12_priority_mix",
-    "analytics_q13_custdist",
-    "analytics_q14_promo",
-    "analytics_q15_top_supplier",
-    "analytics_q17_small_qty",
-    "analytics_q18_large_orders",
-    "analytics_q19_disjunctive",
-    "analytics_q22_dormant",
-    "join_lookup_latest_state",
-    "join_posexplode",
-    "join_salted_skew",
-    "corpus_vocab_topk",
-    "corpus_tfidf_topterm",
-    "corpus_filter_funnel",
-    "scalar_string_advanced",
-    "scalar_interval",
-    "scan_time_range_pruned",
+# per round; this explicit list IS the round-6 window. Composition per
+# the round-5 rotation plan: the 4 round-5 staged rows first (the only
+# registry queries without a driver CORRECTNESS row — after this window
+# the never-checked count is 0 again), then ALL 11 queries whose latest
+# driver row is round 1 (the 5 hash-green rows round 5 dropped —
+# agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
+# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 35
+# of the 47 queries whose latest row is round 2. The 12 r2 rows carried
+# to round 7 each have a same-module sibling IN this window or a
+# stronger sibling verified r4/r5 on identical machinery:
+# window_ntile/nth_lag_default/rolling_avg/sliding_10m_5m (module pinned
+# here by rank/latest/topk/session/tumbling), scalar_base64/conditional/
+# datetime (scalar_hash_md5 + scalar_json + scalar_string_funcs here;
+# string_advanced/interval green r5), setop_union_all/intersect
+# (except + union_by_name here), proj_distinct/filter_basic
+# (derived_status + rename_cast here), ml_score_batch (rows-only;
+# serving prefix hash-verified by ml_feature_assembly r3).
+ROUND6_WINDOW = [
+    # the 4 round-5 staged rows (never driver-checked; locally green at
+    # sf0.001 + sf0.01 under the driver-mirror comparator)
+    "graph_pagerank_bucketed",
+    "analytics_skyline_parts",
+    "events_markov_transitions",
+    "streaming_markov_transitions",
+    # the 5 hash-green r1 rows round 5 dropped
+    "agg_median",
+    "window_percentiles",
+    "scalar_regexp_replace",
+    "agg_rollup",
+    "agg_cube",
+    # the 6 rows-only entries whose latest driver row is round 1
+    "agg_approx_distinct",
+    "agg_percentile_approx",
+    "dedup_cluster_docs",
+    "sample_seeded",
+    "sample_stratified",
+    "vector_kmeans_cluster_sizes",
+    # 35 refills from the 47 stalest (round-2-latest) rows
+    "flagship_dashboard",
+    "flagship_stats",
+    "join_anti",
+    "join_asof",
+    "join_cross",
+    "join_explode_ownership",
+    "join_full_outer",
+    "join_inner_broadcast",
+    "join_left_composite",
+    "join_null_safe",
+    "join_semi",
+    "multimodal_extract_features",
+    "proj_derived_status",
+    "proj_rename_cast",
+    "range_join_time_binned",
+    "scalar_hash_md5",
+    "scalar_json",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_union_by_name",
+    "subquery_in_filter",
+    "subquery_scalar_avg_diff",
+    "text_exact_dedup",
+    "text_lang_id",
+    "text_ngram_jaccard",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "text_token_stats",
+    "timeseries_gapfill_daily",
+    "vector_cosine_topk",
+    "window_latest_per_key",
+    "window_rank_analytic",
+    "window_session_30m",
+    "window_topk_recent",
+    "window_tumbling_hourly",
 ]
 
 
@@ -206,17 +200,20 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND5_WINDOW` comes first.
+    the registry reordered so :data:`ROUND6_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
     50 of that era; round 3 fronted round3_additions + the round-2
     modules (CORRECTNESS_r03: 38 green, 12 rows-only, 0 red).  Round 4
     fronted the staging backlog + the two r2-red fixes + three oracle
-    upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronts the 16
+    upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronted the 16
     carried never-checked queries + the new composition row + the 33
-    stalest r1 rows — after this window every registered query has a
-    driver CORRECTNESS row, none older than round 2.
+    stalest r1 rows (CORRECTNESS_r05: 49 green + 1 rows-only by
+    design).  Round 6 fronts the 4 round-5 staged rows + all 11
+    round-1-latest rows + 35 of the 47 round-2-latest rows — after
+    this window no query's latest driver row predates round 2, and
+    only 12 r2 rows (each sibling-covered) remain for round 7.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -256,15 +253,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND5_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND6_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND5_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND6_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND5_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND6_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered
