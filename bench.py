@@ -180,6 +180,12 @@ HEADLINE = [
     "graph_pagerank_bucketed",
     "events_markov_transitions",
     "streaming_markov_transitions",
+    # round-6 additions: the training-data curation gates
+    "corpus_contamination_4gram",
+    "sample_domain_quota",
+    "quality_repetition_signals",
+    "corpus_mix_rebalance",
+    "streaming_quota_admission",
 ]
 
 

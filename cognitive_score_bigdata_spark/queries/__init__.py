@@ -58,12 +58,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # to round 7 each have a same-module sibling IN this window or a
 # stronger sibling verified r4/r5 on identical machinery:
 # window_ntile/nth_lag_default/rolling_avg/sliding_10m_5m (module pinned
-# here by rank/latest/topk/session/tumbling), scalar_base64/conditional/
+# here by rank/session/topk), scalar_base64/conditional/
 # datetime (scalar_hash_md5 + scalar_json + scalar_string_funcs here;
 # string_advanced/interval green r5), setop_union_all/intersect
 # (except + union_by_name here), proj_distinct/filter_basic
 # (derived_status + rename_cast here), ml_score_batch (rows-only;
-# serving prefix hash-verified by ml_feature_assembly r3).
+# serving prefix hash-verified by ml_feature_assembly r3); plus 5
+# displaced by the new round-6 queries: join_cross/full_outer/
+# null_safe (anti/asof/inner_broadcast/left_composite/semi/explode
+# still here), window_latest_per_key (sibling agg_latest_per_key
+# green r5), window_tumbling_hourly (session + topk here).
 ROUND6_WINDOW = [
     # the 4 round-5 staged rows (never driver-checked; locally green at
     # sf0.001 + sf0.01 under the driver-mirror comparator)
@@ -71,6 +75,13 @@ ROUND6_WINDOW = [
     "analytics_skyline_parts",
     "events_markov_transitions",
     "streaming_markov_transitions",
+    # the 5 NEW round-6 queries (training-data curation gates — new
+    # code gets a driver row in its birth round)
+    "corpus_contamination_4gram",
+    "sample_domain_quota",
+    "quality_repetition_signals",
+    "corpus_mix_rebalance",
+    "streaming_quota_admission",
     # the 5 hash-green r1 rows round 5 dropped
     "agg_median",
     "window_percentiles",
@@ -89,12 +100,9 @@ ROUND6_WINDOW = [
     "flagship_stats",
     "join_anti",
     "join_asof",
-    "join_cross",
     "join_explode_ownership",
-    "join_full_outer",
     "join_inner_broadcast",
     "join_left_composite",
-    "join_null_safe",
     "join_semi",
     "multimodal_extract_features",
     "proj_derived_status",
@@ -115,11 +123,9 @@ ROUND6_WINDOW = [
     "text_token_stats",
     "timeseries_gapfill_daily",
     "vector_cosine_topk",
-    "window_latest_per_key",
     "window_rank_analytic",
     "window_session_30m",
     "window_topk_recent",
-    "window_tumbling_hourly",
 ]
 
 
@@ -236,6 +242,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round4_staging,
         round4_staging2,
         round5,
+        round6,
         scalar_funcs,
         setops,
         sharding,

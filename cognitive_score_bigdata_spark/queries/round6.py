@@ -1,0 +1,407 @@
+"""Round-6 additions: training-data curation operators.
+
+The four batch queries + one streaming operator here are the curation
+gates a large-scale pretraining pipeline runs between "crawl landed"
+and "tokens shipped": benchmark-contamination screening, per-domain
+quota sampling (skew-safe exact-k), repetition/quality signals, and
+corpus mix rebalancing. The reference has no corpus surface (its
+documents are wearable events; `/root/reference/src/backend/main.py`
+serves scores) — these extend the brief's large-scale-pipeline family
+next to the dedup/similarity/text modules, with the same posture:
+every fraction is integer micro-units so the DuckDB oracle hash-matches
+bit-exactly, and every operator documents how it behaves at 100 TB.
+
+Scale design notes:
+
+- `corpus_contamination_4gram`: the benchmark side is SMALL by
+  construction (a benchmark suite is megabytes; here the src0 slice).
+  Its distinct-gram set broadcasts; the corpus side is a map-side
+  explode → broadcast-hash semi-join → per-doc count. No shuffle
+  touches the full gram stream except the final per-doc aggregate,
+  which is map-side-combinable on doc_id. At 100 TB the corpus scan
+  dominates and parallelizes linearly.
+- `sample_domain_quota`: exact-K per group via ONE window over the
+  group key degenerates at 100 TB — 20 sources means 20 reducers see
+  everything. Two-level selection fixes it: rank within (source,
+  salt-bucket) first (64-way parallel per source, partial top-K), then
+  rank the ≤ 64·K survivors per source. Identical output to the naive
+  single window (both keep the global K smallest (md5, doc_id) keys),
+  pinned by the oracle hash-match against the naive SQL.
+- `quality_repetition_signals` (Gopher-style repetition filters,
+  Rae et al. 2021): per-doc stats are a token explode + two
+  map-side-combinable aggregates; nothing global.
+- `corpus_mix_rebalance`: output is |langs| rows; trivially scalable.
+- `streaming_quota_admission` (streaming/admission.py): admission
+  control as ORDER-SENSITIVE streaming state — the per-source admitted
+  counter persists across micro-batches, so a drained backlog plus a
+  live tail admits exactly the same set as one batch run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cognitive_score_bigdata_spark.io import fan_out, load_table
+from cognitive_score_bigdata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# corpus_contamination_4gram
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 4  # gram width
+CONTAM_THR = 2  # distinct shared grams to flag
+
+_CONTAM_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(text, ' +') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             array_to_string(ts[i:i+{CONTAM_N - 1}], ' ') AS gram
+      FROM tok, UNNEST(range(1, len(ts) - {CONTAM_N - 2})) AS r(i)
+      WHERE len(ts) >= {CONTAM_N}
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    cand AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cand c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    HAVING COUNT(*) >= {CONTAM_THR}
+"""
+
+
+def _grams(col: str, n: int):
+    """n-gram strings over a token array column (0-based Spark SQL)."""
+    parts = ", ".join(f"{col}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size({col}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+@register(
+    "corpus_contamination_4gram",
+    oracle=_CONTAM_ORACLE,
+    doc="benchmark-contamination screen (the gate every pretraining "
+    "corpus runs against eval suites): docs sharing >= 2 distinct "
+    "4-grams with the benchmark slice (source src0 stands in for the "
+    "benchmark set) are flagged with their shared-gram count. The "
+    "benchmark gram set is small by construction and BROADCASTS; the "
+    "corpus side is map-side explode -> broadcast semi-join -> "
+    "map-side-combinable per-doc count, so the 100 TB scan "
+    "parallelizes linearly with zero full-corpus shuffle. On this "
+    "corpus the flagged docs are exactly the planted cross-source "
+    "near-duplicates — the screen finds real leakage, not noise",
+)
+def corpus_contamination_4gram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.split("text", " +").alias("ts")
+    )
+    g = docs.filter(F.size("ts") >= CONTAM_N).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_grams("ts", CONTAM_N))).alias("gram"),
+    )
+    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    cand = g.filter(F.col("source") != "src0").select("doc_id", "gram")
+    return (
+        cand.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_THR)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_domain_quota
+# ---------------------------------------------------------------------------
+
+QUOTA_K = 5
+_QUOTA_SALT = 64
+
+_QUOTA_ORACLE = f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {QUOTA_K}
+"""
+
+
+@register(
+    "sample_domain_quota",
+    oracle=_QUOTA_ORACLE,
+    doc="per-domain quota sampling (cap each source at K docs, "
+    "selection order = md5(doc_id) — a deterministic uniform draw "
+    "shared bit-for-bit with the oracle). SKEW-SAFE exact-k: a naive "
+    "window over source sends the whole corpus through |sources| "
+    "reducers; here stage 1 ranks within (source, 64-way salt bucket) "
+    "and keeps K per bucket — map-parallel partial top-K — so stage "
+    "2's real window ranks <= 64K survivors per source. Output is "
+    "provably identical to the naive window (both keep the K globally "
+    "smallest (md5, doc_id) keys per source: the global top-K survive "
+    "every per-bucket top-K); the hash-match against the naive oracle "
+    "SQL is the proof",
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("mk"),
+    )
+    stage1 = Window.partitionBy(
+        "source", F.pmod(F.hash("doc_id"), F.lit(_QUOTA_SALT))
+    ).orderBy("mk", "doc_id")
+    survivors = (
+        docs.withColumn("rn1", F.row_number().over(stage1))
+        .filter(F.col("rn1") <= QUOTA_K)
+        .drop("rn1")
+    )
+    stage2 = Window.partitionBy("source").orderBy("mk", "doc_id")
+    return (
+        survivors.withColumn(
+            "rn", F.row_number().over(stage2).cast("bigint")
+        )
+        .filter(F.col("rn") <= QUOTA_K)
+        .select("doc_id", "source", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_repetition_signals
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split_regex(text, ' +')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, source, t
+    ),
+    per AS (
+      SELECT doc_id, source,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(MAX(c) AS BIGINT) AS top_c
+      FROM cnt GROUP BY doc_id, source
+    ),
+    tg AS (
+      SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, string_split_regex(text, ' +') AS ts
+            FROM documents),
+           UNNEST(range(1, len(ts))) AS r(i)
+      WHERE len(ts) >= 2
+    ),
+    big AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_2g,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_2g_d
+      FROM tg GROUP BY doc_id
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.top_c * 1000000 // p.n_tok) // COUNT(*) AS BIGINT)
+             AS avg_toptok_micro,
+           CAST(SUM(p.n_types * 1000000 // p.n_tok) // COUNT(*) AS BIGINT)
+             AS avg_ttr_micro,
+           CAST(SUM((b.n_2g - b.n_2g_d) * 1000000 // b.n_2g) // COUNT(*)
+                AS BIGINT) AS avg_dup2g_micro
+    FROM per p JOIN big b USING (doc_id)
+    GROUP BY p.source
+"""
+
+
+@register(
+    "quality_repetition_signals",
+    oracle=_REP_ORACLE,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 "
+    "table A1 analogues) per source: top-token fraction, type-token "
+    "ratio, duplicate-2-gram fraction — the filters that catch "
+    "boilerplate/spam before training. All-integer micro-unit "
+    "arithmetic (x*1000000 div n, then div n_docs) so the oracle "
+    "hash-matches exactly. Per-doc stats are a token explode with "
+    "map-side-combinable aggregates keyed by doc_id — no global "
+    "state, linear at 100 TB; the per-source rollup is |sources| rows",
+)
+def quality_repetition_signals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.split("text", " +").alias("ts")
+    )
+    cnt = docs.select(
+        "doc_id", "source", F.explode("ts").alias("t")
+    ).groupBy("doc_id", "source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    tg = docs.filter(F.size("ts") >= 2).select(
+        "doc_id", F.explode(_grams("ts", 2)).alias("g")
+    )
+    big = tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_2g"),
+        F.count_distinct("g").cast("bigint").alias("n_2g_d"),
+    )
+    j = per.join(big, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(top_c * 1000000 div n_tok) div count(1)")
+        .cast("bigint")
+        .alias("avg_toptok_micro"),
+        F.expr("sum(n_types * 1000000 div n_tok) div count(1)")
+        .cast("bigint")
+        .alias("avg_ttr_micro"),
+        F.expr("sum((n_2g - n_2g_d) * 1000000 div n_2g) div count(1)")
+        .cast("bigint")
+        .alias("avg_dup2g_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_rebalance
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM per
+    )
+    SELECT p.lang, p.n_docs,
+           CAST(p.n_docs * 1000000 // t.total AS BIGINT) AS share_micro,
+           CAST(t.total * 1000000 // (t.n_langs * p.n_docs) AS BIGINT)
+             AS weight_micro
+    FROM per p CROSS JOIN tot t
+"""
+
+
+@register(
+    "corpus_mix_rebalance",
+    oracle=_MIX_ORACLE,
+    doc="corpus mix rebalancing: per-language share and the sampling "
+    "weight that flattens the mix to uniform (weight = target_share / "
+    "current_share, micro-units) — the knob pretraining runs tune when "
+    "a crawl over-represents one language. Aggregate is "
+    "map-side-combinable; the totals join is a 5-row broadcast. The "
+    "weights feed sample_domain_quota-style downsampling directly",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div total")
+        .cast("bigint")
+        .alias("share_micro"),
+        F.expr("total * 1000000 div (n_langs * n_docs)")
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming_quota_admission
+# ---------------------------------------------------------------------------
+
+_ADMIT_ORACLE = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {QUOTA_K * 2}
+"""
+
+_ADMIT_STREAM_IN: dict = {}
+
+
+def _admit_stream_indir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    def build() -> str:
+        in_dir = os.path.join(
+            tempfile.mkdtemp(prefix="csb_stream_admit_"), "in"
+        )
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .write.mode("overwrite")
+            .json(in_dir)
+        )
+        return in_dir
+
+    return session_scoped(_ADMIT_STREAM_IN, spark, (sf_dir,), build)
+
+
+@register(
+    "streaming_quota_admission",
+    oracle=_ADMIT_ORACLE,
+    doc="per-source quota ADMISSION CONTROL as stateful streaming "
+    "(streaming/admission.py): each source's admitted-count persists "
+    "in the state store, each micro-batch sorts its rows by doc_id "
+    "and admits until the source's cap is reached — the gate a "
+    "continuously-ingesting corpus pipeline runs so one crawl domain "
+    "cannot flood the training set. Single-batch availableNow drain "
+    "makes admission order = doc_id order, hash-matching the batch "
+    "ROW_NUMBER oracle; cross-batch counter carryover is pinned "
+    "separately in tests (a second file's admissions respect the "
+    "count from the first). State is one integer per source",
+)
+def streaming_quota_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cognitive_score_bigdata_spark.streaming.admission import (
+        admission_stream,
+    )
+
+    in_dir = _admit_stream_indir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="csb_stream_admit_run_")
+    name = f"csb_admit_{abs(hash(work)) % 10**8}"
+    admitted = admission_stream(
+        spark,
+        in_dir,
+        os.path.join(work, "ckpt"),
+        query_name=name,
+        cap=QUOTA_K * 2,
+    )
+    # bounded output (sources x cap rows): eager-checkpoint, then
+    # reclaim the memory-sink view and per-run checkpoint dir
+    out = admitted.select("doc_id", "source").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
