@@ -2164,6 +2164,11 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # prefix arrays carry xxhash64(token) LONGS, not strings: the
+    # prefix join then hashes/compares 8-byte keys. A hash collision
+    # can only MERGE two tokens (extra candidates, removed by the
+    # exact bitmap verify) — never split one, so recall is unchanged
+    # and the oracle hash-match still proves exactness.
     ordered = (
         tok.join(df_t, "tok")
         .groupBy("doc_id")
@@ -2172,7 +2177,7 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(
                     F.collect_list(F.struct(F.col("df"), F.col("tok")))
                 ),
-                lambda s: s.tok,
+                lambda s: F.xxhash64(s.tok),
             ).alias("toks")
         )
         .withColumn("n", F.size("toks").cast("bigint"))
@@ -2202,9 +2207,9 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ordered.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("pna"),
-        F.explode(
+        F.posexplode(
             F.slice(F.col("toks"), 1, F.col("p").cast("int"))
-        ).alias("tok"),
+        ).alias("ia", "tk"),
     )
     # index prefix length: n - ceil(2t/(1+t) * n) + 1, all-integer
     # (2t/(1+t) at t=4/5 is 8/9)
@@ -2213,9 +2218,9 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("doc_id").alias("doc_b"),
         F.col("n").alias("pnb"),
-        F.explode(
+        F.posexplode(
             F.slice(F.col("toks"), 1, F.col("pi").cast("int"))
-        ).alias("tok"),
+        ).alias("ib", "tk"),
     )
     # AllPairs length filter at candidate GENERATION: J >= t forces
     # n_small >= t*n_big, an integer predicate evaluated inside the
@@ -2230,9 +2235,26 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigger = (F.col("pna") > F.col("pnb")) | (
         (F.col("pna") == F.col("pnb")) & (F.col("doc_a") < F.col("doc_b"))
     )
+    # PPJoin positional filter (Xiao'08, round 6): a match at 0-based
+    # prefix positions (ia, ib) bounds the whole-pair overlap at
+    # min(na-ia, nb-ib) — every common token sits at or after the
+    # FIRST common one in the shared canonical order — so instances
+    # that can't reach alpha = ceil(t/(1+t)*(na+nb)) drop before the
+    # candidate-dedup exchange (the measured wall-time floor: 18.4M ->
+    # 12.6M instances at sf0.1, verified output bit-identical). The
+    # first-common-token instance of every qualifying pair always
+    # passes, so recall is exact — the oracle hash-match is the proof.
+    alpha = F.expr(
+        f"({PFJ_T_NUM} * (pna + pnb) + {PFJ_T_NUM + PFJ_T_DEN - 1}) "
+        f"div {PFJ_T_NUM + PFJ_T_DEN}"
+    )
+    pos_ok = (
+        F.least(F.col("pna") - F.col("ia"), F.col("pnb") - F.col("ib"))
+        >= alpha
+    )
     cand = (
-        probe.join(idx, "tok")
-        .filter(bigger & size_ok)
+        probe.join(idx, "tk")
+        .filter(bigger & size_ok & pos_ok)
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
