@@ -186,6 +186,9 @@ HEADLINE = [
     "quality_repetition_signals",
     "corpus_mix_rebalance",
     "streaming_quota_admission",
+    "events_streak_islands",
+    "market_rule_lift",
+    "scan_runtime_bloom_join",
 ]
 
 

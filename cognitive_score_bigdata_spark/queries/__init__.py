@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the never-checked count is 0 again), then ALL 11 queries whose latest
 # driver row is round 1 (the 5 hash-green rows round 5 dropped —
 # agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
-# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 35
-# of the 47 queries whose latest row is round 2. The 12 r2 rows carried
+# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 27
+# of the 47 queries whose latest row is round 2. The 20 r2 rows carried
 # to round 7 each have a same-module sibling IN this window or a
 # stronger sibling verified r4/r5 on identical machinery:
 # window_ntile/nth_lag_default/rolling_avg/sliding_10m_5m (module pinned
@@ -67,7 +67,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # displaced by the new round-6 queries: join_cross/full_outer/
 # null_safe (anti/asof/inner_broadcast/left_composite/semi/explode
 # still here), window_latest_per_key (sibling agg_latest_per_key
-# green r5), window_tumbling_hourly (session + topk here).
+# green r5), window_tumbling_hourly (session + topk here),
+# text_token_stats (quality_score/lang_id/token_count_bpe here),
+# subquery_scalar_avg_diff (subquery_in_filter here),
+# proj_rename_cast (proj_derived_status here).
 ROUND6_WINDOW = [
     # the 4 round-5 staged rows (never driver-checked; locally green at
     # sf0.001 + sf0.01 under the driver-mirror comparator)
@@ -75,13 +78,17 @@ ROUND6_WINDOW = [
     "analytics_skyline_parts",
     "events_markov_transitions",
     "streaming_markov_transitions",
-    # the 5 NEW round-6 queries (training-data curation gates — new
-    # code gets a driver row in its birth round)
+    # the 8 NEW round-6 queries (training-data curation gates +
+    # streaks/lift/runtime-bloom — new code gets a driver row in its
+    # birth round)
     "corpus_contamination_4gram",
     "sample_domain_quota",
     "quality_repetition_signals",
     "corpus_mix_rebalance",
     "streaming_quota_admission",
+    "events_streak_islands",
+    "market_rule_lift",
+    "scan_runtime_bloom_join",
     # the 5 hash-green r1 rows round 5 dropped
     "agg_median",
     "window_percentiles",
@@ -95,7 +102,7 @@ ROUND6_WINDOW = [
     "sample_seeded",
     "sample_stratified",
     "vector_kmeans_cluster_sizes",
-    # 35 refills from the 47 stalest (round-2-latest) rows
+    # 27 refills from the 47 stalest (round-2-latest) rows
     "flagship_dashboard",
     "flagship_stats",
     "join_anti",
@@ -106,7 +113,6 @@ ROUND6_WINDOW = [
     "join_semi",
     "multimodal_extract_features",
     "proj_derived_status",
-    "proj_rename_cast",
     "range_join_time_binned",
     "scalar_hash_md5",
     "scalar_json",
@@ -114,13 +120,11 @@ ROUND6_WINDOW = [
     "setop_except",
     "setop_union_by_name",
     "subquery_in_filter",
-    "subquery_scalar_avg_diff",
     "text_exact_dedup",
     "text_lang_id",
     "text_ngram_jaccard",
     "text_quality_score",
     "text_token_count_bpe",
-    "text_token_stats",
     "timeseries_gapfill_daily",
     "vector_cosine_topk",
     "window_rank_analytic",
@@ -216,10 +220,11 @@ def load_registry() -> dict[str, QuerySpec]:
     upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronted the 16
     carried never-checked queries + the new composition row + the 33
     stalest r1 rows (CORRECTNESS_r05: 49 green + 1 rows-only by
-    design).  Round 6 fronts the 4 round-5 staged rows + all 11
-    round-1-latest rows + 35 of the 47 round-2-latest rows — after
-    this window no query's latest driver row predates round 2, and
-    only 12 r2 rows (each sibling-covered) remain for round 7.
+    design).  Round 6 fronts the 4 round-5 staged rows + the 8 new
+    round-6 queries + all 11 round-1-latest rows + 27 of the 47
+    round-2-latest rows — after this window no query's latest driver
+    row predates round 2, and 20 r2 rows (each sibling-covered)
+    remain for round 7.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,

@@ -405,3 +405,223 @@ def streaming_quota_admission(
     spark.catalog.dropTempView(name)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# events_streak_islands
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id, len AS streak_days, streak_start
+    FROM (
+      SELECT user_id, len, streak_start,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY len DESC, streak_start) AS rn
+      FROM runs
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "events_streak_islands",
+    oracle=_STREAK_ORACLE,
+    doc="longest consecutive-day activity streak per user "
+    "(gaps-and-islands: island anchor = day - row_number, so "
+    "consecutive days share an anchor; longest run per user with "
+    "deterministic earliest-start tiebreak). Both windows partition "
+    "by user_id — one shuffle on the natural key, O(days-per-user) "
+    "per partition, no global state; the classic engagement-streak "
+    "query every activity dashboard ships",
+)
+def events_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    top = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("streak_days"),
+            "streak_start",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# market_rule_lift
+# ---------------------------------------------------------------------------
+
+LIFT_MIN_SUP = 3
+
+_LIFT_ORACLE = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+    sup1 AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY pk
+    ),
+    sup2 AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS s12
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {LIFT_MIN_SUP}
+    )
+    SELECT s2.p1, s2.p2, s2.s12,
+           CAST(s2.s12 * 1000000 // sa.s AS BIGINT) AS conf_micro,
+           CAST(s2.s12 * n.n_orders * 1000000 // (sa.s * sb.s) AS BIGINT)
+             AS lift_micro
+    FROM sup2 s2
+    JOIN sup1 sa ON sa.pk = s2.p1
+    JOIN sup1 sb ON sb.pk = s2.p2
+    CROSS JOIN n
+"""
+
+
+@register(
+    "market_rule_lift",
+    oracle=_LIFT_ORACLE,
+    doc="association rules over co-purchase pairs: confidence(p1->p2) "
+    "and lift in integer micro-units for pairs with support >= 3 — "
+    "the step after market_basket_pairs that turns raw pair counts "
+    "into ranked rules. The item-support table joins in twice "
+    "(broadcast: |parts| rows); the order count is a literal-sized "
+    "broadcast. Pair generation reuses the same self-join shape as "
+    "the co-purchase graph family; map-side combine bounds the "
+    "shuffle at distinct-pair cardinality",
+)
+def market_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    n_orders = li.select("ok").distinct().count()
+    sup1 = li.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a = li.select(F.col("ok"), F.col("pk").alias("p1"))
+    b = li.select(F.col("ok"), F.col("pk").alias("p2"))
+    sup2 = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s12"))
+        .filter(F.col("s12") >= LIFT_MIN_SUP)
+    )
+    sa = F.broadcast(sup1.select(F.col("pk").alias("p1"), F.col("s").alias("sa")))
+    sb = F.broadcast(sup1.select(F.col("pk").alias("p2"), F.col("s").alias("sb")))
+    return (
+        sup2.join(sa, "p1")
+        .join(sb, "p2")
+        .select(
+            "p1",
+            "p2",
+            "s12",
+            F.expr("s12 * 1000000 div sa").cast("bigint").alias("conf_micro"),
+            F.expr(f"s12 * {n_orders}L * 1000000 div (sa * sb)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_runtime_bloom_join
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+    SELECT l.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_linestatus
+"""
+
+
+@register(
+    "scan_runtime_bloom_join",
+    oracle=_BLOOM_ORACLE,
+    doc="runtime bloom-filter pruned fact scan: a selective dimension "
+    "predicate (urgent orders) injects a bloom_filter_agg on the "
+    "build side and a might_contain probe INTO the fact scan's "
+    "filter, so lineitem rows for non-urgent orders drop at the scan "
+    "before the join shuffle — Spark's runtime-filter answer to the "
+    "100 TB fact/dim join where the dim predicate is selective but "
+    "not partition-aligned (DPP's case). Plan-pinned: "
+    "bloom_filter_agg + might_contain present with the SMJ path "
+    "forced; identical rows to the plain join oracle by construction",
+)
+def scan_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # Force the shuffle-join path (a broadcast join subsumes the bloom
+    # filter) and let the filter apply at local-file scan sizes; both
+    # confs restored — registry queries must not leak session state.
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        ),
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_qty"),
+            )
+        )
+        # materialize the plan under the forced confs: localCheckpoint
+        # executes NOW, so restoring confs afterwards cannot change the
+        # already-chosen physical plan
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

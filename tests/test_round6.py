@@ -207,3 +207,56 @@ def test_mix_rebalance_weights_flatten_to_uniform(spark):
         resampled = r["n_docs"] * r["weight_micro"] // 1_000_000
         target = total // n_langs
         assert abs(resampled - target) <= max(2, target // 100)
+
+
+def test_runtime_bloom_join_plan_and_conf_hygiene(spark):
+    """scan_runtime_bloom_join must (a) inject a bloom_filter_agg on
+    the dimension side and a might_contain probe into the fact scan,
+    and (b) restore the session confs it force-sets — a registry query
+    must not leak state into subsequent queries."""
+    from cognitive_score_bigdata_spark.queries.round6 import (
+        scan_runtime_bloom_join,
+    )
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+        )
+    }
+    out = scan_runtime_bloom_join(spark, SF_DIR)
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, "session confs leaked"
+    assert out.count() > 0
+    # the checkpointed plan was chosen under the forced confs; re-plan
+    # the same query shape under them to pin the bloom injection
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.io import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan[:1500]
+    assert "might_contain" in plan
