@@ -95,7 +95,11 @@ def _grams(col: str, n: int):
     "map-side-combinable per-doc count, so the 100 TB scan "
     "parallelizes linearly with zero full-corpus shuffle. On this "
     "corpus the flagged docs are exactly the planted cross-source "
-    "near-duplicates — the screen finds real leakage, not noise",
+    "near-duplicates — the screen finds real leakage, not noise. "
+    "Complements text_contamination_check (substring hit on short "
+    "snippets): n-gram overlap counting survives paraphrase-level "
+    "edits a verbatim substring probe misses, which is why WMDP/GPT-4 "
+    "era decontamination standardized on n-gram overlap",
 )
 def corpus_contamination_4gram(
     spark: SparkSession, sf_dir: str
@@ -233,7 +237,11 @@ _REP_ORACLE = """
     "arithmetic (x*1000000 div n, then div n_docs) so the oracle "
     "hash-matches exactly. Per-doc stats are a token explode with "
     "map-side-combinable aggregates keyed by doc_id — no global "
-    "state, linear at 100 TB; the per-source rollup is |sources| rows",
+    "state, linear at 100 TB; the per-source rollup is |sources| "
+    "rows. Complements text_gopher_rules (per-DOC keep/drop "
+    "composite over n_words/mwl/ttr/top-share): this row adds the "
+    "duplicate-2-gram repetition signal and the per-source health "
+    "rollup a curation dashboard monitors",
 )
 def quality_repetition_signals(
     spark: SparkSession, sf_dir: str
