@@ -189,6 +189,7 @@ HEADLINE = [
     "events_streak_islands",
     "market_rule_lift",
     "scan_runtime_bloom_join",
+    "join_asof_cogrouped",
 ]
 
 

@@ -633,3 +633,83 @@ def scan_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# join_asof_cogrouped
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register(
+    "join_asof_cogrouped",
+    oracle=_ASOF_ORACLE,
+    doc="the as-of join AGAIN, through Spark's cogrouped-pandas API "
+    "(groupBy.cogroup().applyInPandas + pandas.merge_asof) — the API "
+    "surface for per-key logic that outgrows SQL expressions (§2.10): "
+    "both sides shuffle ONCE on the key, each key's two Arrow batches "
+    "meet in one Python worker, and the merge is a per-key sorted "
+    "scan. Same oracle as join_asof (the union-tag single-shuffle "
+    "formulation): two implementations, one hash — the strongest "
+    "cross-check either can get. Tiebreak parity: clicks sort by "
+    "(ts, value) so merge_asof's last-match == the window form's "
+    "greatest-payload-struct winner. Scale: identical shuffle volume "
+    "to the SQL form; the python stage is per-key-linear and "
+    "Arrow-batched (not per-row)",
+)
+def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+
+    out_schema = (
+        "event_id long, user_id long, ts timestamp_ntz, value double, "
+        "click_ts timestamp_ntz, click_value double"
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "ts", "value",
+                    "click_ts", "click_value",
+                ]
+            )
+        left = lpdf.sort_values(["ts", "event_id"])
+        # ties on click_ts: LAST row in (ts, value) order is the max
+        # value — the same winner as asof_join's payload-struct tiebreak
+        right = rpdf.sort_values(["click_ts", "click_value"]).drop(
+            columns=["user_id"]
+        )
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[
+            ["event_id", "user_id", "ts", "value", "click_ts", "click_value"]
+        ]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+    )
