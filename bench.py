@@ -190,6 +190,7 @@ HEADLINE = [
     "market_rule_lift",
     "scan_runtime_bloom_join",
     "join_asof_cogrouped",
+    "multimodal_arrow_bytes",
 ]
 
 

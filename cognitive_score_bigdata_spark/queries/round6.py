@@ -713,3 +713,68 @@ def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(lambda l, r: merge(l, r), out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_arrow_bytes
+# ---------------------------------------------------------------------------
+
+_ARROW_BYTES_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'BM' ELSE 'RI' END AS magic,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + (3 + doc_id % 7)
+                     * (((4 + doc_id % 13) * 3 + 3) // 4 * 4)
+                ELSE 44 + 2 * (64 + doc_id % 100)
+           END AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+@register(
+    "multimodal_arrow_bytes",
+    oracle=_ARROW_BYTES_ORACLE,
+    doc="zero-copy byte-level media stats through mapInArrow (the "
+    "lowest-level Arrow batch API, §2.10 — no pandas conversion in "
+    "the loop): container magic (first 2 bytes) and exact payload "
+    "size per media object via pyarrow.compute binary kernels over "
+    "the same doc_id-derived synthetic BMP/WAV payloads as "
+    "multimodal_decode_real. The oracle recomputes both from the "
+    "integer spec (BMP: 54 + h*rowstride with 4-byte row padding; "
+    "WAV: 44 + 2n), so the codec writers, the Arrow path, and the "
+    "byte arithmetic cross-check exactly. At 100 TB this is the "
+    "triage scan a media pipeline runs before decode: columnar "
+    "binary stays off-heap end-to-end",
+)
+def multimodal_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cognitive_score_bigdata_spark.queries.multimodal_real import (
+        _synth_media,
+    )
+
+    media = _synth_media(fan_out(load_table(spark, sf_dir, "documents")))
+
+    def stats(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            mid = b.column(b.schema.get_field_index("media_id"))
+            pay = b.column(b.schema.get_field_index("payload"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    mid,
+                    pc.cast(pc.binary_slice(pay, 0, 2), pa.string()),
+                    pc.cast(pc.binary_length(pay), pa.int64()),
+                ],
+                ["media_id", "magic", "n_bytes"],
+            )
+
+    return media.mapInArrow(
+        stats, "media_id long, magic string, n_bytes long"
+    )
