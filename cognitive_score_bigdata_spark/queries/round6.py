@@ -659,10 +659,13 @@ _ASOF_ORACLE = """
     "scan. Same oracle as join_asof (the union-tag single-shuffle "
     "formulation): two implementations, one hash — the strongest "
     "cross-check either can get. Tiebreak parity: clicks sort by "
-    "(ts, value) so merge_asof's last-match == the window form's "
-    "greatest-payload-struct winner. Scale: identical shuffle volume "
-    "to the SQL form; the python stage is per-key-linear and "
-    "Arrow-batched (not per-row)",
+    "(ts, value) so the searchsorted hit == the window form's "
+    "greatest-payload-struct winner. MEASURED crossover warning "
+    "(sf0.1, 1500 groups x ~13 rows): ~3.5 ms/group of cogroup "
+    "machinery makes this 15-25x slower than the SQL union-tag form "
+    "— reach for cogrouped-pandas only when per-group logic is too "
+    "rich for SQL or groups are large enough to amortize the Arrow "
+    "slice + frame construction; shuffle volume is identical",
 )
 def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -683,6 +686,16 @@ def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # numpy lexsort + searchsorted, not pandas merge_asof: per-GROUP
+        # pandas overhead dominates at this corpus's ~13 rows/group
+        # (measured 7.6 s -> 5.3 s warm at sf0.1); the remaining cost is
+        # the cogroup machinery itself (per-group Arrow slice -> pandas
+        # frames both sides + result serialization), which is the API's
+        # floor. Ties on click_ts: ascending (ts, value) sort means the
+        # searchsorted 'right'-1 hit is the max value — the same winner
+        # as asof_join's payload-struct tiebreak.
+        import numpy as np
+
         if lpdf.empty:
             return pd.DataFrame(
                 columns=[
@@ -690,23 +703,28 @@ def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "click_ts", "click_value",
                 ]
             )
-        left = lpdf.sort_values(["ts", "event_id"])
-        # ties on click_ts: LAST row in (ts, value) order is the max
-        # value — the same winner as asof_join's payload-struct tiebreak
-        right = rpdf.sort_values(["click_ts", "click_value"]).drop(
-            columns=["user_id"]
+        lo = np.lexsort((lpdf["event_id"].values, lpdf["ts"].values))
+        left = lpdf.iloc[lo]
+        rts = rpdf["click_ts"].values
+        rv = rpdf["click_value"].values
+        ro = np.lexsort((rv, rts))
+        rts, rv = rts[ro], rv[ro]
+        idx = np.searchsorted(rts, left["ts"].values, side="right") - 1
+        ok = idx >= 0
+        cts = np.full(len(left), np.datetime64("NaT", "us"))
+        cv = np.full(len(left), np.nan)
+        cts[ok] = rts[idx[ok]]
+        cv[ok] = rv[idx[ok]]
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].values,
+                "user_id": left["user_id"].values,
+                "ts": left["ts"].values,
+                "value": left["value"].values,
+                "click_ts": cts,
+                "click_value": cv,
+            }
         )
-        merged = pd.merge_asof(
-            left,
-            right,
-            left_on="ts",
-            right_on="click_ts",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        return merged[
-            ["event_id", "user_id", "ts", "value", "click_ts", "click_value"]
-        ]
 
     return (
         purchases.groupBy("user_id")
