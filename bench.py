@@ -191,6 +191,7 @@ HEADLINE = [
     "scan_runtime_bloom_join",
     "join_asof_cogrouped",
     "multimodal_arrow_bytes",
+    "sketch_cms_md5_tokens",
 ]
 
 

@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the never-checked count is 0 again), then ALL 11 queries whose latest
 # driver row is round 1 (the 5 hash-green rows round 5 dropped —
 # agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
-# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 25
-# of the 47 queries whose latest row is round 2. The 22 r2 rows carried
+# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 24
+# of the 47 queries whose latest row is round 2. The 23 r2 rows carried
 # to round 7 each have a same-module sibling IN this window or a
 # stronger sibling verified r4/r5 on identical machinery:
 # window_ntile/nth_lag_default/rolling_avg/sliding_10m_5m (module pinned
@@ -74,7 +74,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # machinery hash-verified end-to-end by the entire md5 sketch/minhash
 # family, r4/r5 windows), multimodal_extract_features (the pandas-UDF
 # featurize path is pinned by the r4-green multimodal_real rows and
-# the new multimodal_arrow_bytes oracle row).
+# the new multimodal_arrow_bytes oracle row), window_topk_recent
+# (TakeOrderedAndProject plan pin in tests/test_plans.py; rank/session
+# siblings here).
 ROUND6_WINDOW = [
     # the 4 round-5 staged rows (never driver-checked; locally green at
     # sf0.001 + sf0.01 under the driver-mirror comparator)
@@ -82,7 +84,7 @@ ROUND6_WINDOW = [
     "analytics_skyline_parts",
     "events_markov_transitions",
     "streaming_markov_transitions",
-    # the 10 NEW round-6 queries (training-data curation gates +
+    # the 11 NEW round-6 queries (training-data curation gates +
     # streaks/lift/runtime-bloom — new code gets a driver row in its
     # birth round)
     "corpus_contamination_4gram",
@@ -95,6 +97,7 @@ ROUND6_WINDOW = [
     "scan_runtime_bloom_join",
     "join_asof_cogrouped",
     "multimodal_arrow_bytes",
+    "sketch_cms_md5_tokens",
     # the 5 hash-green r1 rows round 5 dropped
     "agg_median",
     "window_percentiles",
@@ -108,7 +111,7 @@ ROUND6_WINDOW = [
     "sample_seeded",
     "sample_stratified",
     "vector_kmeans_cluster_sizes",
-    # 25 refills from the 47 stalest (round-2-latest) rows
+    # 24 refills from the 47 stalest (round-2-latest) rows
     "flagship_dashboard",
     "flagship_stats",
     "join_anti",
@@ -133,7 +136,6 @@ ROUND6_WINDOW = [
     "vector_cosine_topk",
     "window_rank_analytic",
     "window_session_30m",
-    "window_topk_recent",
 ]
 
 
@@ -224,10 +226,10 @@ def load_registry() -> dict[str, QuerySpec]:
     upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronted the 16
     carried never-checked queries + the new composition row + the 33
     stalest r1 rows (CORRECTNESS_r05: 49 green + 1 rows-only by
-    design).  Round 6 fronts the 4 round-5 staged rows + the 10 new
-    round-6 queries + all 11 round-1-latest rows + 25 of the 47
+    design).  Round 6 fronts the 4 round-5 staged rows + the 11 new
+    round-6 queries + all 11 round-1-latest rows + 24 of the 47
     round-2-latest rows — after this window no query's latest driver
-    row predates round 2, and 22 r2 rows (each sibling-covered)
+    row predates round 2, and 23 r2 rows (each sibling-covered)
     remain for round 7.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401

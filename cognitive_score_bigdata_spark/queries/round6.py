@@ -796,3 +796,108 @@ def multimodal_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInArrow(
         stats, "media_id long, magic string, n_bytes long"
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_md5_tokens
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 128  # buckets per row
+CMS_TOPK = 20  # point-query the K most frequent tokens
+
+# Same Kirsch-Mitzenmacher two-hash trick as the md5-MinHash family
+# (round4_staging2): ONE md5 per token, split into two 56-bit halves,
+# row j's hash = h1 + j*h2 (j*h2 < 2^58, sum < 2^59 — positive in
+# Spark's signed long and DuckDB's UBIGINT alike, so bucket ids match
+# bit-for-bit).
+_CMS_H1 = "CAST(('0x' || substr(md5(t), 1, 14)) AS UBIGINT)"
+_CMS_H2 = "CAST(('0x' || substr(md5(t), 17, 14)) AS UBIGINT)"
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, ' +')) AS t FROM documents
+    ),
+    cells AS (
+      SELECT j, ({_CMS_H1} + j * {_CMS_H2}) % {CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok, UNNEST(range({CMS_D})) AS r(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY t
+      ORDER BY exact_count DESC, t LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+      SELECT e.t, e.exact_count, r.j,
+             ({_CMS_H1.replace('md5(t)', 'md5(e.t)')}
+              + r.j * {_CMS_H2.replace('md5(t)', 'md5(e.t)')})
+               % {CMS_W} AS bucket
+      FROM exact e, UNNEST(range({CMS_D})) AS r(j)
+    )
+    SELECT p.t AS token, p.exact_count,
+           CAST(MIN(c.c) AS BIGINT) AS cms_est
+    FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.t, p.exact_count
+"""
+
+
+@register(
+    "sketch_cms_md5_tokens",
+    oracle=_CMS_ORACLE,
+    doc="auditable Count-Min sketch (Cormode-Muthukrishnan 2005) over "
+    "document tokens: d=4 md5-two-hash rows x w=128 buckets, built as "
+    "ONE map-side-combinable aggregate (512 cells total regardless of "
+    "corpus size — the distributed-sketch story: cell tables merge by "
+    "addition across 1000 executors); point estimates for the 20 most "
+    "frequent tokens are min-over-rows lookups against the cell "
+    "table. Every integer is engine-reproducible, so the oracle "
+    "hash-checks the full sketch maintenance + probe path — the same "
+    "auditability posture as the md5 KMV/HLL/MinHash family; the "
+    "est >= exact one-sided error guarantee is pinned in tests. "
+    "Completes the classic sketch set (HLL, KMV, theta, SimHash, "
+    "MinHash, heavy-hitter, CMS)",
+)
+def sketch_cms_md5_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " +")).alias("t")
+    )
+    digest = F.md5(F.col("t"))
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 14), 16, 10).cast("long")
+    hashed = tok.select(h1.alias("h1"), h2.alias("h2")).localCheckpoint(
+        eager=False
+    )
+    rows = spark.range(CMS_D).select(F.col("id").cast("long").alias("j"))
+    cells = (
+        hashed.crossJoin(F.broadcast(rows))
+        .groupBy(
+            "j",
+            ((F.col("h1") + F.col("j") * F.col("h2")) % CMS_W).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "t")
+        .limit(CMS_TOPK)
+    )
+    pdig = F.md5(F.col("t"))
+    ph1 = F.conv(F.substring(pdig, 1, 14), 16, 10).cast("long")
+    ph2 = F.conv(F.substring(pdig, 17, 14), 16, 10).cast("long")
+    probes = exact.crossJoin(F.broadcast(rows)).select(
+        F.col("t").alias("token"),
+        "exact_count",
+        "j",
+        ((ph1 + F.col("j") * ph2) % CMS_W).alias("bucket"),
+    )
+    return (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )

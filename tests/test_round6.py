@@ -260,3 +260,16 @@ def test_runtime_bloom_join_plan_and_conf_hygiene(spark):
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan[:1500]
     assert "might_contain" in plan
+
+
+def test_cms_one_sided_error_and_merge_semantics(spark):
+    """Count-Min guarantees est >= exact for every queried item (cells
+    only over-count on collisions, never under) — the property that
+    makes the sketch safe for threshold filters at scale."""
+    from cognitive_score_bigdata_spark.queries.round6 import (
+        sketch_cms_md5_tokens,
+    )
+
+    rows = sketch_cms_md5_tokens(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["cms_est"] >= r["exact_count"] for r in rows)
