@@ -77,6 +77,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the new multimodal_arrow_bytes oracle row), window_topk_recent
 # (TakeOrderedAndProject plan pin in tests/test_plans.py; rank/session
 # siblings here).
+# Round-7 rotation plan (for the next session): front any round-6
+# staged/new rows without a driver row (none expected if this window
+# runs), then the 23 r2-latest carries enumerated above — that clears
+# ALL round-2 debt in one window — then refill with the stalest
+# r3-verified rows (see CORRECTNESS_r03). 23 carries + ~27 r3 refills
+# fills the 50 slots exactly.
 ROUND6_WINDOW = [
     # the 4 round-5 staged rows (never driver-checked; locally green at
     # sf0.001 + sf0.01 under the driver-mirror comparator)
