@@ -82,7 +82,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # runs), then the 23 r2-latest carries enumerated above — that clears
 # ALL round-2 debt in one window — then refill with the stalest
 # r3-verified rows (see CORRECTNESS_r03). 23 carries + ~27 r3 refills
-# fills the 50 slots exactly.
+# fills the 50 slots exactly. All 23 carries were pre-validated green/
+# rows-only at sf0.01 under the driver-mirror comparator at round-6
+# end (2026-08-14), so the r7 window composition is known-clean.
 ROUND6_WINDOW = [
     # the 4 round-5 staged rows (never driver-checked; locally green at
     # sf0.001 + sf0.01 under the driver-mirror comparator)
