@@ -273,3 +273,29 @@ def test_cms_one_sided_error_and_merge_semantics(spark):
     rows = sketch_cms_md5_tokens(spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r["cms_est"] >= r["exact_count"] for r in rows)
+
+
+def test_curation_batch_queries_stay_jvm_side(spark):
+    """Scale pin: the batch curation gates are pure Catalyst plans —
+    no BatchEvalPython / ArrowEvalPython stage anywhere. Text analysis
+    in the hot path must not silently grow a per-row Python stage."""
+    from cognitive_score_bigdata_spark.queries import load_registry
+
+    reg = load_registry()
+    for name in (
+        "corpus_contamination_4gram",
+        "sample_domain_quota",
+        "quality_repetition_signals",
+        "corpus_mix_rebalance",
+        "events_streak_islands",
+        "market_rule_lift",
+        "sketch_cms_md5_tokens",
+    ):
+        plan = (
+            reg[name]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan, f"{name} grew a Python stage"
