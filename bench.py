@@ -192,6 +192,7 @@ HEADLINE = [
     "join_asof_cogrouped",
     "multimodal_arrow_bytes",
     "sketch_cms_md5_tokens",
+    "scalar_variant_props",
 ]
 
 

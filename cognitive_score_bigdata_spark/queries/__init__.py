@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the never-checked count is 0 again), then ALL 11 queries whose latest
 # driver row is round 1 (the 5 hash-green rows round 5 dropped —
 # agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
-# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 24
-# of the 47 queries whose latest row is round 2. The 23 r2 rows carried
+# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 23
+# of the 47 queries whose latest row is round 2. The 24 r2 rows carried
 # to round 7 each have a same-module sibling IN this window or a
 # stronger sibling verified r4/r5 on identical machinery:
 # window_ntile/nth_lag_default/rolling_avg/sliding_10m_5m (module pinned
@@ -76,13 +76,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # featurize path is pinned by the r4-green multimodal_real rows and
 # the new multimodal_arrow_bytes oracle row), window_topk_recent
 # (TakeOrderedAndProject plan pin in tests/test_plans.py; rank/session
-# siblings here).
+# siblings here), setop_union_by_name (setop_except here; the
+# union-by-name resolution machinery has no data-dependent branch).
 # Round-7 rotation plan (for the next session): front any round-6
 # staged/new rows without a driver row (none expected if this window
-# runs), then the 23 r2-latest carries enumerated above — that clears
+# runs), then the 24 r2-latest carries enumerated above — that clears
 # ALL round-2 debt in one window — then refill with the stalest
 # r3-verified rows (see CORRECTNESS_r03). 23 carries + ~27 r3 refills
-# fills the 50 slots exactly. All 23 carries were pre-validated green/
+# fills the 50 slots exactly. All carries (except the last-added
+# setop_union_by_name, r2-green) were pre-validated green/
 # rows-only at sf0.01 under the driver-mirror comparator at round-6
 # end (2026-08-14), so the r7 window composition is known-clean.
 ROUND6_WINDOW = [
@@ -92,7 +94,7 @@ ROUND6_WINDOW = [
     "analytics_skyline_parts",
     "events_markov_transitions",
     "streaming_markov_transitions",
-    # the 11 NEW round-6 queries (training-data curation gates +
+    # the 12 NEW round-6 queries (training-data curation gates +
     # streaks/lift/runtime-bloom — new code gets a driver row in its
     # birth round)
     "corpus_contamination_4gram",
@@ -106,6 +108,7 @@ ROUND6_WINDOW = [
     "join_asof_cogrouped",
     "multimodal_arrow_bytes",
     "sketch_cms_md5_tokens",
+    "scalar_variant_props",
     # the 5 hash-green r1 rows round 5 dropped
     "agg_median",
     "window_percentiles",
@@ -119,7 +122,7 @@ ROUND6_WINDOW = [
     "sample_seeded",
     "sample_stratified",
     "vector_kmeans_cluster_sizes",
-    # 24 refills from the 47 stalest (round-2-latest) rows
+    # 23 refills from the 47 stalest (round-2-latest) rows
     "flagship_dashboard",
     "flagship_stats",
     "join_anti",
@@ -133,7 +136,6 @@ ROUND6_WINDOW = [
     "scalar_json",
     "scalar_string_funcs",
     "setop_except",
-    "setop_union_by_name",
     "subquery_in_filter",
     "text_exact_dedup",
     "text_lang_id",
@@ -234,10 +236,10 @@ def load_registry() -> dict[str, QuerySpec]:
     upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronted the 16
     carried never-checked queries + the new composition row + the 33
     stalest r1 rows (CORRECTNESS_r05: 49 green + 1 rows-only by
-    design).  Round 6 fronts the 4 round-5 staged rows + the 11 new
-    round-6 queries + all 11 round-1-latest rows + 24 of the 47
+    design).  Round 6 fronts the 4 round-5 staged rows + the 12 new
+    round-6 queries + all 11 round-1-latest rows + 23 of the 47
     round-2-latest rows — after this window no query's latest driver
-    row predates round 2, and 23 r2 rows (each sibling-covered)
+    row predates round 2, and 24 r2 rows (each sibling-covered)
     remain for round 7.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401

@@ -901,3 +901,49 @@ def sketch_cms_md5_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_count")
         .agg(F.min("c").cast("bigint").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_variant_props
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) * 1000000
+                // COUNT(*) AS BIGINT) AS avg_k_micro
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register(
+    "scalar_variant_props",
+    oracle=_VARIANT_ORACLE,
+    doc="semi-structured props through Spark 4's VARIANT type "
+    "(parse_json once -> variant_get typed extraction), aggregated "
+    "per event type with integer-micro averages. VARIANT is the "
+    "engine's answer to the reference's dynamic-schema JSON events "
+    "(SURVEY §1.2): parse once into a binary-encoded tree, extract "
+    "fields typed WITHOUT per-query string re-parsing — at 100 TB "
+    "the parse cost is paid once at ingest and every downstream "
+    "extraction is a binary offset walk, unlike get_json_object's "
+    "per-call string parse (the scalar_json row). Shredding into "
+    "parquet columns is the storage-side continuation",
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.variant_get(
+            F.parse_json(F.col("props")), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.expr("sum(k) * 1000000 div count(1)")
+        .cast("bigint")
+        .alias("avg_k_micro"),
+    )
