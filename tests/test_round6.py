@@ -299,3 +299,44 @@ def test_curation_batch_queries_stay_jvm_side(spark):
             .toString()
         )
         assert "EvalPython" not in plan, f"{name} grew a Python stage"
+
+
+def test_counter_v2_transform_with_state(spark, tmp_path):
+    """Spark 4 state API v2 (transformWithStateInPandas + ValueState):
+    running per-user counters accumulate across micro-batches and
+    MAX(running) per key equals the batch COUNT(*). Gated on
+    google.protobuf — the v2 state-server protocol requires it and
+    this container does not ship it (same env-gate class as the live
+    Kafka/JDBC round trips); the operator activates unchanged on any
+    standard Spark 4 distribution."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from cognitive_score_bigdata_spark.streaming.counter_v2 import (
+        counter_stream,
+    )
+
+    files = [[(1, 1), (1, 2), (2, 10)], [(1, 3), (2, 11)]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, batch in enumerate(files):
+        p = in_dir / f"p{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "event_id": e}) for u, e in batch
+            )
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        _time.sleep(0.05)
+    got = counter_stream(
+        spark,
+        str(in_dir),
+        str(tmp_path / "ckpt"),
+        query_name="csb_tws_test",
+        max_files_per_trigger=1,
+    )
+    final: dict = {}
+    for r in got.collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["running"])
+    assert final == {1: 3, 2: 2}
