@@ -193,6 +193,7 @@ HEADLINE = [
     "multimodal_arrow_bytes",
     "sketch_cms_md5_tokens",
     "scalar_variant_props",
+    "scan_orc_pushdown",
 ]
 
 

@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the never-checked count is 0 again), then ALL 11 queries whose latest
 # driver row is round 1 (the 5 hash-green rows round 5 dropped —
 # agg_median, window_percentiles, scalar_regexp_replace, agg_rollup,
-# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 23
-# of the 47 queries whose latest row is round 2. The 24 r2 rows carried
+# agg_cube — plus the 6 rows-only r1 entries, 5-round-stale), then 22
+# of the 47 queries whose latest row is round 2. The 25 r2 rows carried
 # to round 7 each have a same-module sibling IN this window or a
 # stronger sibling verified r4/r5 on identical machinery:
 # window_ntile/nth_lag_default/rolling_avg/sliding_10m_5m (module pinned
@@ -76,11 +76,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # featurize path is pinned by the r4-green multimodal_real rows and
 # the new multimodal_arrow_bytes oracle row), window_topk_recent
 # (TakeOrderedAndProject plan pin in tests/test_plans.py; rank/session
-# siblings here), setop_union_by_name (setop_except here; the
-# union-by-name resolution machinery has no data-dependent branch).
+# siblings here), setop_union_by_name and setop_except (both r2-green;
+# the multiset EXCEPT ALL / INTERSECT ALL variants were r3-verified on
+# the same machinery).
 # Round-7 rotation plan (for the next session): front any round-6
 # staged/new rows without a driver row (none expected if this window
-# runs), then the 24 r2-latest carries enumerated above — that clears
+# runs), then the 25 r2-latest carries enumerated above — that clears
 # ALL round-2 debt in one window — then refill with the stalest
 # r3-verified rows (see CORRECTNESS_r03). 23 carries + ~27 r3 refills
 # fills the 50 slots exactly. All carries (except the last-added
@@ -94,7 +95,7 @@ ROUND6_WINDOW = [
     "analytics_skyline_parts",
     "events_markov_transitions",
     "streaming_markov_transitions",
-    # the 12 NEW round-6 queries (training-data curation gates +
+    # the 13 NEW round-6 queries (training-data curation gates +
     # streaks/lift/runtime-bloom — new code gets a driver row in its
     # birth round)
     "corpus_contamination_4gram",
@@ -109,6 +110,7 @@ ROUND6_WINDOW = [
     "multimodal_arrow_bytes",
     "sketch_cms_md5_tokens",
     "scalar_variant_props",
+    "scan_orc_pushdown",
     # the 5 hash-green r1 rows round 5 dropped
     "agg_median",
     "window_percentiles",
@@ -122,7 +124,7 @@ ROUND6_WINDOW = [
     "sample_seeded",
     "sample_stratified",
     "vector_kmeans_cluster_sizes",
-    # 23 refills from the 47 stalest (round-2-latest) rows
+    # 22 refills from the 47 stalest (round-2-latest) rows
     "flagship_dashboard",
     "flagship_stats",
     "join_anti",
@@ -135,7 +137,6 @@ ROUND6_WINDOW = [
     "range_join_time_binned",
     "scalar_json",
     "scalar_string_funcs",
-    "setop_except",
     "subquery_in_filter",
     "text_exact_dedup",
     "text_lang_id",
@@ -236,10 +237,10 @@ def load_registry() -> dict[str, QuerySpec]:
     upgrades (CORRECTNESS_r04: 50/50 green).  Round 5 fronted the 16
     carried never-checked queries + the new composition row + the 33
     stalest r1 rows (CORRECTNESS_r05: 49 green + 1 rows-only by
-    design).  Round 6 fronts the 4 round-5 staged rows + the 12 new
-    round-6 queries + all 11 round-1-latest rows + 23 of the 47
+    design).  Round 6 fronts the 4 round-5 staged rows + the 13 new
+    round-6 queries + all 11 round-1-latest rows + 22 of the 47
     round-2-latest rows — after this window no query's latest driver
-    row predates round 2, and 24 r2 rows (each sibling-covered)
+    row predates round 2, and 25 r2 rows (each sibling-covered)
     remain for round 7.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401

@@ -947,3 +947,73 @@ def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_k_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_orc_pushdown
+# ---------------------------------------------------------------------------
+
+_ORC_CACHE: dict = {}
+
+
+def _orc_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached ORC copy of events — the lake-format conversion
+    is a once-per-corpus job, not per-query cost (same posture as the
+    bucketed/partitioned/Z-ordered lake fixtures)."""
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    def build() -> str:
+        out = os.path.join(tempfile.mkdtemp(prefix="csb_orc_"), "events")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").orc(out)
+        return out
+
+    return session_scoped(_ORC_CACHE, spark, (sf_dir,), build)
+
+
+_ORC_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(19,6)) * 1000000
+                AS BIGINT)) AS BIGINT) AS sum_value_micro
+    FROM events
+    WHERE event_type IN ('purchase', 'click') AND value > 10.0
+    GROUP BY event_type
+"""
+
+
+@register(
+    "scan_orc_pushdown",
+    oracle=_ORC_ORACLE,
+    doc="ORC as a first-class lake format (§2.1 source coverage next "
+    "to parquet/CSV/JSON/JDBC/Kafka): events converted once per "
+    "corpus lifetime (session-cached, like the bucketed and "
+    "Z-ordered lake fixtures), then a selective scan whose predicate "
+    "and projection push into the vectorized OrcScan (plan-pinned: "
+    "DataFilters on the FileScan orc node, Batched: true) and an "
+    "integer-micro aggregate the DuckDB oracle reproduces over the "
+    "original parquet — format conversion provably lossless for the "
+    "queried columns. At 100 TB the same statement holds: ORC "
+    "stripe/row-group stats serve the skip logic Catalyst pushes",
+)
+def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orc = spark.read.orc(_orc_events_dir(spark, sf_dir))
+    return (
+        orc.filter(
+            F.col("event_type").isin("purchase", "click")
+            & (F.col("value") > 10.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(19,6)") * 1000000).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+    )

@@ -340,3 +340,22 @@ def test_counter_v2_transform_with_state(spark, tmp_path):
     for r in got.collect():
         final[r["user_id"]] = max(final.get(r["user_id"], 0), r["running"])
     assert final == {1: 3, 2: 2}
+
+
+def test_orc_scan_is_vectorized_with_pushdown(spark):
+    """scan_orc_pushdown's plan must be a vectorized ORC scan with the
+    predicate pushed to the file scan — a row-at-a-time or
+    filter-above-scan plan loses the format's stripe-skip economics."""
+    from cognitive_score_bigdata_spark.queries.round6 import (
+        scan_orc_pushdown,
+    )
+
+    plan = (
+        scan_orc_pushdown(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan orc" in plan
+    assert "Batched: true" in plan
+    assert "DataFilters: [" in plan and "isnotnull(value" in plan
