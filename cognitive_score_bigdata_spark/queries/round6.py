@@ -522,10 +522,15 @@ _LIFT_ORACLE = f"""
     "and lift in integer micro-units for pairs with support >= 3 — "
     "the step after market_basket_pairs that turns raw pair counts "
     "into ranked rules. The item-support table joins in twice "
-    "(broadcast: |parts| rows); the order count is a literal-sized "
-    "broadcast. Pair generation reuses the same self-join shape as "
-    "the co-purchase graph family; map-side combine bounds the "
-    "shuffle at distinct-pair cardinality",
+    "(broadcast: |parts| rows); the basket count is a once-per-corpus "
+    "driver-side scalar folded into the lift expression as a literal. "
+    "Pair generation reuses the same self-join shape as the "
+    "co-purchase graph family; map-side combine bounds the shuffle "
+    "at distinct-pair cardinality. Scale bound: the all-integer lift "
+    "numerator s12*n_orders*1e6 stays inside BIGINT while s12 * "
+    "n_orders < 9.2e12 (e.g. 1e9 baskets x pair-support 9e3) — "
+    "beyond that, divide by sa before multiplying (one extra "
+    "truncation step, documented rather than silently applied)",
 )
 def market_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -652,8 +657,8 @@ _ASOF_ORACLE = """
     "join_asof_cogrouped",
     oracle=_ASOF_ORACLE,
     doc="the as-of join AGAIN, through Spark's cogrouped-pandas API "
-    "(groupBy.cogroup().applyInPandas + pandas.merge_asof) — the API "
-    "surface for per-key logic that outgrows SQL expressions (§2.10): "
+    "(groupBy.cogroup().applyInPandas, numpy searchsorted merge) — "
+    "the surface for per-key logic that outgrows SQL (§2.10): "
     "both sides shuffle ONCE on the key, each key's two Arrow batches "
     "meet in one Python worker, and the merge is a per-key sorted "
     "scan. Same oracle as join_asof (the union-tag single-shuffle "
