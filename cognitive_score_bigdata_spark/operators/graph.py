@@ -47,6 +47,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import weakref
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
@@ -58,13 +59,20 @@ _BUCKET_SEQ = itertools.count()
 
 # Bookkeeping for tables bucketize_edges created, so repeated calls
 # don't grow catalog + disk without bound: {"app": applicationId,
-# "adhoc": OrderedDict(name -> dir), "pinned": [(name, dir)]}. Ad-hoc
-# tables (per-invocation fixpoint internals, consumed within the call)
-# are kept LRU-bounded at _ADHOC_KEEP; pinned tables (session-cached
-# build artifacts, e.g. queries/round5._pr_bucketed_table) live until
-# the applicationId changes. On a new applicationId the old context's
-# catalog entries died with it — only the temp dirs need removing.
+# "adhoc": OrderedDict(name -> (dir, weakref-to-scan)), "pinned":
+# [(name, dir)]}. Ad-hoc tables (per-invocation fixpoint internals,
+# consumed within the call) are LRU-bounded at _ADHOC_KEEP, but an
+# entry whose returned scan DataFrame is still reachable (live
+# weakref) is never evicted below the _ADHOC_HARD backstop — a caller
+# holding the scan across many later bucketize_edges calls must not
+# hit FileNotFoundException at execution time. Holding a DERIVED lazy
+# plan without the scan object itself does not protect the files (the
+# JVM plan does not keep the Python object alive) — such callers pass
+# pin=True. Pinned tables live until the applicationId changes; on a
+# new applicationId the old context's catalog entries died with it —
+# only the temp dirs need removing.
 _ADHOC_KEEP = 4
+_ADHOC_HARD = 16
 _BKT_STATE: dict = {"app": None, "adhoc": {}, "pinned": []}
 
 
@@ -92,9 +100,14 @@ def bucketize_edges(
     Lifecycle: each call creates a fresh table; unpinned tables are
     dropped (catalog + temp dir) once more than ``_ADHOC_KEEP`` newer
     ones exist — callers consume the scan within the invocation, so the
-    LRU margin is generous. Pass ``pin=True`` when the returned scan is
-    cached across calls (session-scoped build artifacts); pinned tables
-    are cleaned only when a new applicationId appears. The write uses
+    LRU margin is generous. Eviction is weakref-gated: an entry whose
+    returned scan object is still reachable survives past the LRU bound
+    (up to the ``_ADHOC_HARD`` backstop), so holding the scan keeps its
+    files alive. Holding only a DERIVED lazy plan does not — the JVM
+    plan doesn't keep the Python scan alive — so callers building
+    multi-query lazy plans across invocations pass ``pin=True``
+    (session-scoped build artifacts); pinned tables are cleaned only
+    when a new applicationId appears. The write uses
     ``mode("overwrite")`` so a stale same-name metastore entry (pid
     reuse + counter reset against a persistent warehouse) can never
     fail the build.
@@ -104,7 +117,8 @@ def bucketize_edges(
     st = _BKT_STATE
     if st["app"] != app:
         # prior context's catalog is gone; reclaim its temp dirs
-        for _n, path in list(st["adhoc"].items()) + st["pinned"]:
+        for _n, entry in list(st["adhoc"].items()) + st["pinned"]:
+            path = entry[0] if isinstance(entry, tuple) else entry
             shutil.rmtree(path, ignore_errors=True)
         st["adhoc"].clear()
         st["pinned"] = []
@@ -120,14 +134,22 @@ def bucketize_edges(
         .option("path", f"{base}/{name}")
         .saveAsTable(name)
     )
+    scan = spark.table(name)
     if pin:
         st["pinned"].append((name, base))
     else:
-        st["adhoc"][name] = base
-        while len(st["adhoc"]) > _ADHOC_KEEP:
-            old = next(iter(st["adhoc"]))
-            _drop_bucket_table(spark, old, st["adhoc"].pop(old))
-    return spark.table(name)
+        st["adhoc"][name] = (base, weakref.ref(scan))
+        if len(st["adhoc"]) > _ADHOC_KEEP:
+            # oldest-first: drop unreachable scans down to the LRU
+            # bound; live scans survive to the _ADHOC_HARD backstop
+            for old in list(st["adhoc"]):
+                if len(st["adhoc"]) <= _ADHOC_KEEP:
+                    break
+                path, ref = st["adhoc"][old]
+                if ref() is None or len(st["adhoc"]) > _ADHOC_HARD:
+                    del st["adhoc"][old]
+                    _drop_bucket_table(spark, old, path)
+    return scan
 
 
 def fold_pagerank_edges(

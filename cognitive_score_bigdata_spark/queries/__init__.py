@@ -79,15 +79,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # siblings here), setop_union_by_name and setop_except (both r2-green;
 # the multiset EXCEPT ALL / INTERSECT ALL variants were r3-verified on
 # the same machinery).
-# Round-7 rotation plan (for the next session): front any round-6
-# staged/new rows without a driver row (none expected if this window
-# runs), then the 25 r2-latest carries enumerated above — that clears
-# ALL round-2 debt in one window — then refill with the stalest
-# r3-verified rows (see CORRECTNESS_r03). 23 carries + ~27 r3 refills
-# fills the 50 slots exactly. All carries (except the last-added
-# setop_union_by_name, r2-green) were pre-validated green/
-# rows-only at sf0.01 under the driver-mirror comparator at round-6
-# end (2026-08-14), so the r7 window composition is known-clean.
+# Round-7 rotation plan: executed below as ROUND7_WINDOW (the comment
+# in earlier rounds said "23 carries"; the correct count is 25 — see
+# CORRECTNESS_r0{1..6} latest-round arithmetic: 25 queries' latest row
+# is round 2). All 25 carries were pre-validated green/rows-only at
+# sf0.01 under the driver-mirror comparator at round-6 end
+# (2026-08-14), so the r7 window composition is known-clean.
 ROUND6_WINDOW = [
     # the 4 round-5 staged rows (never driver-checked; locally green at
     # sf0.001 + sf0.01 under the driver-mirror comparator)
@@ -147,6 +144,80 @@ ROUND6_WINDOW = [
     "vector_cosine_topk",
     "window_rank_analytic",
     "window_session_30m",
+]
+
+
+# The ROUND-7 driver window (the first 50 registry entries this round).
+# Composition per the VERDICT-r6 plan: the 2 NEW round-7 queries first
+# (new code gets a driver row in its birth round), then ALL 25 queries
+# whose latest driver row is round 2 (computed from
+# CORRECTNESS_r0{1..6}: after this window no query's latest row
+# predates round 3 — round-2 verification debt is CLEARED), then 23
+# refills from the 49 round-3-latest rows, chosen for module spread
+# across the machinery that changed most since r3 (TPC-H analytics,
+# corpus pipeline, multimodal codecs, validation, lake layout, SCD2,
+# sketches, streaming corpus, BM25, span dedup). The remaining 26
+# r3-latest rows are the enumerated round-8 carry list: every one is
+# either rows-only-by-design with a ledgered sibling (the dedup_*/
+# vector_ann_* probe modes, sketch HLL/theta, agg_pandas_udaf_gmean)
+# or has same-module machinery IN this window (text_* family via
+# text_bm25_topk/text_chunk_dedup here; vector_* exact modes via the
+# r4-green IVFPQ exact sibling; analytics q2/16/20/21 here cover the
+# TPC-H join/agg shapes).
+ROUND7_WINDOW = [
+    # the 2 new round-7 curation gates (queries/round7.py)
+    "curation_url_canonical_hostdedup",
+    "quality_length_quantile_audit",
+    # ALL 25 round-2-latest carries — clears round-2 debt
+    "join_cross",
+    "join_full_outer",
+    "join_null_safe",
+    "ml_score_batch",
+    "multimodal_extract_features",
+    "proj_distinct",
+    "proj_filter_basic",
+    "proj_rename_cast",
+    "scalar_base64",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_hash_md5",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_by_name",
+    "subquery_scalar_avg_diff",
+    "text_token_stats",
+    "window_latest_per_key",
+    "window_nth_lag_default",
+    "window_ntile",
+    "window_rolling_avg",
+    "window_sliding_10m_5m",
+    "window_topk_recent",
+    "window_tumbling_hourly",
+    # 23 refills from the 49 round-3-latest rows
+    "analytics_q16_supplier_cnt",
+    "analytics_q20_dominant_supplier",
+    "analytics_q21_waiting_supplier",
+    "analytics_q2_min_cost_supplier",
+    "corpus_clean_pipeline",
+    "corpus_dedup_keep_best",
+    "corpus_pack_sequences",
+    "corpus_shard_assignment",
+    "corpus_source_mixture",
+    "corpus_train_holdout_split",
+    "dedup_cluster_exact",
+    "ml_feature_assembly",
+    "multimodal_audio_spectrum",
+    "multimodal_audio_windows",
+    "multimodal_decode_real",
+    "multimodal_video_frames",
+    "quality_data_validation",
+    "scan_zorder_two_dim",
+    "scd2_user_event_history",
+    "sketch_heavy_hitter_tokens",
+    "streaming_corpus_clean",
+    "text_bm25_topk",
+    "text_chunk_dedup",
 ]
 
 
@@ -227,7 +298,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND6_WINDOW` comes first.
+    the registry reordered so :data:`ROUND7_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -239,9 +310,10 @@ def load_registry() -> dict[str, QuerySpec]:
     stalest r1 rows (CORRECTNESS_r05: 49 green + 1 rows-only by
     design).  Round 6 fronts the 4 round-5 staged rows + the 13 new
     round-6 queries + all 11 round-1-latest rows + 22 of the 47
-    round-2-latest rows — after this window no query's latest driver
-    row predates round 2, and 25 r2 rows (each sibling-covered)
-    remain for round 7.
+    round-2-latest rows (CORRECTNESS_r06: 44 green + 6 rows-only by
+    design).  Round 7 fronts the 2 new curation gates + ALL 25
+    round-2-latest carries + 23 r3 refills — after this window no
+    query's latest driver row predates round 3.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -265,6 +337,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round4_staging2,
         round5,
         round6,
+        round7,
         scalar_funcs,
         setops,
         sharding,
@@ -282,15 +355,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND6_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND7_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND6_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND7_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND6_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND7_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

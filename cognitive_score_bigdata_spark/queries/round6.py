@@ -361,9 +361,15 @@ def _admit_stream_indir(spark: SparkSession, sf_dir: str) -> str:
         in_dir = os.path.join(
             tempfile.mkdtemp(prefix="csb_stream_admit_"), "in"
         )
+        # ONE data file (ADVICE r6): the registry row's hash-match vs
+        # the doc_id-ordered ROW_NUMBER oracle requires the whole input
+        # in a single micro-batch (across batches admission is
+        # arrival-order FIFO); one part file makes that hold under ANY
+        # source admission limit, instead of assuming none is set
         (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "source")
+            .coalesce(1)
             .write.mode("overwrite")
             .json(in_dir)
         )

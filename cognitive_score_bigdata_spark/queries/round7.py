@@ -1,0 +1,360 @@
+"""Round-7 additions: two curation-shaped gates (VERDICT r6 item 6).
+
+- ``curation_url_canonical_hostdedup``: crawl-style URL
+  canonicalization + host-level duplicate-rate audit — the standard
+  first gate over a web crawl (CommonCrawl-style pipelines dedup on
+  canonical URL before ever touching text). The testdata has no URL
+  column, so a deterministic pseudo-URL is DERIVED from (doc_id,
+  source) with messy-by-construction scheme case / www prefix /
+  default ports / tracking params / fragments — the IDENTICAL
+  derivation runs in the DuckDB oracle, so what the hash check proves
+  is the canonicalization pipeline itself (lowercase scheme+host,
+  strip www., strip default port per scheme, strip fragment, strip
+  trailing slash, drop utm_/ref=/fbclid=/gclid= params, sort the
+  survivors). All pure string expressions (substring_index /
+  split_part, HOF filter+sort) — whole-stage-codegen-friendly, zero
+  Python, zero UDF.
+
+- ``quality_length_quantile_audit``: per-source exact length-quartile
+  bands joined back to a short-doc filter — "where in each source's
+  length distribution does my filter cut?" is the audit run before
+  committing any length threshold corpus-wide. Exact and SKEW-SAFE:
+  quartile thresholds come from a (source, n_chars) histogram
+  (map-side-combinable agg), with the cumulative window running over
+  DISTINCT length values only — never a per-row NTILE, whose
+  per-source global sort is exactly the skew trap at 100 TB. The
+  |sources|-row threshold table broadcasts back into the scan.
+
+Reference parity: the reference has no crawl-curation layer (its ETL
+is CSV->Postgres, src/ingestion.py); these extend the LLM-pipeline
+battery per the build brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# curation_url_canonical_hostdedup
+# ---------------------------------------------------------------------------
+
+# Messy-URL derivation from (doc_id, source) — shared with the oracle
+# verbatim modulo dialect casts. doc_id % 50 path slots and % 10 id
+# params make distinct docs collide AFTER canonicalization, so the
+# host-level dup rate is non-trivial.
+_URL_DERIVE_SQL = """
+  CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'Http' END
+  || '://'
+  || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+  || CASE WHEN doc_id % 5 < 2 THEN UPPER(source) ELSE source END
+  || '.Example.COM'
+  || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+          WHEN 2 THEN '' ELSE ':8080' END
+  || '/docs/' || CAST(doc_id % 50 AS {str_t})
+  || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+  || CASE doc_id % 3
+       WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS {str_t})
+       WHEN 1 THEN '?id=' || CAST(doc_id % 10 AS {str_t})
+                   || '&utm_campaign=x&ref=abc'
+       ELSE '' END
+  || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END
+"""
+
+# dialect-neutral prefix tests (Spark spells it startswith, DuckDB
+# starts_with; LIKE 'utm_%' is wrong in both — _ is a wildcard)
+_TRACKING = (
+    "substr(p, 1, 4) <> 'utm_' AND substr(p, 1, 4) <> 'ref=' "
+    "AND substr(p, 1, 7) <> 'fbclid=' AND substr(p, 1, 6) <> 'gclid='"
+)
+
+_URL_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_DERIVE_SQL.format(str_t="VARCHAR")} AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT url,
+             lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+             split_part(split_part(url, '#', 1), '://', 2) AS rest
+      FROM raw
+    ),
+    p2 AS (
+      SELECT url, scheme,
+             split_part(rest, '?', 1) AS hpp,
+             CASE WHEN contains(rest, '?')
+                  THEN split_part(rest, '?', 2) ELSE '' END AS qs
+      FROM parts
+    ),
+    p3 AS (
+      SELECT url, scheme, qs,
+             split_part(hpp, '/', 1) AS hostport,
+             substr(hpp, length(split_part(hpp, '/', 1)) + 1) AS path
+      FROM p2
+    ),
+    p4 AS (
+      SELECT url, scheme, qs, path,
+             CASE WHEN starts_with(lower(split_part(hostport, ':', 1)),
+                                   'www.')
+                  THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                  ELSE lower(split_part(hostport, ':', 1)) END AS host,
+             CASE WHEN contains(hostport, ':')
+                  THEN ':' || split_part(hostport, ':', 2)
+                  ELSE '' END AS port
+      FROM p3
+    ),
+    canon AS (
+      SELECT url, host,
+             scheme || '://' || host
+             || CASE WHEN (scheme = 'http' AND port = ':80')
+                       OR (scheme = 'https' AND port = ':443')
+                     THEN '' ELSE port END
+             || CASE WHEN path LIKE '%/'
+                     THEN substr(path, 1, length(path) - 1)
+                     ELSE path END
+             || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon_url
+      FROM (
+        SELECT *,
+               array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 p -> p <> '' AND {_TRACKING})), '&') AS cq
+        FROM p4
+      )
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_canon,
+           CAST(((COUNT(*) - COUNT(DISTINCT canon_url)) * 1000)
+                // COUNT(*) AS BIGINT) AS dup_per_mille,
+           CAST(SUM(CASE WHEN instr(url, 'utm_') > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tracked
+    FROM canon
+    GROUP BY host
+"""
+
+
+@register(
+    "curation_url_canonical_hostdedup",
+    oracle=_URL_ORACLE,
+    doc="crawl-curation URL canonicalization + host-level dup-rate "
+    "audit (VERDICT r6 item 6a): lowercase scheme/host, strip www. "
+    "prefix, strip scheme-default port (:80 http / :443 https, other "
+    "ports kept), strip #fragment and trailing slash, drop "
+    "utm_*/ref/fbclid/gclid tracking params and SORT the survivors — "
+    "then per canonical host: doc count, distinct canonical URLs, "
+    "dup-rate in exact integer per-mille, and how many raw URLs "
+    "carried tracking params. Entirely string expressions + one HOF "
+    "filter/sort (no UDF, no Python): at 100 TB this is a map-only "
+    "pass feeding one map-side-combinable partial agg on host "
+    "(count-distinct expands to a (host, canon_url) two-level agg — "
+    "both stages combine map-side). The pseudo-URL derivation from "
+    "(doc_id, source) is shared with the oracle, so the hash match "
+    "proves the canonicalization pipeline, not the fixture",
+)
+def curation_url_canonical_hostdedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_URL_DERIVE_SQL.format(str_t="STRING")).alias("url"),
+    )
+    parts = raw.select(
+        "url",
+        F.lower(
+            F.substring_index(F.substring_index("url", "#", 1), "://", 1)
+        ).alias("scheme"),
+        F.substring_index(
+            F.substring_index("url", "#", 1), "://", -1
+        ).alias("rest"),
+    )
+    p2 = parts.select(
+        "url",
+        "scheme",
+        F.substring_index("rest", "?", 1).alias("hpp"),
+        F.when(
+            F.col("rest").contains("?"),
+            F.substring_index("rest", "?", -1),
+        )
+        .otherwise("")
+        .alias("qs"),
+    )
+    p3 = p2.select(
+        "url",
+        "scheme",
+        "qs",
+        F.substring_index("hpp", "/", 1).alias("hostport"),
+        F.expr(
+            "substr(hpp, length(substring_index(hpp, '/', 1)) + 1)"
+        ).alias("path"),
+    )
+    host0 = F.lower(F.substring_index("hostport", ":", 1))
+    p4 = p3.select(
+        "url",
+        "scheme",
+        "qs",
+        "path",
+        F.when(host0.startswith("www."), F.expr(
+            "substr(lower(substring_index(hostport, ':', 1)), 5)"
+        )).otherwise(host0).alias("host"),
+        F.when(
+            F.col("hostport").contains(":"),
+            F.concat(F.lit(":"), F.substring_index("hostport", ":", -1)),
+        )
+        .otherwise("")
+        .alias("port"),
+    )
+    canon = p4.withColumn(
+        "cq",
+        F.expr(
+            f"array_join(array_sort(filter(split(qs, '&'), "
+            f"p -> p <> '' AND {_TRACKING})), '&')"
+        ),
+    ).select(
+        "url",
+        "host",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.when(
+                ((F.col("scheme") == "http") & (F.col("port") == ":80"))
+                | ((F.col("scheme") == "https")
+                   & (F.col("port") == ":443")),
+                "",
+            ).otherwise(F.col("port")),
+            F.when(
+                F.col("path").endswith("/"),
+                F.expr("substr(path, 1, length(path) - 1)"),
+            ).otherwise(F.col("path")),
+            F.when(
+                F.col("cq") != "", F.concat(F.lit("?"), F.col("cq"))
+            ).otherwise(""),
+        ).alias("canon_url"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_canon = F.countDistinct("canon_url")
+    return canon.groupBy("host").agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        n_canon.cast("bigint").alias("n_canon"),
+        F.expr(
+            "CAST(((count(1) - count(DISTINCT canon_url)) * 1000) "
+            "div count(1) AS BIGINT)"
+        ).alias("dup_per_mille"),
+        F.sum(
+            F.when(F.instr("url", "utm_") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_tracked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_length_quantile_audit
+# ---------------------------------------------------------------------------
+
+SHORT_THR = 100  # the length filter under audit: n_chars < 100
+
+_QUANTILE_ORACLE = f"""
+    WITH hist AS (
+      SELECT source, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+      SELECT source, n_chars,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM hist
+    ),
+    thr AS (
+      SELECT source,
+             MIN(CASE WHEN cum >= (n + 3) // 4 THEN n_chars END) AS q1,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END) AS q2,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN n_chars END) AS q3
+      FROM cum GROUP BY source
+    )
+    SELECT d.source,
+           CAST(CASE WHEN d.n_chars <= t.q1 THEN 1
+                     WHEN d.n_chars <= t.q2 THEN 2
+                     WHEN d.n_chars <= t.q3 THEN 3
+                     ELSE 4 END AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CASE WHEN d.n_chars < {SHORT_THR} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short
+    FROM documents d JOIN thr t USING (source)
+    GROUP BY d.source, band
+"""
+
+
+@register(
+    "quality_length_quantile_audit",
+    oracle=_QUANTILE_ORACLE,
+    doc="per-source exact length-quartile bands x short-doc filter "
+    "audit (VERDICT r6 item 6b): before committing a corpus-wide "
+    "length threshold, see WHERE in each source's length distribution "
+    "it cuts — per (source, quartile band): doc count, band min/max, "
+    "and docs the n_chars<100 filter would drop. Thresholds are "
+    "percentile_disc-style exact integers: smallest length whose "
+    "cumulative count reaches ceil(k*n/4). SKEW-SAFE by construction "
+    "— the heavy data passes only through a (source, n_chars) "
+    "histogram (map-side-combinable), the cumulative window runs over "
+    "DISTINCT lengths (|sources| x |distinct lengths| rows, never the "
+    "corpus), and the |sources|-row threshold table BROADCASTS back "
+    "into the scan. A per-row NTILE(4) OVER (PARTITION BY source) "
+    "would sort every row of the largest source through one reducer — "
+    "the exact skew trap sample_domain_quota's two-level top-K also "
+    "avoids",
+)
+def quality_length_quantile_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    thr = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("n_chars"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("n_chars"))
+        ).alias("q2"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("n_chars")
+            )
+        ).alias("q3"),
+    )
+    banded = docs.join(F.broadcast(thr), "source").select(
+        "source",
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("q1"), 1)
+        .when(F.col("n_chars") <= F.col("q2"), 2)
+        .when(F.col("n_chars") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("band"),
+    )
+    return banded.groupBy("source", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum(F.when(F.col("n_chars") < SHORT_THR, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+    )

@@ -68,38 +68,54 @@ def counter_stream(
 ) -> DataFrame:
     """Drain ``in_dir`` (JSON: user_id, event_id) availableNow, keeping
     one bigint ValueState per user; returns the memory-sink change-log
-    of running totals (one row per (user, micro-batch))."""
-    # transformWithState requires the RocksDB provider (typed state
-    # variables are not implemented on the HDFS-backed store)
+    of running totals (one row per (user, micro-batch)).
+
+    Conf hygiene: the RocksDB provider is required only for THIS query
+    (typed state variables are not implemented on the HDFS-backed
+    store), so the prior providerClass is saved and restored after the
+    drain — a later v1 streaming query in the same session must not
+    silently inherit the switch."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        conf_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    reader = spark.readStream.schema(_IN_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.json(in_dir)
-    out = src.groupBy("user_id").transformWithStateInPandas(
-        _RunningCounter(),
-        outputStructType=_OUT_SCHEMA,
-        outputMode="append",
-        timeMode="none",
-    )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "counter_stream: availableNow drain exceeded 300s — the "
-            "memory sink would be PARTIAL; raise the timeout for this "
-            "scale instead of consuming a half-drained table"
+    try:
+        reader = spark.readStream.schema(_IN_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        src = reader.json(in_dir)
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            _RunningCounter(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "counter_stream: availableNow drain exceeded 300s — the "
+                "memory sink would be PARTIAL; raise the timeout for this "
+                "scale instead of consuming a half-drained table"
+            )
+    finally:
+        # the provider is read at query START, so restoring after the
+        # availableNow drain cannot affect this query's state store
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
     return spark.table(query_name)

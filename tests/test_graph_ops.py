@@ -315,11 +315,21 @@ def test_skyline_matches_bruteforce(spark):
 def test_bucketize_edges_lifecycle_bounded_and_pin(spark):
     """bucketize_edges must not grow catalog/disk without bound
     (ADVICE r5): ad-hoc tables are LRU-dropped past _ADHOC_KEEP
-    (catalog entry gone, temp dir gone), pinned tables survive."""
+    (catalog entry gone, temp dir gone), pinned tables survive.
+
+    Order-independent (ADVICE r6): tables pinned by EARLIER tests in
+    this Spark session (e.g. round5's graph_pagerank_bucketed artifact)
+    are snapshotted before the test and excluded from the dropped scan,
+    instead of exempting only the last pinned entry."""
     import os
 
     from cognitive_score_bigdata_spark.operators import graph as G
 
+    pre_existing = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("csb_bkt_edges_")
+    }
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1)], "src long, dst long"
     )
@@ -332,13 +342,33 @@ def test_bucketize_edges_lifecycle_bounded_and_pin(spark):
     live = {t.name for t in spark.catalog.listTables()}
     # pinned table still queryable, still in the catalog
     pin_name, pin_dir = G._BKT_STATE["pinned"][-1]
+    all_pinned = {n for n, _d in G._BKT_STATE["pinned"]}
     assert pin_name in live and pinned.count() == 3
     assert os.path.isdir(pin_dir)
-    # dropped ad-hoc tables are gone from the catalog
+    # dropped ad-hoc tables are gone from the catalog (any pinned
+    # table and any pre-test table is exempt, not just ours)
     dropped = [
         n
         for n in live
         if n.startswith("csb_bkt_edges_") and n not in adhoc_names
-        and n != pin_name
+        and n not in all_pinned and n not in pre_existing
     ]
     assert not dropped
+
+
+def test_bucketize_edges_live_scan_survives_eviction(spark):
+    """ADVICE r6: a HELD ad-hoc scan must stay readable past the LRU
+    bound — eviction skips entries whose returned DataFrame is still
+    reachable (weakref gate), up to the _ADHOC_HARD backstop."""
+    from cognitive_score_bigdata_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    held = G.bucketize_edges(edges, "src", 2)  # keep the scan alive
+    for _ in range(G._ADHOC_KEEP + 3):
+        G.bucketize_edges(edges, "src", 2)  # unreferenced -> evictable
+    # the held scan's table was NOT dropped: executing it still works
+    assert held.count() == 3
+    # and the unreferenced churn still kept the state bounded
+    assert len(G._BKT_STATE["adhoc"]) <= G._ADHOC_KEEP + 1
