@@ -255,13 +255,22 @@ def main() -> None:
     # measure fixpoints, not builds).
     try:
         from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+            _cc_withself_edges,
             _oriented_copurchase,
+            _pr_folded_edges,
             copurchase_pairs,
+        )
+        from cognitive_score_bigdata_spark.queries.round5 import (
+            _pr_bucketed_table,
         )
 
         copurchase_pairs(spark, sf_dir).count()
         for part in _oriented_copurchase(spark, sf_dir):
             part.count()  # force the lazy localCheckpoints to persist
+        _pr_folded_edges(spark, sf_dir).count()
+        _pr_folded_edges(spark, sf_dir, weighted=True).count()
+        _cc_withself_edges(spark, sf_dir).count()
+        _pr_bucketed_table(spark, sf_dir).count()  # one-time bucket write
     except Exception:
         pass  # warm-up is best-effort; queries build lazily anyway
 

@@ -327,6 +327,7 @@ def minlabel_components(
     edges: DataFrame,
     n_iters: int = 8,
     edge_buckets: int | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation, fixed iterations.
 
@@ -346,26 +347,36 @@ def minlabel_components(
     shuffle on dst — the same Pregel shape as PageRank above.
     ``edge_buckets=N`` switches to the bucketed-edge layout for the
     >2M-node regime (see :func:`pagerank_fixed_point`).
+    ``prepared=True``: ``edges`` is already the symmetrized,
+    self-looped edge table (and bucketed when ``edge_buckets`` is set)
+    — the session-cached-artifact path for repeated fixpoints, same
+    economics as :func:`pagerank_fixed_point`'s prepared mode.
     """
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nodes = sym.select(F.col("src").alias("n")).distinct()
-    withself = sym.unionAll(
-        nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-    )
-    if edge_buckets is None:
-        withself = withself.localCheckpoint(eager=False)
+    if prepared:
+        withself = edges
     else:
-        withself = bucketize_edges(withself, "src", edge_buckets)
+        sym = edges.select("src", "dst").unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        nodes = sym.select(F.col("src").alias("n")).distinct()
+        withself = sym.unionAll(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        )
+        if edge_buckets is None:
+            withself = withself.localCheckpoint(eager=False)
+        else:
+            withself = bucketize_edges(withself, "src", edge_buckets)
 
-    if edge_buckets is None:
+    if edge_buckets is None and not prepared:
         labels = nodes.select(
             F.col("n").alias("node"), F.col("n").alias("lab")
         )
     else:
-        # seed labels off the bucketed scan (self-loops guarantee every
-        # node appears as src): zero-exchange distinct
+        # seed labels off the edge table itself (self-loops guarantee
+        # every node appears as src); on a bucketed scan the distinct
+        # rides the bucket partitioning — zero-exchange
         labels = (
             withself.select("src")
             .distinct()
