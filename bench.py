@@ -194,6 +194,9 @@ HEADLINE = [
     # round-7 additions: crawl-curation gates
     "curation_url_canonical_hostdedup",
     "quality_length_quantile_audit",
+    # round-8 staging (benched from day one; driver window next round)
+    "curation_dsir_importance_topk",
+    "corpus_token_budget_epochs",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

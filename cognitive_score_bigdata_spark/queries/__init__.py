@@ -338,6 +338,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round5,
         round6,
         round7,
+        round8_staging,
         scalar_funcs,
         setops,
         sharding,
