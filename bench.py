@@ -197,6 +197,9 @@ HEADLINE = [
     # round-8 staging (benched from day one; driver window next round)
     "curation_dsir_importance_topk",
     "corpus_token_budget_epochs",
+    "proj_unpivot_metrics",
+    "agg_listagg_nations",
+    "streaming_dedup_watermark",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

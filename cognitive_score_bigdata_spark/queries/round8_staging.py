@@ -226,3 +226,172 @@ def corpus_token_budget_epochs(
             "epochs_capped_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# proj_unpivot_metrics — DataFrame.unpivot / melt (wide -> long)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
+    FROM long GROUP BY metric
+"""
+
+
+@register(
+    "proj_unpivot_metrics",
+    oracle=_UNPIVOT_ORACLE,
+    doc="wide->long reshape via DataFrame.unpivot (the melt operator, "
+    "Spark 3.4+ API surface): four lineitem measure columns unpivot "
+    "into (metric, val) rows, then one map-side-combinable aggregate "
+    "per metric. The unpivot itself is a narrow Expand (each input row "
+    "emits 4 rows map-side, no shuffle) — the plan-shape that makes "
+    "reshaping free at 100 TB; doubles are summed through the "
+    "DECIMAL(28,6) accumulator so both engines agree bit-for-bit",
+)
+def proj_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.queries._helpers import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("val", "sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg_nations — listagg WITHIN GROUP (Spark 4 API surface)
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+
+@register(
+    "agg_listagg_nations",
+    oracle=_LISTAGG_ORACLE,
+    doc="ordered string aggregation via listagg ... WITHIN GROUP "
+    "(ORDER BY ...) — new in Spark 4, the ANSI form of "
+    "string_agg/group_concat; deterministic because the within-group "
+    "order is total (unique names). Scale caveat carried in the "
+    "operator choice itself: listagg materializes the whole group in "
+    "one string, so it belongs on BOUNDED group cardinalities "
+    "(dimension rollups like this 25-nations-per-region one) — for "
+    "unbounded groups use the top-K/window operators instead",
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_watermark — dropDuplicatesWithinWatermark gate
+# ---------------------------------------------------------------------------
+
+_SDW_ORACLE = """
+    SELECT DISTINCT md5(text) AS key FROM documents
+"""
+
+_SDW_STREAM_IN: dict = {}
+
+
+def _sdw_stream_indir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    def build() -> str:
+        in_dir = os.path.join(
+            tempfile.mkdtemp(prefix="csb_stream_sdw_"), "in"
+        )
+        # event times span doc_id % 100 seconds << the 10-minute
+        # watermark delay, so no key's state expires mid-drain and the
+        # admitted key set is batch-split-invariant (= exact DISTINCT)
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                F.md5("text").alias("key"),
+                (F.lit(1_700_000_000) + F.col("doc_id") % 100)
+                .cast("long")
+                .alias("ts_s"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(in_dir)
+        )
+        return in_dir
+
+    return session_scoped(_SDW_STREAM_IN, spark, (sf_dir,), build)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle=_SDW_ORACLE,
+    doc="streaming exact-dedup at ingest via "
+    "dropDuplicatesWithinWatermark (Spark 3.5+ operator surface, "
+    "streaming/dedupe.py): the online dual of text_exact_dedup — "
+    "re-crawled duplicates are dropped AT INGEST, keyed by content "
+    "md5, with per-key state evicted once the event-time watermark "
+    "passes (state is bounded by the duplicate-arrival window, not "
+    "the corpus — the property that makes streaming dedup viable on "
+    "an unbounded crawl). Emits the KEY only: the admitted key set is "
+    "batch-split-invariant and equals batch DISTINCT (hash-checked); "
+    "which physical row survives is first-arrival by design. Fifth "
+    "streaming row under the full value-hash check",
+)
+def streaming_dedup_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cognitive_score_bigdata_spark.streaming.dedupe import dedup_stream
+
+    in_dir = _sdw_stream_indir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="csb_stream_sdw_run_")
+    name = f"csb_sdw_{abs(hash(work)) % 10**8}"
+    keys = dedup_stream(
+        spark, in_dir, os.path.join(work, "ckpt"), query_name=name
+    )
+    # bounded output (|distinct keys| rows): eager-checkpoint, then
+    # reclaim the memory-sink view and per-run checkpoint dir
+    out = keys.select("key").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -80,3 +80,37 @@ def test_token_budget_exact_epochs(spark):
     assert got["a"]["epochs_micro"] == 10_000_000 * 1_000_000 // 20
     assert got["a"]["epochs_capped_micro"] == 4_000_000
     assert got["b"]["epochs_capped_micro"] == 4_000_000
+
+
+def test_streaming_dedup_batch_split_invariant(spark, tmp_path):
+    """The admitted KEY SET must not depend on the micro-batch split:
+    a 2-file drain with maxFilesPerTrigger=1 (duplicates crossing the
+    batch boundary) admits exactly the same keys as batch DISTINCT."""
+    import json as _json
+    import os
+
+    from cognitive_score_bigdata_spark.streaming.dedupe import dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+    f1 = [{"key": "a", "ts_s": base}, {"key": "b", "ts_s": base + 5}]
+    f2 = [
+        {"key": "a", "ts_s": base + 10},  # dup across the batch split
+        {"key": "c", "ts_s": base + 15},
+        {"key": "b", "ts_s": base + 20},  # dup across the batch split
+    ]
+    for i, rows in enumerate([f1, f2]):
+        with open(os.path.join(in_dir, f"f{i}.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+    got = dedup_stream(
+        spark,
+        in_dir,
+        str(tmp_path / "ckpt"),
+        query_name="csb_sdw_split_test",
+        max_files_per_trigger=1,
+    )
+    keys = sorted(r["key"] for r in got.collect())
+    assert keys == ["a", "b", "c"]
+    spark.catalog.dropTempView("csb_sdw_split_test")
