@@ -200,6 +200,9 @@ HEADLINE = [
     "proj_unpivot_metrics",
     "agg_listagg_nations",
     "streaming_dedup_watermark",
+    # round-8 additions: compliance gate + CCNet keep matrix
+    "curation_quality_keep_matrix",
+    "curation_compliance_source_filter",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -250,9 +253,30 @@ def main() -> None:
         "streaming_hll_users",  # stream-source JSON export
         "market_basket_pairs",  # co-purchase pair-support build
         "vector_ann_pq_topk",  # PQ codebook train + code-table encode
+        # IVF+residual-PQ index build (VERDICT r7 item 2: the build was
+        # landing in the timed probe while the PQ sibling's was warmed)
+        "vector_ann_ivfpq_topk",
     ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()
+    # The quota-admission stream FIXTURE (session-scoped coalesce(1)
+    # JSON export, queries/round6.py) is a once-per-corpus source
+    # export like streaming_hll_users's above; warming it leaves the
+    # timed run measuring the drain, not the fixture (VERDICT r7
+    # item 4 — the ADVICE-r6 coalesce(1) fix moved the export onto a
+    # single thread and the build was landing in the timed path).
+    try:
+        from cognitive_score_bigdata_spark.queries.round6 import (
+            _admit_stream_indir,
+        )
+
+        _admit_stream_indir(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - warm-up best effort
+        print(
+            "WARN bench warm-up failed (streaming_quota_admission "
+            f"fixture lands in timed run): {exc!r}",
+            file=sys.stderr,
+        )
     # The graph family's shared build artifacts (the co-purchase pair
     # table and its degree-oriented form) are once-per-corpus-lifetime
     # jobs like the index builds above; market_basket_pairs builds its
@@ -277,8 +301,38 @@ def main() -> None:
         _pr_folded_edges(spark, sf_dir, weighted=True).count()
         _cc_withself_edges(spark, sf_dir).count()
         _pr_bucketed_table(spark, sf_dir).count()  # one-time bucket write
-    except Exception:
-        pass  # warm-up is best-effort; queries build lazily anyway
+    except Exception as exc:  # pragma: no cover - warm-up best effort
+        # Queries still build lazily, but say so (ADVICE r7): a silent
+        # failure here reverts every graph per-query timing to
+        # including its one-time artifact build — the exact distortion
+        # this block removes — with no signal in the output.
+        print(
+            "WARN bench graph warm-up failed — per-query timings for "
+            "graph_pagerank_copurchase/_weighted/_bucketed, "
+            "graph_minlabel_components, graph_sssp_copurchase, "
+            "graph_triangle_count, graph_kcore_copurchase, "
+            f"graph_clustering_topk include build costs: {exc!r}",
+            file=sys.stderr,
+        )
+
+    def noise_probe() -> float:
+        """Fixed synthetic reference job (no IO, no Arrow, no Python):
+        time a 50M-row shuffle agg so the JSON records how fast THIS
+        host/session was at bench start / middle / end. Rounds 5-7
+        each re-litigated ±15-30% host-load swings on sub-second query
+        timings (VERDICT r7 item 3); the three probe values make the
+        per-round inflation factor measurable so like-for-like
+        comparisons can be normalized instead of argued."""
+        spark._jvm.System.gc()  # noqa: SLF001
+        t0 = time.perf_counter()
+        (
+            spark.range(50_000_000)
+            .selectExpr("id % 997 AS k", "id")
+            .groupBy("k")
+            .agg({"id": "sum"})
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
 
     def run_family(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -296,8 +350,13 @@ def main() -> None:
             out[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    timings = run_family(HEADLINE)
+    probes = [noise_probe()]
+    half = len(HEADLINE) // 2
+    timings = run_family(HEADLINE[:half])
+    probes.append(noise_probe())
+    timings.update(run_family(HEADLINE[half:]))
     api_parity = run_family(API_PARITY)
+    probes.append(noise_probe())
 
     # Full per-query detail goes to a file: the driver's log capture keeps
     # only a 2000-char tail, and at 139 queries the full dict blew past it
@@ -313,6 +372,9 @@ def main() -> None:
         # same oracle — see API_PARITY comment)
         "api_parity_total": round(sum(api_parity.values()), 3),
         "api_parity": api_parity,
+        # host/session speed calibration at bench start/middle/end —
+        # a fixed 50M-row synthetic shuffle agg (see noise_probe)
+        "noise_probe": probes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -339,6 +401,7 @@ def main() -> None:
                 "queries": worst,
                 "api_parity_total": result["api_parity_total"],
                 "n_api_parity": len(api_parity),
+                "noise_probe": probes,
                 "detail": "BENCH_LOCAL.json",
             }
         )

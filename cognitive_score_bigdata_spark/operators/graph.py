@@ -141,14 +141,25 @@ def bucketize_edges(
         st["adhoc"][name] = (base, weakref.ref(scan))
         if len(st["adhoc"]) > _ADHOC_KEEP:
             # oldest-first: drop unreachable scans down to the LRU
-            # bound; live scans survive to the _ADHOC_HARD backstop
+            # bound; live scans survive to the _ADHOC_HARD backstop.
+            # Dead entries go first even past the backstop — a live
+            # scan is dropped only when evicting every dead entry
+            # still leaves the count above _ADHOC_HARD (ADVICE r7: the
+            # old single pass could drop a live oldest entry while
+            # younger dead entries existed).
             for old in list(st["adhoc"]):
                 if len(st["adhoc"]) <= _ADHOC_KEEP:
                     break
                 path, ref = st["adhoc"][old]
-                if ref() is None or len(st["adhoc"]) > _ADHOC_HARD:
+                if ref() is None:
                     del st["adhoc"][old]
                     _drop_bucket_table(spark, old, path)
+            for old in list(st["adhoc"]):
+                if len(st["adhoc"]) <= _ADHOC_HARD:
+                    break
+                path, ref = st["adhoc"][old]
+                del st["adhoc"][old]
+                _drop_bucket_table(spark, old, path)
     return scan
 
 

@@ -194,7 +194,7 @@ ROUND7_WINDOW = [
     "window_sliding_10m_5m",
     "window_topk_recent",
     "window_tumbling_hourly",
-    # 23 refills from the 49 round-3-latest rows
+    # 23 refills from the 49 round-3-latest rows (round-7 execution)
     "analytics_q16_supplier_cnt",
     "analytics_q20_dominant_supplier",
     "analytics_q21_waiting_supplier",
@@ -218,6 +218,79 @@ ROUND7_WINDOW = [
     "streaming_corpus_clean",
     "text_bm25_topk",
     "text_chunk_dedup",
+]
+
+
+# The ROUND-8 driver window (the first 50 registry entries this round).
+# Composition per the VERDICT-r7 plan (items 1 + 5): the 5 round-8
+# STAGED rows first (the only never-driver-checked queries — staged in
+# rounds 6-7, locally hash-green at sf0.001 + sf0.01), then the 2 NEW
+# round-8 curation gates (birth-round rule), then the 3 graph queries
+# whose r7 session-cached-artifact refactor (round4_staging2.py
+# _pr_folded_edges/_cc_withself_edges) postdates their latest driver
+# rows, then ALL 26 round-3-latest carries (after this window no
+# query's latest driver row predates round 4 — round-3 debt is
+# CLEARED), then 14 refills from the 47 remaining round-4-latest rows,
+# chosen for refactor adjacency (the rest of the graph family shares
+# the r7 session-cached pair/oriented artifacts) and module spread
+# (md5 dedup siblings, exact ANN siblings, sketches, streaming export,
+# similarity joins, the RANGE window).
+ROUND8_WINDOW = [
+    # the 5 round-6/7 staged rows (never driver-checked)
+    "curation_dsir_importance_topk",
+    "corpus_token_budget_epochs",
+    "proj_unpivot_metrics",
+    "agg_listagg_nations",
+    "streaming_dedup_watermark",
+    # the 2 NEW round-8 curation gates (queries/round8.py)
+    "curation_quality_keep_matrix",
+    "curation_compliance_source_filter",
+    # the 3 artifact-refactored graph queries (post-refactor hash rows)
+    "graph_pagerank_copurchase",
+    "graph_pagerank_weighted",
+    "graph_minlabel_components",
+    # ALL 26 round-3-latest carries — clears round-3 debt
+    "agg_pandas_udaf_gmean",
+    "dedup_cluster_docs_star",
+    "dedup_incremental_newbatch",
+    "dedup_minhash_pairs",
+    "dedup_semantic_pairs",
+    "dedup_simhash_pairs",
+    "sketch_hll_group_users",
+    "sketch_theta_user_overlap",
+    "text_boilerplate_ngrams",
+    "text_charngram_familiarity",
+    "text_collapse_repeats",
+    "text_contamination_check",
+    "text_fuzzy_token_pairs",
+    "text_gopher_rules",
+    "text_pii_scrub",
+    "text_rolling_fingerprint",
+    "text_segment_udtf",
+    "vector_ann_ivf_exact",
+    "vector_ann_ivf_topk",
+    "vector_ann_lsh_neardup",
+    "vector_ann_pq_topk",
+    "vector_centroid_by_group",
+    "vector_cosine_neardup",
+    "vector_cosine_topk_expr_q200",
+    "vector_cosine_topk_fast",
+    "vector_cosine_topk_fast_q200",
+    # 14 refills from the 47 remaining round-4-latest rows
+    "graph_sssp_copurchase",
+    "graph_triangle_count",
+    "graph_kcore_copurchase",
+    "graph_clustering_topk",
+    "dedup_minhash_pairs_md5",
+    "dedup_simhash_pairs_md5",
+    "dedup_semantic_exact",
+    "vector_ann_ivfpq_exact",
+    "sketch_hll_md5_users",
+    "sketch_kmv_overlap3",
+    "streaming_hll_users",
+    "text_prefix_filter_join",
+    "text_containment_neardup",
+    "window_trailing_30d_range",
 ]
 
 
@@ -298,7 +371,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND7_WINDOW` comes first.
+    the registry reordered so :data:`ROUND8_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -312,8 +385,13 @@ def load_registry() -> dict[str, QuerySpec]:
     round-6 queries + all 11 round-1-latest rows + 22 of the 47
     round-2-latest rows (CORRECTNESS_r06: 44 green + 6 rows-only by
     design).  Round 7 fronts the 2 new curation gates + ALL 25
-    round-2-latest carries + 23 r3 refills — after this window no
-    query's latest driver row predates round 3.
+    round-2-latest carries + 23 r3 refills (CORRECTNESS_r07: 49 green
+    + 1 rows-only by design) — after that window no query's latest
+    driver row predates round 3.  Round 8 fronts the 5 staged rows +
+    the 2 new compliance/keep-matrix gates + the 3 artifact-refactored
+    graph queries + ALL 26 round-3-latest carries + 14 r4 refills —
+    after this window no query's latest driver row predates round 4
+    and the never-checked count is 0.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -338,6 +416,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round5,
         round6,
         round7,
+        round8,
         round8_staging,
         scalar_funcs,
         setops,
@@ -356,15 +435,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND7_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND8_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND7_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND8_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND7_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND8_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

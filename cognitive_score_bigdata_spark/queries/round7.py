@@ -161,22 +161,29 @@ def curation_url_canonical_hostdedup(
         "doc_id",
         F.expr(_URL_DERIVE_SQL.format(str_t="STRING")).alias("url"),
     )
+    # split_part(x, d, 2) on BOTH sides (ADVICE r7): the oracle's
+    # split_part takes the piece between the FIRST and second delimiter
+    # occurrence, while substring_index(x, d, -1) takes everything after
+    # the LAST — they agree only while the derived URLs contain each
+    # delimiter at most once. First-occurrence semantics here makes
+    # parity hold for ANY future _URL_DERIVE_SQL (e.g. a '?' or ':'
+    # inside a param value).
     parts = raw.select(
         "url",
         F.lower(
-            F.substring_index(F.substring_index("url", "#", 1), "://", 1)
+            F.expr("split_part(split_part(url, '#', 1), '://', 1)")
         ).alias("scheme"),
-        F.substring_index(
-            F.substring_index("url", "#", 1), "://", -1
+        F.expr(
+            "split_part(split_part(url, '#', 1), '://', 2)"
         ).alias("rest"),
     )
     p2 = parts.select(
         "url",
         "scheme",
-        F.substring_index("rest", "?", 1).alias("hpp"),
+        F.expr("split_part(rest, '?', 1)").alias("hpp"),
         F.when(
             F.col("rest").contains("?"),
-            F.substring_index("rest", "?", -1),
+            F.expr("split_part(rest, '?', 2)"),
         )
         .otherwise("")
         .alias("qs"),
@@ -185,23 +192,23 @@ def curation_url_canonical_hostdedup(
         "url",
         "scheme",
         "qs",
-        F.substring_index("hpp", "/", 1).alias("hostport"),
+        F.expr("split_part(hpp, '/', 1)").alias("hostport"),
         F.expr(
-            "substr(hpp, length(substring_index(hpp, '/', 1)) + 1)"
+            "substr(hpp, length(split_part(hpp, '/', 1)) + 1)"
         ).alias("path"),
     )
-    host0 = F.lower(F.substring_index("hostport", ":", 1))
+    host0 = F.lower(F.expr("split_part(hostport, ':', 1)"))
     p4 = p3.select(
         "url",
         "scheme",
         "qs",
         "path",
         F.when(host0.startswith("www."), F.expr(
-            "substr(lower(substring_index(hostport, ':', 1)), 5)"
+            "substr(lower(split_part(hostport, ':', 1)), 5)"
         )).otherwise(host0).alias("host"),
         F.when(
             F.col("hostport").contains(":"),
-            F.concat(F.lit(":"), F.substring_index("hostport", ":", -1)),
+            F.concat(F.lit(":"), F.expr("split_part(hostport, ':', 2)")),
         )
         .otherwise("")
         .alias("port"),

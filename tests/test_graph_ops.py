@@ -372,3 +372,34 @@ def test_bucketize_edges_live_scan_survives_eviction(spark):
     assert held.count() == 3
     # and the unreferenced churn still kept the state bounded
     assert len(G._BKT_STATE["adhoc"]) <= G._ADHOC_KEEP + 1
+
+
+def test_bucketize_edges_backstop_prefers_dead_entries(spark):
+    """ADVICE r7: past the _ADHOC_HARD backstop, eviction must drop
+    DEAD (unreachable) entries first and touch a live one only if the
+    count still exceeds the bound — the old single pass dropped the
+    oldest entry even when live while younger dead entries existed,
+    giving the holder a FileNotFoundException."""
+    import gc
+
+    from cognitive_score_bigdata_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    held = G.bucketize_edges(edges, "src", 2)  # OLDEST entry, kept live
+    # fill to exactly the backstop with live entries (no eviction yet)
+    live = [
+        G.bucketize_edges(edges, "src", 2)
+        for _ in range(G._ADHOC_HARD - 1)
+    ]
+    # kill the YOUNGEST few references -> dead entries behind `held`
+    del live[-5:]
+    gc.collect()
+    # next call pushes the count past _ADHOC_HARD and runs eviction:
+    # the dead entries must absorb it, not the live oldest
+    live.append(G.bucketize_edges(edges, "src", 2))
+    assert held.count() == 3  # oldest live scan still readable
+    assert len(G._BKT_STATE["adhoc"]) <= G._ADHOC_HARD
+    for df in live:
+        assert df.count() == 3  # no live entry was sacrificed
