@@ -334,39 +334,103 @@ def main() -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
+    run_counter = [0]
+    run_index: dict[str, int] = {}
+
+    def time_one(name: str) -> float | None:
+        spec = registry.get(name)
+        if spec is None:
+            return None
+        # Reclaim dead broadcast/shuffle state from prior queries
+        # before timing: queries late in a long session otherwise
+        # inherit the accumulated heap garbage of every query before
+        # them, which showed up as 5-10x slowdowns on the heavy tail.
+        spark._jvm.System.gc()  # noqa: SLF001
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3)
+
     def run_family(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
-            spec = registry.get(name)
-            if spec is None:
+            sec = time_one(name)
+            if sec is None:
                 continue
-            # Reclaim dead broadcast/shuffle state from prior queries
-            # before timing: queries late in a long session otherwise
-            # inherit the accumulated heap garbage of every query before
-            # them, which showed up as 5-10x slowdowns on the heavy tail.
-            spark._jvm.System.gc()  # noqa: SLF001
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            out[name] = round(time.perf_counter() - t0, 3)
+            out[name] = sec
+            run_index[name] = run_counter[0]
+            run_counter[0] += 1
         return out
 
+    def jvm_probe() -> dict[str, float]:
+        """Session-aging telemetry (VERDICT r8 item 1): the noise probe
+        calibrates the HOST, but two small window queries
+        (anomaly_daily_mad, join_asof_forward) doubled every round on
+        untouched code while the probe held flat — so something inside
+        the long-lived session, not the host, ages. Record the three
+        suspects at bench start/middle/end: JIT code-cache occupancy
+        (compiled whole-stage-codegen classes accumulate per query; a
+        full CodeHeap stops compilation and later queries run
+        interpreted), cumulative GC time, and live heap after a forced
+        GC (session-cached artifacts + catalog state)."""
+        jmf = spark._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        code_used = 0
+        for pool in jmf.getMemoryPoolMXBeans():
+            if "CodeHeap" in pool.getName():
+                code_used += pool.getUsage().getUsed()
+        gc_ms = 0
+        for g in jmf.getGarbageCollectorMXBeans():
+            gc_ms += g.getCollectionTime()
+        heap = jmf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+        return {
+            "code_cache_mb": round(code_used / (1 << 20), 1),
+            "gc_total_ms": int(gc_ms),
+            "heap_mb": int(heap / (1 << 20)),
+        }
+
+    # Canary pair: the two monotonic drifters from VERDICT r8, timed
+    # FIRST in the session (before any other headline query — this is
+    # the "fresh" reference the verdict asked for), then re-timed at
+    # suite middle and end. Same session, same code, same data: any
+    # start→end growth is pure session aging, quantified per round.
+    CANARY = ["join_asof_forward", "anomaly_daily_mad"]
+
+    def run_canary() -> dict[str, float]:
+        return {n: time_one(n) for n in CANARY if n in registry}
+
+    canary = {"start": run_canary()}
+    jvm_probes = [jvm_probe()]
     probes = [noise_probe()]
     half = len(HEADLINE) // 2
     timings = run_family(HEADLINE[:half])
     probes.append(noise_probe())
+    canary["middle"] = run_canary()
+    jvm_probes.append(jvm_probe())
     timings.update(run_family(HEADLINE[half:]))
     api_parity = run_family(API_PARITY)
     probes.append(noise_probe())
+    canary["end"] = run_canary()
+    jvm_probes.append(jvm_probe())
 
     # Full per-query detail goes to a file: the driver's log capture keeps
     # only a 2000-char tail, and at 139 queries the full dict blew past it
     # (BENCH_r03 recorded parsed: null). The LAST stdout line is a compact
     # summary guaranteed to fit: total + per-family subtotals + worst-5.
+    import hashlib
+
+    headline_hash = hashlib.sha256(
+        json.dumps([HEADLINE, API_PARITY]).encode()
+    ).hexdigest()[:12]
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        # per-query wall seconds + the 0-based order it ran in this
+        # session (VERDICT r8 item 5: lets a reader regress position
+        # against time instead of guessing)
+        "queries": {
+            name: {"secs": sec, "run_index": run_index[name]}
+            for name, sec in timings.items()
+        },
         # API-surface demo rows, timed but OUTSIDE the headline total
         # (each has a faster production sibling in `queries` under the
         # same oracle — see API_PARITY comment)
@@ -375,6 +439,20 @@ def main() -> None:
         # host/session speed calibration at bench start/middle/end —
         # a fixed 50M-row synthetic shuffle agg (see noise_probe)
         "noise_probe": probes,
+        # session-aging telemetry: the canary pair timed before the
+        # suite / mid-suite / after, + JVM code-cache/GC/heap at the
+        # same three points (see jvm_probe docstring). NOTE: because
+        # the canaries now run first, their in-suite rows measure a
+        # pre-warmed plan — intentional, and flagged by the
+        # bench_config revision below.
+        "canary": canary,
+        "jvm_probe": jvm_probes,
+        # Warm-set / headline-set revision (ADVICE r8 item 4):
+        # round-over-round totals are only like-for-like within the
+        # same config. `revision` is bumped by hand whenever the warm
+        # list or timing methodology changes; headline_hash pins the
+        # query set mechanically.
+        "bench_config": {"revision": "r9-canary", "headline_hash": headline_hash},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -402,6 +480,8 @@ def main() -> None:
                 "api_parity_total": result["api_parity_total"],
                 "n_api_parity": len(api_parity),
                 "noise_probe": probes,
+                "canary": canary,
+                "bench_config": result["bench_config"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

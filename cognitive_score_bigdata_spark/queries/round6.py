@@ -954,7 +954,15 @@ def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("sum_k"),
-        F.expr("sum(k) * 1000000 div count(1)")
+        # decomposed exact floor(sum*1e6/count): sum(k) over an
+        # event-type group is unbounded at corpus scale (1e12 rows x
+        # k<=99 passes 9.2e12 long before overflow matters to DuckDB's
+        # HUGEINT oracle), and k >= 0 so div/mod truncation == floor
+        # (same guard as curation_quality_keep_matrix's fam_micro)
+        F.expr(
+            "(sum(k) div count(1)) * 1000000"
+            " + ((sum(k) % count(1)) * 1000000) div count(1)"
+        )
         .cast("bigint")
         .alias("avg_k_micro"),
     )

@@ -86,7 +86,7 @@ _URL_ORACLE = f"""
       SELECT url, scheme,
              split_part(rest, '?', 1) AS hpp,
              CASE WHEN contains(rest, '?')
-                  THEN split_part(rest, '?', 2) ELSE '' END AS qs
+                  THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS qs
       FROM parts
     ),
     p3 AS (
@@ -102,7 +102,7 @@ _URL_ORACLE = f"""
                   THEN substr(lower(split_part(hostport, ':', 1)), 5)
                   ELSE lower(split_part(hostport, ':', 1)) END AS host,
              CASE WHEN contains(hostport, ':')
-                  THEN ':' || split_part(hostport, ':', 2)
+                  THEN ':' || substr(hostport, instr(hostport, ':') + 1)
                   ELSE '' END AS port
       FROM p3
     ),
@@ -161,13 +161,12 @@ def curation_url_canonical_hostdedup(
         "doc_id",
         F.expr(_URL_DERIVE_SQL.format(str_t="STRING")).alias("url"),
     )
-    # split_part(x, d, 2) on BOTH sides (ADVICE r7): the oracle's
-    # split_part takes the piece between the FIRST and second delimiter
-    # occurrence, while substring_index(x, d, -1) takes everything after
-    # the LAST — they agree only while the derived URLs contain each
-    # delimiter at most once. First-occurrence semantics here makes
-    # parity hold for ANY future _URL_DERIVE_SQL (e.g. a '?' or ':'
-    # inside a param value).
+    # Full everything-after-the-FIRST-delimiter semantics on BOTH sides
+    # (ADVICE r8): split_part(x, d, 2) only keeps the span between the
+    # first and SECOND occurrence, silently truncating a query string
+    # that itself contains '?' (or a port segment containing ':').
+    # substr(x, instr(x, d) + 1) is lossless for any future
+    # _URL_DERIVE_SQL, and both engines spell instr/substr identically.
     parts = raw.select(
         "url",
         F.lower(
@@ -183,7 +182,7 @@ def curation_url_canonical_hostdedup(
         F.expr("split_part(rest, '?', 1)").alias("hpp"),
         F.when(
             F.col("rest").contains("?"),
-            F.expr("split_part(rest, '?', 2)"),
+            F.expr("substr(rest, instr(rest, '?') + 1)"),
         )
         .otherwise("")
         .alias("qs"),
@@ -208,7 +207,10 @@ def curation_url_canonical_hostdedup(
         )).otherwise(host0).alias("host"),
         F.when(
             F.col("hostport").contains(":"),
-            F.concat(F.lit(":"), F.expr("split_part(hostport, ':', 2)")),
+            F.concat(
+                F.lit(":"),
+                F.expr("substr(hostport, instr(hostport, ':') + 1)"),
+            ),
         )
         .otherwise("")
         .alias("port"),

@@ -144,7 +144,18 @@ def curation_quality_keep_matrix(
         tris.join(tcnt, "tri")
         .groupBy("doc_id")
         .agg(
-            F.expr("sum(c) * 1000000 div count(1)")
+            # NOT sum(c) * 1000000 div count(1): Spark's BIGINT multiply
+            # wraps silently (non-ANSI) while DuckDB's SUM promotes to
+            # HUGEINT, so per-doc trigram-frequency mass > ~9.2e12 —
+            # reachable at 100 TB where corpus-wide trigram counts are
+            # ~1e10 — would diverge the engines and corrupt the band
+            # assignment (ADVICE r8). (s div n)*M + ((s mod n)*M) div n
+            # == floor(s*M/n) exactly, and the only multiply left is
+            # bounded by n*M (< 2^63 unless one doc holds 9e12 trigrams).
+            F.expr(
+                "(sum(c) div count(1)) * 1000000"
+                " + ((sum(c) % count(1)) * 1000000) div count(1)"
+            )
             .cast("bigint")
             .alias("fam_micro")
         )
@@ -155,6 +166,9 @@ def curation_quality_keep_matrix(
         "doc_id", F.explode(_grams("ts", 2)).alias("g")
     )
     rep = tg.groupBy("doc_id").agg(
+        # here the multiplicand is bounded by the doc's OWN 2-gram
+        # count, so the micro scaling is exact for any doc under
+        # ~9.2e12 tokens — no global-count mass like fam_micro above
         F.expr(
             "(count(1) - count(DISTINCT g)) * 1000000 div count(1)"
         )
@@ -237,7 +251,16 @@ _LICENSE_SQL = (
     "WHEN 2 THEN 'cc0' ELSE 'all-rights-reserved' END"
 )
 
-_sql_in = lambda vals: ", ".join(f"'{v}'" for v in vals)  # noqa: E731
+def _sql_in(vals: tuple[str, ...]) -> str:
+    """Inline a literal IN-list, doubling single quotes so a future
+    rule entry containing ' cannot break (or silently alter) the
+    oracle SQL it is spliced into (ADVICE r8). DENY_PATH_PREFIXES is
+    spliced through starts_with below with the same escaping."""
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+
+
+def _sql_lit(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
 
 _COMPLIANCE_ORACLE = f"""
     WITH raw AS (
@@ -271,7 +294,8 @@ _COMPLIANCE_ORACLE = f"""
              CASE
                WHEN host IN ({_sql_in(DENY_HOSTS)}) THEN 'denied_host'
                WHEN {" OR ".join(
-                 f"starts_with(path, '{p}')" for p in DENY_PATH_PREFIXES
+                 f"starts_with(path, {_sql_lit(p)})"
+                 for p in DENY_PATH_PREFIXES
                )} THEN 'denied_path'
                WHEN licence NOT IN ({_sql_in(ALLOW_LICENSES)})
                  THEN 'denied_licence'
