@@ -203,6 +203,10 @@ HEADLINE = [
     # round-8 additions: compliance gate + CCNet keep matrix
     "curation_quality_keep_matrix",
     "curation_compliance_source_filter",
+    # round-9 additions: broadcast linear quality scorer + span-level
+    # compliance/dedup bridge
+    "curation_quality_linear_scorer",
+    "curation_compliance_span_bridge",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

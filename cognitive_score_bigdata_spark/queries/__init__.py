@@ -293,6 +293,70 @@ ROUND8_WINDOW = [
     "window_trailing_30d_range",
 ]
 
+# Round-9 rotation (VERDICT r8 item 2): the 2 NEW round-9 queries
+# (birth-window rows), then ALL 33 round-4-latest carries — after this
+# window no query's latest driver row predates round 5 and round-4
+# debt is CLEARED — then 15 refills from the 50 round-5-latest rows,
+# chosen for watch-list priority (anomaly_daily_mad is a VERDICT r8
+# weak mark; vector_ann_ivfpq_topk's warm-set changed this round) and
+# module spread. The remaining 35 r5 rows are the round-10 carry
+# (35 r5 + 15 r6 refills clears round-5 debt next round).
+ROUND9_WINDOW = [
+    # the 2 NEW round-9 curation gates (queries/round9.py)
+    "curation_quality_linear_scorer",
+    "curation_compliance_span_bridge",
+    # ALL 33 round-4-latest carries — clears round-4 debt
+    "agg_bucketed_no_shuffle",
+    "agg_collect_sorted",
+    "agg_exact_median_by_type",
+    "agg_histogram_value",
+    "agg_mode_event_type_daily",
+    "agg_percentile_bands",
+    "agg_time_grain_rollup",
+    "anomaly_daily_zscore",
+    "corpus_bigram_topk",
+    "corpus_bpe_encode",
+    "corpus_dedup_rate_by_source",
+    "corpus_overlap_chunks",
+    "corpus_source_overlap",
+    "events_dau_wau_stickiness",
+    "events_funnel_conversion",
+    "events_retention_cohort",
+    "join_asof_forward",
+    "join_bucketed_colocated",
+    "join_fuzzy_levenshtein",
+    "join_interval_overlap",
+    "market_basket_pairs",
+    "ml_kfold_assignment",
+    "profile_table_stats",
+    "quality_rank_normalize",
+    "sample_stratified_exact_k",
+    "sample_weighted_systematic",
+    "scalar_array_funcs",
+    "scan_dpp_partitioned_join",
+    "scd2_incremental_merge",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sketch_kmv_distinct_users",
+    "text_novelty_score",
+    # 15 refills from the 50 round-5-latest rows
+    "anomaly_daily_mad",
+    "vector_ann_ivfpq_topk",
+    "dedup_pipeline_blocked_verify",
+    "join_salted_skew",
+    "join_posexplode",
+    "agg_latest_per_key",
+    "agg_grouping_sets",
+    "scalar_string_advanced",
+    "scan_time_range_pruned",
+    "timeseries_max_drawdown",
+    "events_session_conversion",
+    "quality_benford_digits",
+    "corpus_tfidf_topterm",
+    "hierarchy_rollup_to_root",
+    "analytics_q3_shipping",
+]
+
 
 # Why each rows-only (oracle=None) query CANNOT be value-hash-checked
 # against DuckDB, and which driver-VERIFIED sibling pins the same
@@ -371,7 +435,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND8_WINDOW` comes first.
+    the registry reordered so :data:`ROUND9_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -391,7 +455,10 @@ def load_registry() -> dict[str, QuerySpec]:
     the 2 new compliance/keep-matrix gates + the 3 artifact-refactored
     graph queries + ALL 26 round-3-latest carries + 14 r4 refills —
     after this window no query's latest driver row predates round 4
-    and the never-checked count is 0.
+    and the never-checked count is 0 (CORRECTNESS_r08: 39 green + 11
+    rows-only by design).  Round 9 fronts the 2 new round-9 curation
+    gates + ALL 33 round-4-latest carries + 15 r5 refills — after this
+    window no query's latest driver row predates round 5.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -418,6 +485,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round7,
         round8,
         round8_staging,
+        round9,
         scalar_funcs,
         setops,
         sharding,
@@ -435,15 +503,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND8_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND9_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND8_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND9_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND8_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND9_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

@@ -262,8 +262,12 @@ def _sql_in(vals: tuple[str, ...]) -> str:
 def _sql_lit(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
 
-_COMPLIANCE_ORACLE = f"""
-    WITH raw AS (
+# The (doc_id, source, verdict) derivation as a reusable CTE chain:
+# round 8's per-source gate aggregates it directly; round 9's span
+# bridge (queries/round9.py) joins it under the chunk window. One
+# definition, two oracles.
+VERDICT_CTES = f"""
+    raw AS (
       SELECT doc_id, source,
              {_URL_DERIVE_SQL.format(str_t="VARCHAR")} AS url,
              {_LICENSE_SQL} AS licence
@@ -303,11 +307,62 @@ _COMPLIANCE_ORACLE = f"""
              END AS verdict
       FROM feat
     )
+"""
+
+_COMPLIANCE_ORACLE = f"""
+    WITH {VERDICT_CTES}
     SELECT source, verdict,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS sample_doc
     FROM verdicts GROUP BY source, verdict
 """
+
+
+def with_compliance_verdict(docs: DataFrame) -> DataFrame:
+    """Append the compliance ``verdict`` column to a documents frame.
+
+    Pure map-only string expressions (zero join, zero UDF) mirroring
+    :data:`VERDICT_CTES` exactly — the single implementation behind
+    this module's per-source gate and round 9's span-level bridge.
+    Intermediate columns are dropped; all input columns pass through.
+    """
+    raw = docs.withColumns(
+        {
+            "__url": F.expr(_URL_DERIVE_SQL.format(str_t="STRING")),
+            "__licence": F.expr(_LICENSE_SQL),
+        }
+    )
+    parts = raw.withColumn(
+        "__rest",
+        F.expr("split_part(split_part(__url, '#', 1), '://', 2)"),
+    )
+    hp = parts.withColumn(
+        "__hostport", F.expr("split_part(__rest, '/', 1)")
+    )
+    host0 = F.lower(F.expr("split_part(__hostport, ':', 1)"))
+    feat = hp.withColumns(
+        {
+            "__host": F.when(
+                host0.startswith("www."),
+                F.expr("substr(lower(split_part(__hostport, ':', 1)), 5)"),
+            ).otherwise(host0),
+            "__path": F.expr(
+                "split_part(substr(__rest, length(__hostport) + 1), '?', 1)"
+            ),
+        }
+    )
+    path_denied = F.lit(False)
+    for p in DENY_PATH_PREFIXES:
+        path_denied = path_denied | F.col("__path").startswith(p)
+    verdict = (
+        F.when(F.col("__host").isin(*DENY_HOSTS), "denied_host")
+        .when(path_denied, "denied_path")
+        .when(~F.col("__licence").isin(*ALLOW_LICENSES), "denied_licence")
+        .otherwise("kept")
+    )
+    return feat.withColumn("verdict", verdict).drop(
+        "__url", "__licence", "__rest", "__hostport", "__host", "__path"
+    )
 
 
 @register(
@@ -327,47 +382,13 @@ _COMPLIANCE_ORACLE = f"""
     "The gate runs BEFORE text processing, so its cost bounds the "
     "whole pipeline's compliance overhead",
 )
+
 def curation_compliance_source_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    raw = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.expr(_URL_DERIVE_SQL.format(str_t="STRING")).alias("url"),
-        F.expr(_LICENSE_SQL).alias("licence"),
-    )
-    parts = raw.select(
-        "doc_id",
-        "source",
-        "licence",
-        F.expr("split_part(split_part(url, '#', 1), '://', 2)").alias(
-            "rest"
-        ),
-    )
-    hp = parts.withColumn("hostport", F.expr("split_part(rest, '/', 1)"))
-    host0 = F.lower(F.expr("split_part(hostport, ':', 1)"))
-    feat = hp.select(
-        "doc_id",
-        "source",
-        "licence",
-        F.when(host0.startswith("www."), F.expr(
-            "substr(lower(split_part(hostport, ':', 1)), 5)"
-        )).otherwise(host0).alias("host"),
-        F.expr(
-            "split_part(substr(rest, length(hostport) + 1), '?', 1)"
-        ).alias("path"),
-    )
-    path_denied = F.lit(False)
-    for p in DENY_PATH_PREFIXES:
-        path_denied = path_denied | F.col("path").startswith(p)
-    verdict = (
-        F.when(F.col("host").isin(*DENY_HOSTS), "denied_host")
-        .when(path_denied, "denied_path")
-        .when(~F.col("licence").isin(*ALLOW_LICENSES), "denied_licence")
-        .otherwise("kept")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
-        feat.select("doc_id", "source", verdict.alias("verdict"))
+        with_compliance_verdict(docs)
         .groupBy("source", "verdict")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -65,8 +65,10 @@ FROM ranked GROUP BY doc_id
 """
 
 
-def _chunks(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, chunk): fixed-width token spans, computed narrow."""
+def _chunks(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, pos, chunk): fixed-width token spans, computed
+    narrow. ``carry`` names extra per-doc columns to keep on every span
+    row (round 9's compliance span bridge carries source + verdict)."""
     toks = F.split(F.col("text"), " +")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK))).cast("int")
     spans = F.transform(
@@ -74,7 +76,7 @@ def _chunks(docs: DataFrame) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i * CHUNK + 1, CHUNK), " "),
     )
     return docs.select(
-        "doc_id", F.posexplode(spans).alias("pos", "chunk")
+        "doc_id", *carry, F.posexplode(spans).alias("pos", "chunk")
     ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
