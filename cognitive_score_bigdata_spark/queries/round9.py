@@ -33,7 +33,7 @@ these extend the LLM-pipeline battery per the build brief.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
@@ -224,18 +224,25 @@ _BRIDGE_ORACLE = f"""
     oracle=_BRIDGE_ORACLE,
     doc="compliance x span-dedup attribution bridge (VERDICT r8 item "
     f"4b): every {CHUNK}-token span occurrence that text_chunk_dedup "
-    "strips (rn > 1 under the corpus-wide first-occurrence window) is "
-    "attributed to the compliance verdict of the doc holding the "
-    "span's CANONICAL copy, grouped per (occurrence source, winner "
-    "verdict). win_verdict != 'kept' rows measure the text a "
-    "compliance-then-dedup pipeline loses outright (only surviving "
-    "copy was in denied content) vs what dedup-then-compliance keeps. "
-    "100 TB shape: verdicts are the round-8 map-only expressions "
-    "stamped on each doc row BEFORE chunk explosion (zero extra "
-    "join), then ONE shuffle on chunk where a single Window computes "
-    "both rank and the winner's verdict (first_value over the same "
-    "sort), then a map-side-combinable two-level agg; the hot-span "
-    "skew posture is text_chunk_dedup's, documented there",
+    "strips (not the corpus-wide first occurrence) is attributed to "
+    "the compliance verdict of the doc holding the span's CANONICAL "
+    "copy, grouped per (occurrence source, winner verdict). "
+    "win_verdict != 'kept' rows measure the text a compliance-then-"
+    "dedup pipeline loses outright (only surviving copy was in denied "
+    "content) vs what dedup-then-compliance keeps. 100 TB shape: "
+    "verdicts are the round-8 map-only expressions stamped on each "
+    "doc row BEFORE chunk explosion (zero extra join); winner and "
+    "per-(chunk, source) occurrence counts come from two MAP-SIDE-"
+    "COMBINABLE aggregates (min-struct winner, the span_study "
+    "skew-immune form) rather than a window — a row_number window "
+    "cannot use the WindowGroupLimit rewrite here (it needs the "
+    "non-winner rows), so a hot boilerplate chunk would ship every "
+    "occurrence to ONE reducer (the §9f failure mode); the agg form "
+    "collapses hot chunks to one partial row per map task, and the "
+    "winner join is between two already-distinct-keyed sides (hot "
+    "chunk = |sources| rows, AQE-splittable). The oracle keeps the "
+    "window formulation: same first-occurrence spec, independent "
+    "implementation",
 )
 def curation_compliance_span_bridge(
     spark: SparkSession, sf_dir: str
@@ -248,18 +255,34 @@ def curation_compliance_span_bridge(
     tagged = _chunks(
         with_compliance_verdict(docs), carry=("source", "verdict")
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    win = tagged.select(
-        "source",
+    # corpus-wide winner per chunk: min over (doc_id, pos, ...) — the
+    # struct compares doc_id then pos, and (doc_id, pos) is unique, so
+    # verdict/source never tie-break; identical to first_value over
+    # ORDER BY doc_id, pos. Partial min merges map-side.
+    winners = tagged.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos", "verdict", "source")).alias("w")
+    ).select(
         "chunk",
-        F.row_number().over(w).alias("rn"),
-        F.first("verdict").over(w).alias("win_verdict"),
+        F.col("w.verdict").alias("win_verdict"),
+        F.col("w.source").alias("win_source"),
+    )
+    per_cs = tagged.groupBy("chunk", "source").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    # stripped occurrences this (chunk, source) contributes = all of
+    # them minus the winner occurrence if the winner sits in this
+    # source; each surviving row is ONE distinct (chunk, source) pair,
+    # so the per-group chunk count is a plain count
+    joined = per_cs.join(winners, "chunk").withColumn(
+        "n_stripped_cs",
+        F.col("n_occ")
+        - F.when(F.col("source") == F.col("win_source"), 1).otherwise(0),
     )
     return (
-        win.filter(F.col("rn") > 1)
+        joined.filter(F.col("n_stripped_cs") > 0)
         .groupBy("source", "win_verdict")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_stripped"),
-            F.countDistinct("chunk").cast("bigint").alias("n_chunks"),
+            F.sum("n_stripped_cs").cast("bigint").alias("n_stripped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         )
     )

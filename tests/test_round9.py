@@ -64,23 +64,27 @@ def test_linear_scorer_plan_broadcast_topv_no_window(spark):
     )
 
 
-def test_span_bridge_plan_single_window_zero_joins(spark):
+def test_span_bridge_plan_skew_immune_aggs_no_window(spark):
     """The bridge stamps verdicts with map-only expressions BEFORE the
-    chunk explode (zero joins anywhere), and one Window partitioned on
-    chunk computes both the occurrence rank and the winner's verdict —
-    a second shuffle for the winner lookup would double the heaviest
-    exchange at 100 TB."""
+    chunk explode (no join to a verdict table), and the winner /
+    occurrence-count stages must be MAP-SIDE-COMBINABLE aggregates —
+    never a row_number window, which cannot take the WindowGroupLimit
+    rewrite here (it needs the non-winner rows) and would ship every
+    occurrence of a hot boilerplate chunk to one reducer (the §9f
+    failure mode). The only join is winners-to-counts on chunk, both
+    sides already distinct-keyed."""
     a = audit(
         REGISTRY["curation_compliance_span_bridge"].fn(spark, SF_DIR)
     )
     t = a["text"]
     for py_stage in PY_STAGES:
         assert py_stage not in t, f"Python stage {py_stage} in plan"
-    assert a["n_broadcast_joins"] == 0 and a["n_sortmerge_joins"] == 0, t
     windows = re.findall(r"\n\(\d+\) Window", t)
-    assert len(windows) == 1, t
-    # the single window shuffles on chunk, nothing else
-    assert re.search(r"hashpartitioning\(chunk#", t), t
+    assert len(windows) == 0, t
+    # both chunk-keyed aggregates combine map-side: the min-struct
+    # winner and the (chunk, source) occurrence count
+    assert re.search(r"partial_min\(struct\(", t), t
+    assert a["n_partial_aggs"] >= 3, t
 
 
 # ---------------------------------------------------------------------------
