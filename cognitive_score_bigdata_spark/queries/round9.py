@@ -176,6 +176,8 @@ def curation_quality_linear_scorer(
         )
         .cast("bigint")
         .alias("n_keep"),
+        # plain sum — no multiply to wrap: score_micro <= 1e6, so the
+        # per-source sum stays in BIGINT until ~9.2e12 docs per source
         F.expr("sum(score_micro) div count(1)")
         .cast("bigint")
         .alias("avg_score_micro"),
