@@ -150,10 +150,14 @@ def systematic_weighted_sample(
     selected set is bit-reproducible across engines, partitionings and
     reruns — the property pow/ln-based priority sampling cannot give.
 
-    Returns the input rows plus ``cum`` (BIGINT cumulative weight).
-    The single-sort window prefix sum here is the small-data path; at
-    100 TB use :func:`global_exclusive_prefix_sum` for the same cumsum
-    in two distributed passes.
+    Returns the input rows plus ``cum`` (BIGINT cumulative weight),
+    computed with :func:`global_exclusive_prefix_sum` — two distributed
+    passes over range partitions, never a single-partition window (the
+    round-9 §9r window-skew audit found the original formulation
+    carried TWO of those: the cumsum and the global-total frame). The
+    total reaches the driver as one scalar aggregate, the same bounded
+    driver state the prefix-sum helper itself uses; the selection
+    stride is then a literal, so the filter is map-only.
 
     ALIASING CAVEAT: systematic sampling is only weight-proportional
     when the traversal order is uncorrelated with the weights. If the
@@ -166,18 +170,20 @@ def systematic_weighted_sample(
     hash-scrambled ordering column (``md5(key)``) — the standard
     random-order fix, kept deterministic here.
     """
-    from pyspark.sql import Window
-
-    cum_w = Window.orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w = df.withColumn("__w", F.col(weight_col).cast("bigint"))
+    total = w.agg(F.sum("__w")).collect()[0][0] or 0
+    step = int(total) // int(k)
+    if step == 0:
+        # fewer weight units than samples: the stride is undefined
+        # (the window form's `div 0` null filtered every row — keep
+        # the empty-result contract explicit)
+        return w.filter(F.lit(False)).withColumn(
+            "cum", F.lit(None).cast("bigint")
+        ).drop("__w")
+    pre = global_exclusive_prefix_sum(w, order_col, "__w", out_col="__pre")
+    sel = pre.withColumn(
+        "cum", (F.col("__pre") + F.col("__w")).cast("bigint")
     )
-    tot_w = Window.partitionBy()
-    w = (
-        df.withColumn("__w", F.col(weight_col).cast("bigint"))
-        .withColumn("cum", F.sum("__w").over(cum_w))
-        .withColumn("__total", F.sum("__w").over(tot_w))
-        .withColumn("__step", F.expr(f"__total div {int(k)}"))
-    )
-    return w.filter(
-        F.expr("(cum div __step) > ((cum - __w) div __step)")
-    ).drop("__w", "__total", "__step")
+    return sel.filter(
+        F.expr(f"(cum div {step}) > ((cum - __w) div {step})")
+    ).drop("__w", "__pre")
