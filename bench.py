@@ -207,6 +207,10 @@ HEADLINE = [
     # compliance/dedup bridge
     "curation_quality_linear_scorer",
     "curation_compliance_span_bridge",
+    # round-10 staging: scorer coverage + calibration audits (benched
+    # from day one, driver rows in their round-10 birth window)
+    "curation_scorer_oov_audit",
+    "curation_scorer_length_bias",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

@@ -293,19 +293,23 @@ ROUND8_WINDOW = [
     "window_trailing_30d_range",
 ]
 
-# Round-10 rotation plan (execute as ROUND10_WINDOW next round): ALL
-# 35 remaining round-5-latest rows — after that window no query's
-# latest driver row predates round 6 and round-5 debt is CLEARED —
-# then 15 refills from the 50 round-6-latest rows, chosen for
-# flagship freshness + module spread: flagship_dashboard,
-# flagship_stats, join_asof, join_inner_broadcast, window_session_30m,
-# text_exact_dedup, text_ngram_jaccard, scalar_json, agg_median,
-# sample_seeded, dedup_cluster_docs, range_join_time_binned,
-# subquery_in_filter, vector_cosine_topk, timeseries_gapfill_daily.
-# All 50 candidates pre-validated at sf0.01 under the driver-mirror
-# comparator at round-9 end (2026-08-14) — see the round-9 session
-# notes; any new round-10 queries displace refills from the END of
-# that list, never the r5 carries.
+# Round-10 rotation plan (execute as ROUND10_WINDOW next round): the
+# 2 round-10 staged rows first (queries/round10_staging.py —
+# curation_scorer_oov_audit, curation_scorer_length_bias, the only
+# registry queries without a driver CORRECTNESS row; both validated
+# green at sf0.001 AND sf0.01 at staging time), then ALL 35 remaining
+# round-5-latest rows — after that window no query's latest driver
+# row predates round 6 and round-5 debt is CLEARED — then 13 refills
+# from the 50 round-6-latest rows, chosen for flagship freshness +
+# module spread: flagship_dashboard, flagship_stats, join_asof,
+# join_inner_broadcast, window_session_30m, text_exact_dedup,
+# text_ngram_jaccard, scalar_json, agg_median, sample_seeded,
+# dedup_cluster_docs, range_join_time_binned, subquery_in_filter.
+# (vector_cosine_topk and timeseries_gapfill_daily were the END-of-
+# list refills the staged rows displace.) All refill candidates
+# pre-validated at sf0.01 under the driver-mirror comparator at
+# round-9 end (2026-08-14); any further new round-10 queries displace
+# refills from the END of the list, never the r5 carries.
 #
 # Round-9 rotation (VERDICT r8 item 2): the 2 NEW round-9 queries
 # (birth-window rows), then ALL 33 round-4-latest carries — after this
@@ -500,6 +504,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round8,
         round8_staging,
         round9,
+        round10_staging,
         scalar_funcs,
         setops,
         sharding,

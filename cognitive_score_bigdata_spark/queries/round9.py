@@ -67,8 +67,11 @@ TOP_V = 24
 # stable across SFs because the generator vocabulary is fixed).
 QUALITY_MIN_MICRO = 260_000
 
-_SCORER_ORACLE = f"""
-    WITH toks AS (
+# The tokenize -> class-count -> top-V weight -> per-doc score CTE
+# chain, shared verbatim by this query's oracle and the round-10
+# staged scorer audits (OOV rate, length-bias calibration).
+SCORER_CTES = f"""
+    toks AS (
       SELECT doc_id, source,
              unnest(string_split_regex(text, ' +')) AS tok
       FROM documents
@@ -94,6 +97,10 @@ _SCORER_ORACLE = f"""
       FROM toks t LEFT JOIN w USING (tok)
       GROUP BY t.doc_id, t.source
     )
+"""
+
+_SCORER_ORACLE = f"""
+    WITH {SCORER_CTES}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN score_micro > {QUALITY_MIN_MICRO}
@@ -104,6 +111,63 @@ _SCORER_ORACLE = f"""
            CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
     FROM scored GROUP BY source
 """
+
+
+def scorer_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, tok): one row per token INSTANCE."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " +")).alias("tok"),
+    )
+
+
+def scorer_weights(toks: DataFrame) -> DataFrame:
+    """(tok, w_micro): the top-V vocabulary weight table.
+
+    top-V by frequency -> TakeOrderedAndProject (per-partition top-V
+    then a driver merge of V-row heaps — no global sort, no
+    single-partition window). c_ref <= c_all so w_micro is in
+    [0, 1e6]; the multiply overflows only past ~9.2e12 reference-
+    class occurrences of ONE token, far beyond any curated reference
+    corpus (the full-corpus analogue is guarded in
+    curation_quality_keep_matrix's fam_micro).
+    """
+    cls = toks.groupBy("tok").agg(
+        F.sum(
+            F.when(F.col("source").isin(*REF_SOURCES), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c_ref"),
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+    )
+    return (
+        cls.orderBy(F.desc("c_all"), F.asc("tok"))
+        .limit(TOP_V)
+        .select(
+            "tok",
+            F.expr("c_ref * 1000000 div c_all")
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+
+
+def scorer_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, score_micro): per-doc mean token weight via
+    the broadcast weight join; every term non-negative, so div
+    truncation == floor == DuckDB //."""
+    toks = scorer_tokens(docs)
+    w = scorer_weights(toks)
+    return (
+        toks.join(F.broadcast(w), "tok", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("sum(coalesce(w_micro, 0)) div count(1)")
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
 
 
 @register(
@@ -125,50 +189,12 @@ _SCORER_ORACLE = f"""
     "the weight table is a trained artifact loaded once; deriving it "
     "in-query keeps the oracle self-contained",
 )
+
 def curation_quality_linear_scorer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.split("text", " +")).alias("tok"),
-    )
-    cls = toks.groupBy("tok").agg(
-        F.sum(
-            F.when(F.col("source").isin(*REF_SOURCES), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("c_ref"),
-        F.count(F.lit(1)).cast("bigint").alias("c_all"),
-    )
-    # top-V by frequency -> TakeOrderedAndProject (per-partition top-V
-    # then a driver merge of V-row heaps — no global sort, no
-    # single-partition window). c_ref <= c_all so w_micro is in
-    # [0, 1e6]; the multiply overflows only past ~9.2e12 reference-
-    # class occurrences of ONE token, far beyond any curated reference
-    # corpus (the full-corpus analogue is guarded in
-    # curation_quality_keep_matrix's fam_micro).
-    w = (
-        cls.orderBy(F.desc("c_all"), F.asc("tok"))
-        .limit(TOP_V)
-        .select(
-            "tok",
-            F.expr("c_ref * 1000000 div c_all")
-            .cast("bigint")
-            .alias("w_micro"),
-        )
-    )
-    # every term non-negative, so div truncation == floor == DuckDB //
-    scored = (
-        toks.join(F.broadcast(w), "tok", "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.expr("sum(coalesce(w_micro, 0)) div count(1)")
-            .cast("bigint")
-            .alias("score_micro")
-        )
-    )
+    scored = scorer_doc_scores(docs)
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(
