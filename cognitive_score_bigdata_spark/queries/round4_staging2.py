@@ -616,10 +616,20 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             F.col("sup_pair").cast("bigint").alias("sup_pair"),
+            # conf: sup_pair <= n_baskets, so the multiply stays in
+            # BIGINT until ~9.2e12 baskets; lift multiplies TWO counts
+            # (sup_pair * n ~ 1e22 at 100 TB order volume) and must go
+            # through DECIMAL(38,0) — Spark's BIGINT multiply wraps
+            # silently while the DuckDB oracle promotes to HUGEINT
+            # (the fam_micro overflow class, ADVICE r8). Decimal `div`
+            # truncates like integer div; all terms non-negative.
             F.expr("(sup_pair * 1000000) div sup1")
             .cast("bigint")
             .alias("conf_micro"),
-            F.expr("(sup_pair * n * 1000000) div (sup1 * sup2)")
+            F.expr(
+                "(CAST(sup_pair AS DECIMAL(38,0)) * n * 1000000)"
+                " div (CAST(sup1 AS DECIMAL(38,0)) * sup2)"
+            )
             .cast("bigint")
             .alias("lift_micro"),
         )
@@ -3455,8 +3465,10 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "float accumulation (every operation is BIGINT, so the whole "
     "residual table hash-matches). Row/column marginals broadcast "
     "back onto the cell table; a large |residual| row is a "
-    "day-of-week effect worth a look. N*obs stays ~1e13 at sf0.1 — "
-    "well inside int64",
+    "day-of-week effect worth a look. The O*N and R*C products go "
+    "through DECIMAL(38,0) on the Spark side — two event-count "
+    "multiplies pass int64 long before 100 TB, and the DuckDB oracle "
+    "is already HUGEINT-exact",
 )
 def quality_independence_residuals(
     spark: SparkSession, sf_dir: str
@@ -3478,7 +3490,17 @@ def quality_independence_residuals(
             "event_type",
             "dow",
             "obs",
-            F.expr("((obs * total - rt * ct) * 1000000) div (rt * ct)")
+            # obs*total and rt*ct multiply two event counts (~1e24 at
+            # 100 TB) — DECIMAL(38,0) keeps the Spark side exact where
+            # BIGINT would wrap silently against the HUGEINT oracle
+            # (the fam_micro overflow class, ADVICE r8). The residual
+            # can be negative; decimal `div` truncates toward zero
+            # exactly like the BIGINT div (and DuckDB //) it replaces.
+            F.expr(
+                "((CAST(obs AS DECIMAL(38,0)) * total"
+                " - CAST(rt AS DECIMAL(38,0)) * ct) * 1000000)"
+                " div (CAST(rt AS DECIMAL(38,0)) * ct)"
+            )
             .cast("bigint")
             .alias("residual_micro"),
         )

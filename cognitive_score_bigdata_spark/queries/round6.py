@@ -566,8 +566,15 @@ def market_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             "s12",
+            # conf stays BIGINT-safe (s12 <= n_orders, ~9.2e12 bound);
+            # lift multiplies two counts (s12 * n_orders ~ 1e22 at
+            # 100 TB) -> DECIMAL(38,0), the fam_micro overflow class
+            # (ADVICE r8); all terms non-negative so div == floor
             F.expr("s12 * 1000000 div sa").cast("bigint").alias("conf_micro"),
-            F.expr(f"s12 * {n_orders}L * 1000000 div (sa * sb)")
+            F.expr(
+                f"(CAST(s12 AS DECIMAL(38,0)) * {n_orders}L * 1000000)"
+                " div (CAST(sa AS DECIMAL(38,0)) * sb)"
+            )
             .cast("bigint")
             .alias("lift_micro"),
         )
