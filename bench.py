@@ -405,9 +405,11 @@ def main() -> None:
     def run_canary() -> dict[str, float]:
         return {n: time_one(n) for n in CANARY if n in registry}
 
-    canary = {"start": run_canary()}
+    # Probe BEFORE the first canary run (ADVICE r9): the start sample
+    # must reflect the untouched session, not canary compilation/GC.
     jvm_probes = [jvm_probe()]
     probes = [noise_probe()]
+    canary = {"start": run_canary()}
     half = len(HEADLINE) // 2
     timings = run_family(HEADLINE[:half])
     probes.append(noise_probe())
@@ -428,9 +430,20 @@ def main() -> None:
     headline_hash = hashlib.sha256(
         json.dumps([HEADLINE, API_PARITY]).encode()
     ).hexdigest()[:12]
+    # ADVICE r9: the canary pair runs before the suite, so their
+    # in-suite headline rows are WARM (pre-compiled plans) — not
+    # like-for-like with pre-r9 rounds where they ran cold. Record
+    # both totals: `value` (all rows, warm canaries) and
+    # `value_excl_canary` (headline minus the canary pair) so
+    # round-over-round ratchets can compare a set unaffected by the
+    # canary methodology; the cold values live in canary["start"].
+    excl_canary = round(
+        sum(sec for name, sec in timings.items() if name not in CANARY), 3
+    )
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
+        "value_excl_canary": excl_canary,
         "unit": "sec",
         # per-query wall seconds + the 0-based order it ran in this
         # session (VERDICT r8 item 5: lets a reader regress position
@@ -460,7 +473,12 @@ def main() -> None:
         # same config. `revision` is bumped by hand whenever the warm
         # list or timing methodology changes; headline_hash pins the
         # query set mechanically.
-        "bench_config": {"revision": "r9-canary", "headline_hash": headline_hash},
+        # r10-probe-first: jvm/noise probes now sample BEFORE the first
+        # canary run, and value_excl_canary was added (ADVICE r9).
+        "bench_config": {
+            "revision": "r10-probe-first",
+            "headline_hash": headline_hash,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -480,6 +498,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": result["value"],
+                "value_excl_canary": excl_canary,
                 "unit": "sec",
                 "sf": result["sf"],
                 "n_queries": len(timings),

@@ -159,6 +159,17 @@ def systematic_weighted_sample(
     driver state the prefix-sum helper itself uses; the selection
     stride is then a literal, so the filter is map-only.
 
+    CONTRACT (ADVICE r9): this is NOT a lazy transformation — building
+    the result triggers two driver actions (the total-weight aggregate
+    here and the prefix-sum helper's per-partition totals collect), so
+    call it where an action is acceptable, not inside plan-construction
+    hot paths.  And ``order_col`` MUST be unique: the prefix-sum form
+    assigns each row a distinct cumulative interval, so duplicate order
+    keys would make selection depend on intra-key placement (the old
+    window form merely had nondeterministic tie order).  Uniqueness is
+    asserted for the registry caller in
+    ``tests/test_round4_sampling.py::test_weighted_order_col_unique``.
+
     ALIASING CAVEAT: systematic sampling is only weight-proportional
     when the traversal order is uncorrelated with the weights. If the
     weights are periodic along ``order_col`` with a period that divides

@@ -293,23 +293,73 @@ ROUND8_WINDOW = [
     "window_trailing_30d_range",
 ]
 
-# Round-10 rotation plan (execute as ROUND10_WINDOW next round): the
-# 2 round-10 staged rows first (queries/round10_staging.py —
-# curation_scorer_oov_audit, curation_scorer_length_bias, the only
-# registry queries without a driver CORRECTNESS row; both validated
-# green at sf0.001 AND sf0.01 at staging time), then ALL 35 remaining
-# round-5-latest rows — after that window no query's latest driver
-# row predates round 6 and round-5 debt is CLEARED — then 13 refills
-# from the 50 round-6-latest rows, chosen for flagship freshness +
-# module spread: flagship_dashboard, flagship_stats, join_asof,
-# join_inner_broadcast, window_session_30m, text_exact_dedup,
-# text_ngram_jaccard, scalar_json, agg_median, sample_seeded,
-# dedup_cluster_docs, range_join_time_binned, subquery_in_filter.
-# (vector_cosine_topk and timeseries_gapfill_daily were the END-of-
-# list refills the staged rows displace.) All refill candidates
-# pre-validated at sf0.01 under the driver-mirror comparator at
-# round-9 end (2026-08-14); any further new round-10 queries displace
+# Round-10 rotation (VERDICT r9 item 1 — executes the plan written
+# here at round-9 end, all 50 rows pre-validated at sf0.01 under the
+# driver-mirror comparator on 2026-08-14): the 2 round-10 staged rows
+# first (queries/round10_staging.py — curation_scorer_oov_audit,
+# curation_scorer_length_bias, the only registry queries without a
+# driver CORRECTNESS row), then ALL 35 remaining round-5-latest rows
+# — after this window no query's latest driver row predates round 6
+# and round-5 debt is CLEARED — then refills from the 50
+# round-6-latest rows, chosen for flagship freshness + module spread.
+# Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
+ROUND10_WINDOW = [
+    # the 2 staged round-10 scorer audits (birth-window rows)
+    "curation_scorer_oov_audit",
+    "curation_scorer_length_bias",
+    # ALL 35 round-5-latest carries — clears round-5 debt
+    "agg_corr_value_hour",
+    "agg_distinct",
+    "agg_equidepth_deciles",
+    "agg_filtered_count",
+    "agg_gini_value",
+    "agg_group_q1",
+    "agg_pivot_event_types",
+    "agg_trend_slope_by_type",
+    "agg_variance_manual",
+    "agg_weighted_median_by_source",
+    "analytics_q10_returns",
+    "analytics_q11_share",
+    "analytics_q12_priority_mix",
+    "analytics_q13_custdist",
+    "analytics_q14_promo",
+    "analytics_q15_top_supplier",
+    "analytics_q17_small_qty",
+    "analytics_q18_large_orders",
+    "analytics_q19_disjunctive",
+    "analytics_q22_dormant",
+    "analytics_q4_exists_priority",
+    "analytics_q5_region_volume",
+    "analytics_q6_selective",
+    "analytics_q7_volume",
+    "analytics_q8_market_share",
+    "analytics_q9_profit",
+    "corpus_filter_funnel",
+    "corpus_vocab_topk",
+    "events_pareto_user_deciles",
+    "events_weekday_profile",
+    "join_lookup_latest_state",
+    "quality_independence_residuals",
+    "scalar_interval",
+    "timeseries_ohlc_hourly",
+    "timeseries_twap_per_user",
+    # 13 refills from the 50 round-6-latest rows
+    "flagship_dashboard",
+    "flagship_stats",
+    "join_asof",
+    "join_inner_broadcast",
+    "window_session_30m",
+    "text_exact_dedup",
+    "text_ngram_jaccard",
+    "scalar_json",
+    "agg_median",
+    "sample_seeded",
+    "dedup_cluster_docs",
+    "range_join_time_binned",
+    "subquery_in_filter",
+]
+
 #
 # Round-9 rotation (VERDICT r8 item 2): the 2 NEW round-9 queries
 # (birth-window rows), then ALL 33 round-4-latest carries — after this
@@ -453,7 +503,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND9_WINDOW` comes first.
+    the registry reordered so :data:`ROUND10_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -476,7 +526,11 @@ def load_registry() -> dict[str, QuerySpec]:
     and the never-checked count is 0 (CORRECTNESS_r08: 39 green + 11
     rows-only by design).  Round 9 fronts the 2 new round-9 curation
     gates + ALL 33 round-4-latest carries + 15 r5 refills — after this
-    window no query's latest driver row predates round 5.
+    window no query's latest driver row predates round 5.  Round 10
+    fronts the 2 staged scorer audits (birth-window rows — the only
+    never-driver-checked queries) + ALL 35 round-5-latest carries +
+    r6 refills — after this window no query's latest driver row
+    predates round 6 and the never-checked count is back to 0.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -522,15 +576,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND9_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND10_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND9_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND10_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND9_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND10_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

@@ -20,8 +20,10 @@ from cognitive_score_bigdata_spark.queries._helpers import sql_dsum
 EVENT_TYPES = ["click", "view", "error", "purchase", "signup"]
 # spliced as SQL literals into the pivot oracle below — a quote in a
 # future entry would silently alter the oracle (the _sql_in class,
-# ADVICE r8); fail loudly at import instead
-assert all("'" not in t for t in EVENT_TYPES)
+# ADVICE r8); fail loudly at import instead.  ValueError, not assert:
+# asserts vanish under `python -O` (ADVICE r9).
+if any("'" in t for t in EVENT_TYPES):
+    raise ValueError(f"EVENT_TYPES must not contain quotes: {EVENT_TYPES!r}")
 
 
 @register(

@@ -99,3 +99,19 @@ def test_overlap_chunks_cover_every_token(spark):
         full = g[g.chunk_id < g.chunk_id.max()]
         assert (full.n_tokens == WIN).all() or n <= WIN
     assert set(grouped.groups) == set(true_n)
+
+
+def test_weighted_order_col_unique(spark):
+    """ADVICE r9: systematic_weighted_sample now requires a UNIQUE
+    order_col (the prefix-sum form gives each row a distinct cumulative
+    interval; duplicate keys would make selection depend on intra-key
+    placement). Pin the registry caller's ordering column — doc_id on
+    documents — as distinct so the precondition is checked, not folklore."""
+    from cognitive_score_bigdata_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    total, distinct = docs.agg(
+        F.count("doc_id"), F.countDistinct("doc_id")
+    ).first()
+    assert total == distinct, f"doc_id not unique: {total} rows, {distinct} keys"
