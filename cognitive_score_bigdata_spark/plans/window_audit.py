@@ -1,0 +1,170 @@
+"""Mechanical window-skew audit (VERDICT r9 item 3).
+
+Round 9's §9r audit classified every registry plan's Window nodes by
+hand into four 100 TB postures (SURVEY.md §9r):
+
+1. **wgl** — WindowGroupLimit fires: rank<=k is filtered AT the window,
+   so hot keys collapse to local winners per map task before the
+   shuffle;
+2. **bounded** — the window's input is pre-aggregated / limited, so the
+   window never sees raw-row cardinality;
+3. **per-entity** — the frame IS per-entity order (``user_id`` /
+   ``doc_id`` partition keys): bounded by per-entity history, the
+   documented irreducible class (AQE cannot split a window partition);
+3b. **partition-local** — partitioned by ``__pid``
+   (``spark_partition_id()``): the local leg of the two-pass global
+   prefix sum (``operators/sharding.py``), bounded by partition size
+   (``spark.sql.files.maxPartitionBytes``), never by key skew;
+4. **exposed** — global or low-cardinality key over raw rows: exact
+   rank/cumsum semantics that exist as sf-scale oracles for their
+   registry-resident approximate siblings, allowed only on an explicit
+   exempt list.
+
+That classification was prose; a round-11 query could reintroduce a
+single-partition window over raw rows and nothing would fail. This
+module makes it executable: walk the pre-AQE physical plan
+(``queryExecution().sparkPlan()`` — no AdaptiveSparkPlanExec wrapper,
+stable for static analysis), find every Window-family node, and
+classify it. ``tests/test_plans.py::test_registry_window_skew_classes``
+sweeps the whole registry and fails on any unclassified window.
+
+Classification is structural, not name-based:
+
+- class 1 iff a ``WindowGroupLimitExec`` sits in the window's subtree
+  (Spark inserts the Partial/Final limit nodes BELOW the Window it
+  rewrites);
+- class 2 iff every path from the window's child down to a leaf passes
+  through a cardinality-bounding node (final/partial aggregate, limit,
+  TakeOrderedAndProject, or a local one-row relation) — joins follow
+  all branches, except broadcast build sides, which bound the join's
+  output multiplicity by the build row count, not the probe side's
+  scan cardinality;
+- class 3 iff every partition-spec column name is an entity key
+  (``user_id``/``doc_id``/``vec_id`` — per-user event history,
+  per-document chunk lists, per-vector component lists);
+- class 3b iff the partition spec includes ``__pid``;
+- anything else is **exposed** and must be exempt-listed by the test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+WINDOW_NODES = {"WindowExec", "WindowInPandasExec"}
+AGG_NODES = {
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+}
+BOUNDING_NODES = AGG_NODES | {
+    "WindowGroupLimitExec",
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+    "LocalTableScanExec",  # literal / driver-built relations
+    "RDDScanExec",  # localCheckpoint results of bounded fixpoint state
+}
+# Build sides of broadcast joins bound output multiplicity by the
+# build-relation row count; the window input cardinality is set by the
+# probe side, so the bounded-input walk skips into broadcast subtrees.
+BROADCAST_BUILD = {"BroadcastExchangeExec"}
+ENTITY_KEYS = {"user_id", "doc_id", "vec_id"}
+
+
+def _children(node) -> list:
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _subtree_has(node, names: set[str]) -> bool:
+    return any(_name(n) in names for n in _walk(node))
+
+
+def _bounded(node) -> bool:
+    """Every leaf path from ``node`` crosses a cardinality bound."""
+    n = _name(node)
+    if n in BOUNDING_NODES:
+        return True
+    if n in BROADCAST_BUILD:
+        return True
+    kids = _children(node)
+    if not kids:  # a raw scan leaf reached with no bound above it
+        return False
+    return all(_bounded(c) for c in kids)
+
+
+def _partition_cols(node) -> list[str]:
+    """Partition-spec column names of a Window-family node, without the
+    exprId suffixes (``user_id#123`` -> ``user_id``)."""
+    spec = node.partitionSpec()
+    cols = []
+    for i in range(spec.size()):
+        s = spec.apply(i).toString()
+        cols.append(s.split("#", 1)[0].strip().lower())
+    return cols
+
+
+@dataclass
+class WindowClass:
+    partition_cols: list[str]
+    klass: str  # "wgl" | "bounded" | "per-entity" | "partition-local" | "exposed"
+
+
+def classify_windows(df: DataFrame) -> list[WindowClass]:
+    """Classify every Window node in ``df``'s pre-AQE physical plan."""
+    plan = df._jdf.queryExecution().sparkPlan()  # noqa: SLF001
+    out: list[WindowClass] = []
+    for node in _walk(plan):
+        if _name(node) not in WINDOW_NODES:
+            continue
+        cols = _partition_cols(node)
+        if _subtree_has(node, {"WindowGroupLimitExec"}):
+            klass = "wgl"
+        elif all(_bounded(c) for c in _children(node)):
+            klass = "bounded"
+        elif cols and all(c in ENTITY_KEYS for c in cols):
+            klass = "per-entity"
+        elif "__pid" in cols:
+            klass = "partition-local"
+        else:
+            klass = "exposed"
+        out.append(WindowClass(partition_cols=cols, klass=klass))
+    return out
+
+
+def main() -> None:  # pragma: no cover - manual sweep report
+    import sys
+
+    from cognitive_score_bigdata_spark.queries import load_registry
+    from cognitive_score_bigdata_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    registry = load_registry()
+    spark = get_spark("csb-window-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, spec in registry.items():
+        try:
+            wins = classify_windows(spec.fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {exc!r}")
+            continue
+        if wins:
+            desc = "; ".join(f"{w.klass}[{','.join(w.partition_cols)}]" for w in wins)
+            print(f"{name}: {desc}")
+    spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

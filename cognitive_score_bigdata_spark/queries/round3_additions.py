@@ -588,25 +588,40 @@ def agg_pandas_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact cross-engine) -> keep the highest-quality doc per cluster "
     "(quality desc, doc_id tiebreak). This is the canonical-survivor "
     "selection step every near-dup pipeline ends with, value-pinned "
-    "end to end",
+    "end to end. Winner selection is a max_by STRUCT AGGREGATE, not a "
+    "row_number window (round-10 window-skew sweep finding, same shape "
+    "as the §9q span bridge): the consumer needs n_docs over ALL rows, "
+    "so WindowGroupLimit cannot pre-collapse below the exchange, and a "
+    "hot cluster_id — which is exactly what dedup produces on "
+    "boilerplate at 100 TB — would be a one-reducer straggler; the "
+    "aggregate's map-side partials collapse it to one row per map "
+    "task. The oracle keeps the window form as the independent-"
+    "implementation proof",
 )
 def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_cluster_exact(spark, sf_dir)
     quality = load_table(spark, sf_dir, "documents").select(
         "doc_id", TX.quality_score("text").alias("quality")
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality"), F.asc("doc_id")
+    # (quality DESC, doc_id ASC) winner == max_by over the orderable
+    # struct (quality, -doc_id); struct comparison is lexicographic
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("quality")),
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id")),
     )
-    ranked = clusters.join(quality, "doc_id").withColumn(
-        "rnk", F.row_number().over(w)
-    )
-    return ranked.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
-        F.min(F.when(F.col("rnk") == 1, F.col("quality"))).alias(
-            "keep_quality"
-        ),
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            best.alias("__best"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.col("__best.doc_id").alias("keep_doc_id"),
+            F.col("__best.quality").alias("keep_quality"),
+        )
     )
 
 

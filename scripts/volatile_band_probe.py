@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Five-run variance band for the volatile Python-stage trio
+(VERDICT r9 item 2 — the round's one weak mark).
+
+`vector_ann_ivfpq_topk` moved 2.64 -> 3.78 s between r8 and r9 on
+untouched code; the graph family had a five-run band to prove such
+moves are run-to-run variance, the mapInPandas-heavy family did not.
+This probe records that band: FIVE fresh JVM sessions (subprocess per
+run — a stopped SparkContext reuses the gateway JVM, so in-process
+restarts would share JIT/code-cache state and understate variance),
+each replaying exactly the bench.py session warm-ups that precede the
+trio (codegen path via flagship_stats, Arrow worker pool, and the
+once-per-corpus PQ/IVF index builds bench warms), then timing each
+trio query once with a forced GC before it — the same protocol as a
+bench.py headline row.
+
+Usage:
+    python scripts/volatile_band_probe.py            # 5 runs, band JSON
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ...      # default sf0.1
+
+Output: one JSON line {"runs": [...], "band": {name: [min, max]}}.
+The band is referenced from SURVEY.md next to the graph family's and
+from bench_config — a driver number inside its band is non-actionable
+by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRIO = [
+    "vector_ann_ivfpq_topk",
+    "text_prefix_filter_join",
+    "dedup_simhash_pairs",
+]
+N_RUNS = 5
+
+
+def one_run() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cognitive_score_bigdata_spark.queries import load_registry
+    from cognitive_score_bigdata_spark.session import get_spark
+
+    registry = load_registry()
+    spark = get_spark("volatile-band")
+    spark.sparkContext.setLogLevel("ERROR")
+    # bench.py's session warm-ups relevant to the trio, in bench order
+    registry["flagship_stats"].fn(spark, sf_dir).count()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    registry["vector_ann_pq_topk"].fn(spark, sf_dir).count()
+    registry["vector_ann_ivfpq_topk"].fn(spark, sf_dir).count()
+    out: dict[str, float] = {}
+    for name in TRIO:
+        spark._jvm.System.gc()  # noqa: SLF001 — same protocol as bench.time_one
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main() -> None:
+    runs: list[dict[str, float]] = []
+    for i in range(N_RUNS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one"],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        runs.append(row)
+        print(f"run {i + 1}/{N_RUNS}: {row}", file=sys.stderr)
+    band = {
+        name: [min(r[name] for r in runs), max(r[name] for r in runs)]
+        for name in TRIO
+    }
+    print(json.dumps({"runs": runs, "band": band}))
+
+
+if __name__ == "__main__":
+    if "--one" in sys.argv:
+        one_run()
+    else:
+        main()

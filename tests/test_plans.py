@@ -538,3 +538,88 @@ def test_pagerank_bucketed_query_rides_bucketed_scan(spark):
     physical-mode demonstration back into a plain shuffle plan)."""
     a = _audit(spark, "graph_pagerank_bucketed")
     assert "Bucketed: true" in a["text"], a["text"][:2000]
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide window-skew sweep (VERDICT r9 item 3): §9r as a test
+# ---------------------------------------------------------------------------
+
+# §9r class 4 — exact rank/quantile semantics over raw rows, allowed
+# because each is the sf-scale EXACTNESS ORACLE for a registry-resident
+# approximate sibling (the scale path a 100 TB operator would run).
+WINDOW_EXEMPT = {
+    "agg_exact_median_by_type": "exact median; scale sibling agg_percentile_approx",
+    "agg_percentile_bands": "exact percentile bands; sibling agg_percentile_approx",
+    "agg_gini_value": "exact Gini needs a per-type total order; sibling "
+    "agg_histogram_value bins the same distribution",
+    "agg_equidepth_deciles": "exact global deciles; sibling agg_percentile_approx",
+    "agg_weighted_median_by_source": "exact weighted median per source; "
+    "sibling quality_length_quantile_audit's histogram quantiles",
+    "window_ntile": "exact global ntile; sibling agg_percentile_approx",
+    "window_percentiles": "exact percent_rank/cume_dist demo over a "
+    "low-cardinality status key; approx quantile siblings cover scale",
+    "quality_rank_normalize": "exact per-source rank normalization; "
+    "sibling quality_length_quantile_audit (histogram-window quantiles)",
+}
+
+_SAFE_WINDOW_CLASSES = {"wgl", "bounded", "per-entity", "partition-local"}
+
+
+def test_registry_window_skew_classes(spark):
+    """Every Window node in every registry plan must fall in a §9r-safe
+    class — WindowGroupLimit-rewritten, bounded/pre-aggregated input,
+    per-entity partition key, or the two-pass prefix sum's
+    partition-local leg — or its query must sit on the explicit
+    exact-oracle exempt list above. A future query reintroducing a
+    single-partition window over raw rows fails here instead of
+    shipping (the hand-maintained §9r table caught
+    sample_weighted_systematic only in round 9; this sweep caught
+    corpus_dedup_keep_best's hot-cluster window in round 10)."""
+    from cognitive_score_bigdata_spark.plans.window_audit import classify_windows
+
+    registry = load_registry()
+    violations = []
+    for name, spec in registry.items():
+        for w in classify_windows(spec.fn(spark, SF_DIR)):
+            if w.klass == "exposed" and name not in WINDOW_EXEMPT:
+                violations.append((name, w.partition_cols))
+    assert not violations, (
+        "unclassified skew-exposed Window nodes (add a scale-safe form "
+        f"or an exempt rationale): {violations}"
+    )
+
+
+def test_window_audit_classifier_classes(spark):
+    """Classifier unit fixtures: one DataFrame per class, including the
+    deliberately-broken global-cumsum-over-raw-rows shape that MUST
+    come back exposed (the §9r scale-killer the sweep exists to catch)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.plans.window_audit import classify_windows
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    topk = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("ts")),
+    ).filter("rn <= 3")
+    assert [w.klass for w in classify_windows(topk)] == ["wgl"]
+
+    per_entity = ev.withColumn(
+        "s", F.sum("value").over(Window.partitionBy("user_id").orderBy("ts"))
+    )
+    assert [w.klass for w in classify_windows(per_entity)] == ["per-entity"]
+
+    daily = ev.groupBy("event_type").agg(F.sum("value").alias("v"))
+    bounded = daily.withColumn("r", F.rank().over(Window.orderBy("v")))
+    assert [w.klass for w in classify_windows(bounded)] == ["bounded"]
+
+    local = ev.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "s", F.sum("value").over(Window.partitionBy("__pid").orderBy("ts"))
+    )
+    assert [w.klass for w in classify_windows(local)] == ["partition-local"]
+
+    broken = ev.withColumn("cum", F.sum("value").over(Window.orderBy("ts")))
+    assert [w.klass for w in classify_windows(broken)] == ["exposed"]
