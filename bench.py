@@ -211,6 +211,10 @@ HEADLINE = [
     # from day one, driver rows in their round-10 birth window)
     "curation_scorer_oov_audit",
     "curation_scorer_length_bias",
+    # round-10 addition: cross-snapshot dedup index merge (pair gen
+    # from the merged on-disk index; build+merge are once-per-snapshot
+    # artifacts, warmed like the other index builds)
+    "dedup_index_merge_pairs_md5",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -264,6 +268,10 @@ def main() -> None:
         # IVF+residual-PQ index build (VERDICT r7 item 2: the build was
         # landing in the timed probe while the PQ sibling's was warmed)
         "vector_ann_ivfpq_topk",
+        # snapshot-1 index build + snapshot-2 append-merge (round 10):
+        # once-per-snapshot artifacts; the timed row measures pair
+        # generation from the merged on-disk index
+        "dedup_index_merge_pairs_md5",
     ):
         if warm in registry:
             registry[warm].fn(spark, sf_dir).count()

@@ -308,6 +308,10 @@ ROUND10_WINDOW = [
     # the 2 staged round-10 scorer audits (birth-window rows)
     "curation_scorer_oov_audit",
     "curation_scorer_length_bias",
+    # the NEW round-10 query (birth-window row): cross-snapshot dedup
+    # index merge with the full-corpus conservation oracle — displaces
+    # the END refill (subquery_in_filter) per the displacement rule
+    "dedup_index_merge_pairs_md5",
     # ALL 35 round-5-latest carries — clears round-5 debt
     "agg_corr_value_hour",
     "agg_distinct",
@@ -357,7 +361,6 @@ ROUND10_WINDOW = [
     "sample_seeded",
     "dedup_cluster_docs",
     "range_join_time_binned",
-    "subquery_in_filter",
 ]
 
 #
@@ -558,6 +561,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round8,
         round8_staging,
         round9,
+        round10,
         round10_staging,
         scalar_funcs,
         setops,

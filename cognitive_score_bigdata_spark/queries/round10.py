@@ -1,0 +1,176 @@
+"""Round-10 registry additions: cross-snapshot dedup index MERGE
+(VERDICT r9 item 4).
+
+``dedup_incremental_newbatch`` probes a STATIC persisted index; the
+CCNet per-snapshot dedup shape also needs the index to absorb each new
+snapshot so the next snapshot probes corpus+snap1, then
+corpus+snap1+snap2, and so on. This module adds that merge on the
+md5-auditable minhash scheme (``round4_staging2.md5_minhash_signatures``
+— the two-hash Kirsch-Mitzenmacher construction that is bit-identical
+in Spark and DuckDB), so the MERGED artifact itself is value-checked by
+the driver, not just row-counted.
+
+Merge strategy — APPEND, deliberately not read-union-rewrite: the LSH
+index is a pure row table keyed by (band, bkey); bucket membership is
+additive, so absorbing a snapshot is `write.mode("append").
+partitionBy("band")` — zero old partitions read, zero rewritten, which
+is strictly stronger than rewriting only touched partitions (an index
+holding per-bucket AGGREGATES would need read-modify-write; this one
+does not, and at 100 TB rewriting a billions-of-rows index per crawl
+snapshot is the difference between a nightly job and a non-starter).
+The no-index-scan property and band partition pruning are plan-pinned
+in ``tests/test_round10_merge.py``. All new docs are absorbed —
+duplicates too: near-dup verdicts are downstream decisions (the §9q
+bridge pattern); the index stays the authoritative signature store, so
+merged-index pair generation is CONSERVATIVE — identical to a full
+rebuild over the snapshot union. The oracle exploits exactly that:
+it is the full-corpus DuckDB formulation (`_MH_ORACLE`), so the
+driver's hash-match IS the conservation proof (merged-index dedup ≡
+full-corpus dedup).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import fan_out, load_table
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    MH_BANDS,
+    MH_K,
+    MH_ROWS,
+    _MH_ORACLE,
+    md5_minhash_signatures,
+)
+from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+# Snapshot split: snapshot 1 = two thirds of the corpus (the standing
+# index), snapshot 2 = the remaining third (the new crawl increment).
+SNAP_MOD = 3
+SNAP_NEW = 2
+
+
+def md5_banded_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}, band, bkey): the persisted-index row form of
+    the md5 minhash scheme — full signature carried on every band row
+    (like ``operators.dedup.save_minhash_index``) so probe/verify reads
+    one table, and ``bkey`` precomputed so the bucket join needs no
+    signature arithmetic at probe time."""
+    sig = md5_minhash_signatures(d)
+    return sig.select(
+        "doc_id",
+        *[f"m{i}" for i in range(MH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"m{MH_ROWS * k + j}").cast("string")
+                                for j in range(MH_ROWS)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for k in range(MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        *[f"m{i}" for i in range(MH_K)],
+        F.col("b.band").alias("band"),
+        F.col("b.bkey").alias("bkey"),
+    )
+
+
+def snapshot_docs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snap1 = docs.filter(F.col("doc_id") % SNAP_MOD != SNAP_NEW)
+    snap2 = docs.filter(F.col("doc_id") % SNAP_MOD == SNAP_NEW)
+    return snap1, snap2
+
+
+def merge_into_index(new_docs: DataFrame, path: str) -> DataFrame:
+    """Absorb ``new_docs`` into the band-partitioned index at ``path``
+    (the per-snapshot MERGE). Returns the banded rows that were
+    appended — whose plan, by construction, contains no scan of
+    ``path``: only the new batch is read, no old partition is touched.
+    """
+    new_rows = md5_banded_rows(fan_out(new_docs))
+    new_rows.write.mode("append").partitionBy("band").parquet(path)
+    return new_rows
+
+
+# One build+merge per (session, corpus): the index is a batch artifact
+# with snapshot merges layered on it, not a per-query cost — the same
+# lifecycle contract as _minhash_index_path / the IVF inverted file.
+_MERGED_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def merged_index_path(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        snap1, snap2 = snapshot_docs(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="csb_mh_merged_") + "/idx"
+        # snapshot-1 standing index (the batch build)
+        md5_banded_rows(fan_out(snap1)).write.partitionBy("band").parquet(path)
+        # the MERGE under test: snapshot 2 appended, no index read
+        merge_into_index(snap2, path)
+        return path
+
+    return session_scoped(_MERGED_INDEX_CACHE, spark, (sf_dir,), build)
+
+
+@register(
+    "dedup_index_merge_pairs_md5",
+    oracle=_MH_ORACLE,
+    doc="cross-snapshot dedup index MERGE (CCNet per-snapshot shape): "
+    "snapshot 1 (2/3 of documents) is the persisted band-partitioned "
+    "md5-minhash index; snapshot 2 (the crawl increment) is absorbed "
+    "by APPENDING its banded signature rows — the merge reads zero old "
+    "partitions and rewrites nothing, because LSH bucket membership is "
+    "additive (plan-pinned in test_round10_merge). Candidate pairs + "
+    "signature-agreement est_jaccard are then generated FROM THE "
+    "MERGED ON-DISK INDEX (bucket self-join on (band,bkey), ids-only "
+    "candidates, signatures re-joined after the pair distinct). The "
+    "oracle is the FULL-CORPUS DuckDB formulation, so the driver "
+    "hash-match is the conservation proof: merged-index dedup is "
+    "bit-identical to a from-scratch rebuild over the snapshot union",
+)
+def dedup_index_merge_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = spark.read.parquet(merged_index_path(spark, sf_dir))
+    a = idx.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig = idx.filter(F.col("band") == 0)  # one signature row per doc
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MH_K)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
+        )
+    )

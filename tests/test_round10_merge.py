@@ -1,0 +1,91 @@
+"""Cross-snapshot dedup index merge (queries/round10.py): plan pins and
+conservation (VERDICT r9 item 4).
+
+The merge's scale contract is structural, so it is pinned on plans, not
+timings: absorbing a snapshot must read ZERO old index partitions (LSH
+bucket membership is additive — append, not read-union-rewrite), and
+downstream reads of the band-partitioned index must prune partitions.
+Conservation is pinned twice: the artifact level (merged index row set
+== from-scratch rebuild over the snapshot union) and the result level
+(pairs from the merged index == the single-shot md5 pair query), on top
+of the driver's DuckDB hash-match against the full-corpus oracle.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.plans.audit import plan_text
+from cognitive_score_bigdata_spark.queries.round10 import (
+    md5_banded_rows,
+    merge_into_index,
+    merged_index_path,
+    snapshot_docs,
+)
+from tests.conftest import SF_DIR
+
+
+def test_merge_reads_no_index_partition(spark):
+    """The append-merge's write-side plan must scan only the new batch:
+    no node may reference the index path (stronger than 'only touched
+    partitions' — NOTHING old is read; a regression to read-union-
+    rewrite shows up as a parquet scan of the index here)."""
+    _, snap2 = snapshot_docs(spark, SF_DIR)
+    path = tempfile.mkdtemp(prefix="csb_merge_pin_") + "/idx"
+    md5_banded_rows(snap2.limit(50)).write.partitionBy("band").parquet(path)
+    appended = merge_into_index(snap2.limit(80), path)
+    assert path not in plan_text(appended)
+
+
+def test_merged_index_scan_prunes_band_partitions(spark):
+    """Reads of the merged index filtered to a band subset must show
+    parquet PartitionFilters on band — the reason the index is
+    partitioned by band at all (an incremental probe touches only the
+    bands it hashes into). The registered query itself exercises this:
+    its signature leg reads band=0 only."""
+    from cognitive_score_bigdata_spark.queries import load_registry
+
+    idx_path = merged_index_path(spark, SF_DIR)
+    one_band = spark.read.parquet(idx_path).filter(F.col("band") == 0)
+    t = plan_text(one_band)
+    assert re.search(r"PartitionFilters: \[[^\]]*band", t), t[:2000]
+
+    q = load_registry()["dedup_index_merge_pairs_md5"].fn(spark, SF_DIR)
+    qt = plan_text(q)
+    assert re.search(r"PartitionFilters: \[[^\]]*band[^\]]* = 0\)", qt), (
+        "query's signature leg no longer prunes to band=0"
+    )
+
+
+def test_merged_index_equals_full_rebuild(spark):
+    """Artifact-level conservation: the merged index's row set must be
+    identical to a from-scratch build over snap1 UNION snap2 — the
+    property that lets snapshot N+1 probe the merged index as if the
+    corpus had been indexed in one shot."""
+    snap1, snap2 = snapshot_docs(spark, SF_DIR)
+    merged = spark.read.parquet(merged_index_path(spark, SF_DIR))
+    rebuilt = md5_banded_rows(snap1.unionByName(snap2))
+    cols = [c for c in rebuilt.columns]
+    diff_a = merged.select(cols).exceptAll(rebuilt.select(cols))
+    diff_b = rebuilt.select(cols).exceptAll(merged.select(cols))
+    assert diff_a.count() == 0 and diff_b.count() == 0
+
+
+def test_merged_pairs_equal_single_shot_pairs(spark):
+    """Result-level conservation inside Spark (the driver pins it vs
+    DuckDB): pair set + est_jaccard from the merged index == the
+    single-shot dedup_minhash_pairs_md5 computation."""
+    from cognitive_score_bigdata_spark.queries import load_registry
+
+    R = load_registry()
+    merged = (
+        R["dedup_index_merge_pairs_md5"].fn(spark, SF_DIR).toPandas()
+    )
+    single = R["dedup_minhash_pairs_md5"].fn(spark, SF_DIR).toPandas()
+    key = ["doc_a", "doc_b", "est_jaccard"]
+    a = merged[key].sort_values(key).reset_index(drop=True)
+    b = single[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b), (len(a), len(b))
