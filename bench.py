@@ -4,9 +4,19 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() materializes every
-partition) after a warm-up of the session; per-query wall time excludes
-session startup, which a long-lived cluster amortizes anyway.
+Each query is executed to completion through the noop datasource sink
+(every row of every output column is evaluated, nothing is collected)
+after a warm-up of the session; per-query wall time excludes session
+startup, which a long-lived cluster amortizes anyway.
+
+Round-10 methodology fix: timings previously drove queries with
+``.count()``, which lets Catalyst PRUNE any expression the count does
+not need — Window nodes and projection math vanished from the counted
+plan entirely (window_rolling_avg: 0.18 s under count() vs 0.79 s fully
+materialized at sf0.1; text_gopher_rules 0.10 vs 0.57). Every timing
+from bench_config revision r10-noop-sink onward measures the full
+declared computation; earlier rounds' numbers are comparable to each
+other but systematically LOW for projection-/window-shaped queries.
 """
 
 from __future__ import annotations
@@ -233,6 +243,13 @@ API_PARITY = [
 ]
 
 
+def materialize(df) -> None:
+    """Execute the FULL plan: every row of every output column, via the
+    noop sink. Replaces ``.count()``, under which Catalyst pruned
+    unused Window/projection expressions out of the timed plan."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -241,7 +258,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM/codegen paths so query timings measure the plans.
-    registry["flagship_stats"].fn(spark, sf_dir).count()
+    materialize(registry["flagship_stats"].fn(spark, sf_dir))
     # Warm the Python/Arrow worker pool too (first pandas-UDF stage in a
     # session pays worker spawn + numpy/pandas import across all cores —
     # ~8 s of one-time cost that would otherwise land on whichever Arrow
@@ -251,7 +268,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
     if "ml_score_batch" in registry:
-        registry["ml_score_batch"].fn(spark, sf_dir).count()
+        materialize(registry["ml_score_batch"].fn(spark, sf_dir))
     # Index-build artifacts (minhash banded index, SemDeDup quantization)
     # are once-per-corpus-lifetime jobs, not per-probe cost — warm them
     # for the same reason the serving model is warmed above.
@@ -274,7 +291,7 @@ def main() -> None:
         "dedup_index_merge_pairs_md5",
     ):
         if warm in registry:
-            registry[warm].fn(spark, sf_dir).count()
+            materialize(registry[warm].fn(spark, sf_dir))
     # The quota-admission stream FIXTURE (session-scoped coalesce(1)
     # JSON export, queries/round6.py) is a once-per-corpus source
     # export like streaming_hll_users's above; warming it leaves the
@@ -363,7 +380,7 @@ def main() -> None:
         # them, which showed up as 5-10x slowdowns on the heavy tail.
         spark._jvm.System.gc()  # noqa: SLF001
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        materialize(spec.fn(spark, sf_dir))
         return round(time.perf_counter() - t0, 3)
 
     def run_family(names: list[str]) -> dict[str, float]:
@@ -484,7 +501,7 @@ def main() -> None:
         # r10-probe-first: jvm/noise probes now sample BEFORE the first
         # canary run, and value_excl_canary was added (ADVICE r9).
         "bench_config": {
-            "revision": "r10-probe-first",
+            "revision": "r10-noop-sink",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

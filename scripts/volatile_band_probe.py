@@ -47,19 +47,21 @@ def one_run() -> None:
     from cognitive_score_bigdata_spark.queries import load_registry
     from cognitive_score_bigdata_spark.session import get_spark
 
+    from bench import materialize  # the r10 noop-sink materializer
+
     registry = load_registry()
     spark = get_spark("volatile-band")
     spark.sparkContext.setLogLevel("ERROR")
     # bench.py's session warm-ups relevant to the trio, in bench order
-    registry["flagship_stats"].fn(spark, sf_dir).count()
+    materialize(registry["flagship_stats"].fn(spark, sf_dir))
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
-    registry["vector_ann_pq_topk"].fn(spark, sf_dir).count()
-    registry["vector_ann_ivfpq_topk"].fn(spark, sf_dir).count()
+    materialize(registry["vector_ann_pq_topk"].fn(spark, sf_dir))
+    materialize(registry["vector_ann_ivfpq_topk"].fn(spark, sf_dir))
     out: dict[str, float] = {}
     for name in TRIO:
         spark._jvm.System.gc()  # noqa: SLF001 — same protocol as bench.time_one
         t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).count()
+        materialize(registry[name].fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
     print(json.dumps(out))
     spark.stop()
