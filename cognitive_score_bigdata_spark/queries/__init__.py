@@ -293,6 +293,37 @@ ROUND8_WINDOW = [
     "window_trailing_30d_range",
 ]
 
+# Round-11 rotation plan (execute as ROUND11_WINDOW next round): ALL
+# 38 remaining round-6-latest rows — after that window no query's
+# latest driver row predates round 7 and round-6 debt is CLEARED —
+# then 12 refills from the 50 round-7-latest rows, chosen for watch
+# priority + module spread: corpus_dedup_keep_best (re-verifies the
+# round-10 max_by rewrite at the driver), window_rolling_avg (the
+# noop-materializer poster child), text_chunk_dedup,
+# corpus_shard_assignment, window_latest_per_key, dedup_cluster_exact,
+# analytics_q2_min_cost_supplier, scalar_hash_md5, setop_union_by_name,
+# quality_data_validation, multimodal_extract_features,
+# subquery_scalar_avg_diff. The 38 carries are (alphabetical):
+# agg_approx_distinct, agg_cube, agg_percentile_approx, agg_rollup,
+# analytics_skyline_parts, corpus_contamination_4gram,
+# corpus_mix_rebalance, events_markov_transitions,
+# events_streak_islands, graph_pagerank_bucketed, join_anti,
+# join_asof_cogrouped, join_explode_ownership, join_left_composite,
+# join_semi, market_rule_lift, multimodal_arrow_bytes,
+# proj_derived_status, quality_repetition_signals, sample_domain_quota,
+# sample_stratified, scalar_regexp_replace, scalar_string_funcs,
+# scalar_variant_props, scan_orc_pushdown, scan_runtime_bloom_join,
+# sketch_cms_md5_tokens, streaming_markov_transitions,
+# streaming_quota_admission, subquery_in_filter, text_lang_id,
+# text_quality_score, text_token_count_bpe, timeseries_gapfill_daily,
+# vector_cosine_topk, vector_kmeans_cluster_sizes, window_percentiles,
+# window_rank_analytic. All 50 pre-validated at sf0.01 under the
+# driver-mirror comparator at round-10 end (2026-08-15): 46 hash-green
+# + 4 rows-only (agg_approx_distinct, agg_percentile_approx,
+# sample_stratified, vector_kmeans_cluster_sizes — all ledgered with
+# green exact siblings), 0 red. New round-11 queries displace refills
+# from the END of the list, never the r6 carries.
+#
 # Round-10 rotation (VERDICT r9 item 1 — executes the plan written
 # here at round-9 end, all 50 rows pre-validated at sf0.01 under the
 # driver-mirror comparator on 2026-08-14): the 2 round-10 staged rows
