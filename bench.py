@@ -221,10 +221,12 @@ HEADLINE = [
     # from day one, driver rows in their round-10 birth window)
     "curation_scorer_oov_audit",
     "curation_scorer_length_bias",
-    # round-10 addition: cross-snapshot dedup index merge (pair gen
+    # round-10 additions: cross-snapshot dedup index merge (pair gen
     # from the merged on-disk index; build+merge are once-per-snapshot
-    # artifacts, warmed like the other index builds)
+    # artifacts, warmed like the other index builds) + the §9u
+    # entity-share audit gate
     "dedup_index_merge_pairs_md5",
+    "quality_entity_share_audit",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

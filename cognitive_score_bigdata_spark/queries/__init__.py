@@ -339,10 +339,12 @@ ROUND10_WINDOW = [
     # the 2 staged round-10 scorer audits (birth-window rows)
     "curation_scorer_oov_audit",
     "curation_scorer_length_bias",
-    # the NEW round-10 query (birth-window row): cross-snapshot dedup
-    # index merge with the full-corpus conservation oracle — displaces
-    # the END refill (subquery_in_filter) per the displacement rule
+    # the 2 NEW round-10 queries (birth-window rows): cross-snapshot
+    # dedup index merge with the full-corpus conservation oracle, and
+    # the §9u entity-share audit gate — displacing the END refills
+    # (subquery_in_filter, range_join_time_binned) per the rule
     "dedup_index_merge_pairs_md5",
+    "quality_entity_share_audit",
     # ALL 35 round-5-latest carries — clears round-5 debt
     "agg_corr_value_hour",
     "agg_distinct",
@@ -391,7 +393,6 @@ ROUND10_WINDOW = [
     "agg_median",
     "sample_seeded",
     "dedup_cluster_docs",
-    "range_join_time_binned",
 ]
 
 #

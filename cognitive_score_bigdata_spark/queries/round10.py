@@ -31,7 +31,6 @@ full-corpus dedup).
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -173,4 +172,74 @@ def dedup_index_merge_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (agree.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_entity_share_audit — the §9u operational gate as a query
+# ---------------------------------------------------------------------------
+
+# The per-entity window family's documented caveat becomes a bottleneck
+# when one entity's share of rows exceeds a core's share (§9u measured
+# the knee at P ~= 1/cores: 10% share costs ~11% wall, 30% costs ~60%
+# at 32 cores, and the SAME 1% bot that is invisible at 32 cores
+# dominates a 1000-executor stage). This is the audit a 100 TB operator
+# runs BEFORE any user_id-partitioned window; the threshold parameter
+# is the cluster's core count.
+AUDIT_PARALLELISM = 32  # local[32] rig; set to executor cores in prod
+AUDIT_TOP_K = 20
+
+
+@register(
+    "quality_entity_share_audit",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per_user)
+    SELECT u.user_id,
+           CAST(u.n_events AS BIGINT) AS n_events,
+           CAST(u.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           (u.n_events * {AUDIT_PARALLELISM} > t.total) AS exceeds_core_share
+    FROM per_user u, tot t
+    ORDER BY u.n_events DESC, u.user_id ASC
+    LIMIT {AUDIT_TOP_K}
+    """,
+    doc="entity-share audit (the §9u bot-user gate as a first-class "
+    "operator): top-K users by event share with an exceeds_core_share "
+    "flag at n_events * cores > total — the integer-exact form of "
+    "share > 1/cores, the §9u knee where a user_id-partitioned window "
+    "partition out-runs one core and AQE cannot split it. Window-free "
+    "by construction: map-side-combined count per user, the corpus "
+    "total broadcast back as a 1-row aggregate (the same bounded-"
+    "driver-state shape as the two-pass prefix sum), TakeOrderedAnd"
+    "Project top-K — every stage partial-aggregates, no global sort, "
+    "no skew exposure in the audit that exists to FIND skew",
+)
+def quality_entity_share_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # referenced by the top-K leg AND the total — materialize once
+    # (the §9d lesson: plan branches are not free references; without
+    # this the total's subtree re-scans the whole events table)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_user.agg(F.sum("n_events").cast("bigint").alias("total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("n_events").cast("double")
+                / F.col("total").cast("double")
+            ).alias("share"),
+            (
+                F.col("n_events") * F.lit(AUDIT_PARALLELISM) > F.col("total")
+            ).alias("exceeds_core_share"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(AUDIT_TOP_K)
     )

@@ -623,3 +623,26 @@ def test_window_audit_classifier_classes(spark):
 
     broken = ev.withColumn("cum", F.sum("value").over(Window.orderBy("ts")))
     assert [w.klass for w in classify_windows(broken)] == ["exposed"]
+
+
+def test_entity_share_audit_is_window_free_topk(spark):
+    """The audit that exists to FIND skew must not itself be
+    skew-exposed: map-side-combined per-user count, the total joined
+    back as a broadcast 1-row aggregate, TakeOrderedAndProject for the
+    top-K — no Window node, no global sort exchange."""
+    a = _audit(spark, "quality_entity_share_audit")
+    assert "Window" not in a["text"], a["text"][:2000]
+    assert a["has_take_ordered"], a["text"][:2000]
+    assert a["n_partial_aggs"] >= 1, a["text"][:2000]
+    # the 1-row total broadcasts back as a BuildRight nested-loop cross
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in a["text"], (
+        a["text"][:2000]
+    )
+    # one pass over events: the per-user table is localCheckpointed
+    # before fan-out, so BOTH legs read the same checkpoint RDD and no
+    # raw parquet scan remains in the consuming plan
+    assert a["text"].count("Scan parquet") == 0, a["text"][:2000]
+    import re as _re
+
+    rdd_ids = set(_re.findall(r"MapPartitionsRDD\[(\d+)\]", a["text"]))
+    assert len(rdd_ids) == 1, f"legs read different RDDs: {rdd_ids}"
