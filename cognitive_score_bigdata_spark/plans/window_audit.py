@@ -122,25 +122,64 @@ class WindowClass:
     klass: str  # "wgl" | "bounded" | "per-entity" | "partition-local" | "exposed"
 
 
+# Logical-plan analogues, used for windows hiding inside subquery
+# expressions: subqueries are not planned into the physical tree until
+# execution preparation (sparkPlan().subqueries() is empty), so they
+# are swept on the optimized LOGICAL plan via subqueriesAll() — where
+# InferWindowGroupLimit has already placed logical WindowGroupLimit
+# nodes, making the same classification possible.
+_L_WINDOW = {"Window"}
+_L_BOUNDING = {
+    "Aggregate",
+    "WindowGroupLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalRelation",
+    "OneRowRelation",
+}
+
+
+def _bounded_logical(node) -> bool:
+    n = _name(node)
+    if n in _L_BOUNDING:
+        return True
+    kids = _children(node)
+    if not kids:
+        return False
+    return all(_bounded_logical(c) for c in kids)
+
+
+def _classify_one(node, *, logical: bool) -> "WindowClass":
+    cols = _partition_cols(node)
+    wgl_names = {"WindowGroupLimit"} if logical else {"WindowGroupLimitExec"}
+    bounded = _bounded_logical if logical else _bounded
+    if _subtree_has(node, wgl_names):
+        klass = "wgl"
+    elif all(bounded(c) for c in _children(node)):
+        klass = "bounded"
+    elif cols and all(c in ENTITY_KEYS for c in cols):
+        klass = "per-entity"
+    elif "__pid" in cols:
+        klass = "partition-local"
+    else:
+        klass = "exposed"
+    return WindowClass(partition_cols=cols, klass=klass)
+
+
 def classify_windows(df: DataFrame) -> list[WindowClass]:
-    """Classify every Window node in ``df``'s pre-AQE physical plan."""
-    plan = df._jdf.queryExecution().sparkPlan()  # noqa: SLF001
+    """Classify every Window node in ``df``'s pre-AQE physical plan,
+    plus any Window hiding inside subquery expressions (swept on the
+    optimized logical plan — see module docstring)."""
+    qe = df._jdf.queryExecution()  # noqa: SLF001
     out: list[WindowClass] = []
-    for node in _walk(plan):
-        if _name(node) not in WINDOW_NODES:
-            continue
-        cols = _partition_cols(node)
-        if _subtree_has(node, {"WindowGroupLimitExec"}):
-            klass = "wgl"
-        elif all(_bounded(c) for c in _children(node)):
-            klass = "bounded"
-        elif cols and all(c in ENTITY_KEYS for c in cols):
-            klass = "per-entity"
-        elif "__pid" in cols:
-            klass = "partition-local"
-        else:
-            klass = "exposed"
-        out.append(WindowClass(partition_cols=cols, klass=klass))
+    for node in _walk(qe.sparkPlan()):
+        if _name(node) in WINDOW_NODES:
+            out.append(_classify_one(node, logical=False))
+    subs = qe.optimizedPlan().subqueriesAll()
+    for i in range(subs.size()):
+        for node in _walk(subs.apply(i)):
+            if _name(node) in _L_WINDOW:
+                out.append(_classify_one(node, logical=True))
     return out
 
 

@@ -646,3 +646,32 @@ def test_entity_share_audit_is_window_free_topk(spark):
 
     rdd_ids = set(_re.findall(r"MapPartitionsRDD\[(\d+)\]", a["text"]))
     assert len(rdd_ids) == 1, f"legs read different RDDs: {rdd_ids}"
+
+
+def test_window_audit_sees_subquery_windows(spark):
+    """Subqueries are not planned into sparkPlan() until execution
+    prep, so a Window hiding inside a scalar-subquery expression was
+    invisible to the physical walk — the classifier sweeps
+    optimizedPlan().subqueriesAll() for exactly this. The bounded
+    variant (window over an aggregate inside the subquery) must also
+    classify, via the logical-plan analogues."""
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.plans.window_audit import classify_windows
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("__wa_ev")
+    exposed = spark.sql("""
+      SELECT user_id, value FROM __wa_ev
+      WHERE value > (SELECT avg(x) FROM
+        (SELECT max(value) OVER (PARTITION BY event_type) AS x FROM __wa_ev))
+    """)
+    ks = [w.klass for w in classify_windows(exposed)]
+    assert ks == ["exposed"], ks
+
+    bounded = spark.sql("""
+      SELECT user_id, value FROM __wa_ev
+      WHERE value > (SELECT avg(x) FROM
+        (SELECT rank() OVER (ORDER BY v) AS x FROM
+          (SELECT event_type, sum(value) AS v FROM __wa_ev GROUP BY 1)))
+    """)
+    ks = [w.klass for w in classify_windows(bounded)]
+    assert ks == ["bounded"], ks
