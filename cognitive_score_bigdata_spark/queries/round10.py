@@ -243,3 +243,73 @@ def quality_entity_share_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(AUDIT_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Index compaction — the maintenance half of the merge lifecycle
+# ---------------------------------------------------------------------------
+
+
+def band_file_counts(path: str) -> dict[int, int]:
+    """Parquet data files per band partition of an index at ``path``."""
+    import glob
+    import os
+
+    out: dict[int, int] = {}
+    for d in glob.glob(os.path.join(path, "band=*")):
+        band = int(d.rsplit("=", 1)[1])
+        out[band] = len(glob.glob(os.path.join(d, "*.parquet")))
+    return out
+
+
+def compact_index_bands(
+    spark: SparkSession,
+    path: str,
+    max_files_per_band: int = 1,
+    bands: list[int] | None = None,
+) -> dict[int, tuple[int, int]]:
+    """Small-file maintenance for the append-merged band index.
+
+    Every snapshot merge appends one file set per band
+    (:func:`merge_into_index`), so after N snapshots each band
+    partition holds N file sets and scan/open overhead grows with
+    snapshot count. Compaction is the place where read-union-rewrite
+    IS the right shape — but applied per PARTITION, never to the whole
+    index: only bands whose file count exceeds ``max_files_per_band``
+    (or the explicit ``bands`` override) are read — a pruned scan, the
+    parquet reader touches no other partition — rewritten as one file
+    per band, and atomically swapped in. Content is untouched
+    (conservation pinned in test_round10_merge); at 100 TB this is the
+    nightly job that keeps probe-time file counts flat while merges
+    stay append-only.
+
+    Returns {band: (files_before, files_after)} for compacted bands.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    counts = band_file_counts(path)
+    touched = (
+        sorted(bands)
+        if bands is not None
+        else sorted(b for b, n in counts.items() if n > max_files_per_band)
+    )
+    if not touched:
+        return {}
+    pruned = spark.read.parquet(path).filter(F.col("band").isin(touched))
+    tmp = tempfile.mkdtemp(prefix="csb_mh_compact_")
+    (
+        pruned.repartition(len(touched), "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    for b in touched:
+        dst = os.path.join(path, f"band={b}")
+        src = os.path.join(tmp, f"band={b}")
+        shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    after = band_file_counts(path)
+    return {b: (counts[b], after[b]) for b in touched}

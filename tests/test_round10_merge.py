@@ -89,3 +89,70 @@ def test_merged_pairs_equal_single_shot_pairs(spark):
     a = merged[key].sort_values(key).reset_index(drop=True)
     b = single[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b), (len(a), len(b))
+
+
+def test_compaction_reduces_files_and_conserves_content(spark):
+    """After build+merge every band partition holds 2 file sets;
+    compaction must bring each touched band to one file, leave the row
+    set bit-identical, and its read must be partition-pruned to the
+    touched bands only."""
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        band_file_counts,
+        compact_index_bands,
+    )
+
+    snap1, snap2 = snapshot_docs(spark, SF_DIR)
+    path = tempfile.mkdtemp(prefix="csb_compact_") + "/idx"
+    md5_banded_rows(snap1.limit(120)).write.partitionBy("band").parquet(path)
+    merge_into_index(snap2.limit(80), path)
+
+    before_files = band_file_counts(path)
+    assert all(n >= 2 for n in before_files.values()), before_files
+    before_rows = spark.read.parquet(path).toPandas()
+
+    # pruning pin: the compaction scan carries PartitionFilters on band
+    touched = sorted(before_files)
+    pruned = spark.read.parquet(path).filter(F.col("band").isin(touched))
+    assert re.search(r"PartitionFilters: \[[^\]]*band", plan_text(pruned))
+
+    stats = compact_index_bands(spark, path, max_files_per_band=1)
+    assert set(stats) == set(before_files)
+    after_files = band_file_counts(path)
+    assert all(n == 1 for n in after_files.values()), after_files
+
+    after_rows = spark.read.parquet(path).toPandas()
+    cols = sorted(before_rows.columns)
+    a = before_rows[cols].sort_values(cols).reset_index(drop=True)
+    b = after_rows[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_compaction_band_subset_leaves_others_untouched(spark):
+    """Partial compaction (explicit band subset) must rewrite ONLY the
+    named band's files — the other partitions' files are byte-for-byte
+    the ones written before (mtime+name identical), proving the
+    read-union-rewrite really is per-partition."""
+    import glob
+    import os
+
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        band_file_counts,
+        compact_index_bands,
+    )
+
+    snap1, snap2 = snapshot_docs(spark, SF_DIR)
+    path = tempfile.mkdtemp(prefix="csb_compact2_") + "/idx"
+    md5_banded_rows(snap1.limit(100)).write.partitionBy("band").parquet(path)
+    merge_into_index(snap2.limit(60), path)
+
+    def file_sig(band):
+        return sorted(
+            (os.path.basename(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(path, f"band={band}", "*.parquet"))
+        )
+
+    untouched_sigs = {b: file_sig(b) for b in band_file_counts(path) if b != 0}
+    stats = compact_index_bands(spark, path, bands=[0])
+    assert list(stats) == [0] and stats[0][1] == 1
+    for b, sig in untouched_sigs.items():
+        assert file_sig(b) == sig, f"band {b} files were rewritten"
