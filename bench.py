@@ -227,6 +227,9 @@ HEADLINE = [
     # entity-share audit gate
     "dedup_index_merge_pairs_md5",
     "quality_entity_share_audit",
+    # round-11 staging: winnowing substring-overlap pairs (benched
+    # from day one, driver row in its round-11 birth window)
+    "dedup_winnowing_pairs",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

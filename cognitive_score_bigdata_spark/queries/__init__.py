@@ -321,8 +321,12 @@ ROUND8_WINDOW = [
 # driver-mirror comparator at round-10 end (2026-08-15): 46 hash-green
 # + 4 rows-only (agg_approx_distinct, agg_percentile_approx,
 # sample_stratified, vector_kmeans_cluster_sizes — all ledgered with
-# green exact siblings), 0 red. New round-11 queries displace refills
-# from the END of the list, never the r6 carries.
+# green exact siblings), 0 red. The round-11 staged query
+# dedup_winnowing_pairs (queries/round11_staging.py, validated green
+# at sf0.001 AND sf0.01 at staging time) fronts the window as its
+# birth row, displacing the last refill. Any further new round-11
+# queries displace refills from the END of the list, never the r6
+# carries.
 #
 # Round-10 rotation (VERDICT r9 item 1 — executes the plan written
 # here at round-9 end, all 50 rows pre-validated at sf0.01 under the
@@ -595,6 +599,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round9,
         round10,
         round10_staging,
+        round11_staging,
         scalar_funcs,
         setops,
         sharding,
