@@ -71,6 +71,15 @@ BOUNDING_NODES = AGG_NODES | {
 # probe side, so the bounded-input walk skips into broadcast subtrees.
 BROADCAST_BUILD = {"BroadcastExchangeExec"}
 ENTITY_KEYS = {"user_id", "doc_id", "vec_id"}
+# An aggregate or group-limit keyed by one of these is NOT a
+# cardinality bound: its output row count tracks the entity space
+# (|users|, |docs|, ...), which grows with the data — per-user totals
+# feeding a global window is the events_pareto_user_deciles shape the
+# hand audit classified as exposed. Group keys are a cardinality
+# judgment; this set encodes the registry's high-cardinality keys, and
+# a key absent from it is treated as bounded (event_type, source, day,
+# band — the low-cardinality dimensions).
+HIGH_CARD_KEYS = ENTITY_KEYS | {"event_id", "chunk", "bkey", "url", "host"}
 
 
 def _children(node) -> list:
@@ -92,12 +101,60 @@ def _subtree_has(node, names: set[str]) -> bool:
     return any(_name(n) in names for n in _walk(node))
 
 
+def _wgl_guards_this_window(window_node, wgl_names: set[str], window_names: set[str]) -> bool:
+    """True iff a WindowGroupLimit is reachable from this Window's
+    child WITHOUT passing through another Window node. Spark inserts
+    the Partial/Final limit nodes directly below the Window they
+    rewrite, so a limit belonging to a LOWER window must not mark an
+    exposed UPPER window safe (two-window plans: the sweep's one
+    false-negative hole, closed by this barrier)."""
+
+    def search(n) -> bool:
+        nm = _name(n)
+        if nm in wgl_names:
+            return True
+        if nm in window_names:  # a lower window owns everything below
+            return False
+        return any(search(c) for c in _children(n))
+
+    return any(search(c) for c in _children(window_node))
+
+
+def _group_keys(node) -> str:
+    """String form of an aggregate's grouping keys / a group-limit's
+    partition spec (empty for other nodes or on reflection failure)."""
+    try:
+        n = _name(node)
+        if n in AGG_NODES or n == "Aggregate":
+            exprs = node.groupingExpressions()
+        elif n.startswith("WindowGroupLimit"):
+            exprs = node.partitionSpec()
+        else:
+            return ""
+        return "; ".join(exprs.apply(i).toString() for i in range(exprs.size()))
+    except Exception:  # noqa: BLE001 - unexpected node shape: no keys
+        return ""
+
+
+def _keyed_by_high_card(node) -> bool:
+    import re
+
+    s = _group_keys(node)
+    names = {m.lower() for m in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", s)}
+    return any(n in HIGH_CARD_KEYS for n in names)
+
+
 def _bounded(node) -> bool:
-    """Every leaf path from ``node`` crosses a cardinality bound."""
+    """Every leaf path from ``node`` crosses a cardinality bound.
+
+    An aggregate / group-limit keyed by a HIGH_CARD_KEYS column is not
+    itself a bound (output tracks the entity space) but the walk
+    continues below it — a limit deeper down still caps the result.
+    """
     n = _name(node)
-    if n in BOUNDING_NODES:
-        return True
-    if n in BROADCAST_BUILD:
+    if (n in BOUNDING_NODES or n in BROADCAST_BUILD) and not _keyed_by_high_card(
+        node
+    ):
         return True
     kids = _children(node)
     if not kids:  # a raw scan leaf reached with no bound above it
@@ -141,7 +198,7 @@ _L_BOUNDING = {
 
 def _bounded_logical(node) -> bool:
     n = _name(node)
-    if n in _L_BOUNDING:
+    if n in _L_BOUNDING and not _keyed_by_high_card(node):
         return True
     kids = _children(node)
     if not kids:
@@ -152,8 +209,9 @@ def _bounded_logical(node) -> bool:
 def _classify_one(node, *, logical: bool) -> "WindowClass":
     cols = _partition_cols(node)
     wgl_names = {"WindowGroupLimit"} if logical else {"WindowGroupLimitExec"}
+    window_names = _L_WINDOW if logical else WINDOW_NODES
     bounded = _bounded_logical if logical else _bounded
-    if _subtree_has(node, wgl_names):
+    if _wgl_guards_this_window(node, wgl_names, window_names):
         klass = "wgl"
     elif all(bounded(c) for c in _children(node)):
         klass = "bounded"

@@ -2956,11 +2956,18 @@ KMV3_THR = 90  # per-type high-value user sets: partial 3-way overlap
     "for error inspection). The set-operation composability that "
     "plain distinct-counters lack is the whole reason theta/KMV "
     "sketches exist; the generic theta implementation stays in "
-    "operators/sketches.py, this row makes the algebra auditable",
+    "operators/sketches.py, this row makes the algebra auditable. "
+    "Round-10 scale fix (caught by the tightened window-skew sweep): "
+    "the original form smuggled the union count through a COUNT() "
+    "OVER () window, which both ran on one reducer over ALL per-user "
+    "rows and blocked WindowGroupLimit on the rank window. Now the "
+    "bottom-k is orderBy(hv).limit(k) — TakeOrderedAndProject, "
+    "map-side partial top-k — and the union count is a 1-row "
+    "aggregate broadcast back; the per-user table is checkpointed "
+    "once and shared by all three legs. The oracle keeps the window "
+    "form as the independent-implementation proof",
 )
 def sketch_kmv_overlap3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     m = (
         ev.filter(
@@ -2980,6 +2987,7 @@ def sketch_kmv_overlap3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_c"),
         )
     )
+    # shared by the bottom-k, union-count and exact-intersection legs
     h = m.withColumn(
         "hv",
         F.conv(
@@ -2987,30 +2995,36 @@ def sketch_kmv_overlap3(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long"),
+    ).localCheckpoint(eager=False)
+    # bottom-k of the union: TakeOrderedAndProject (map-side top-k) —
+    # every task keeps k rows, no global sort, no window
+    bk = h.orderBy("hv").limit(KMV3_K)
+    n_union = h.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_exact")
     )
-    ranked = h.withColumn(
-        "rn", F.row_number().over(Window.orderBy("hv"))
-    ).withColumn("n_union", F.count(F.lit(1)).over(Window.partitionBy()))
-    bk = ranked.filter(F.col("rn") <= KMV3_K)
-    # exact intersection as a lazy 1-row aggregate (no driver .count():
-    # the exact side rides the same job as the sketch side)
-    abc = m.filter(
+    abc = h.filter(
         (F.col("in_a") == 1) & (F.col("in_b") == 1) & (F.col("in_c") == 1)
     ).groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_abc_exact"))
-    kth = F.max(F.when(F.col("rn") == KMV3_K, F.col("hv")))
+    # the k-th smallest hash == max of the kept set, defined only when
+    # the union actually has k members (matches the window form's
+    # CASE WHEN rn = k semantics on short inputs)
+    kth = F.when(F.count(F.lit(1)) == KMV3_K, F.max("hv"))
     hits = F.sum(F.col("in_a") * F.col("in_b") * F.col("in_c"))
-    return bk.groupBy().agg(
-        F.max("n_union").cast("bigint").alias("n_union_exact"),
-        hits.cast("bigint").alias("k_hits"),
-        (
-            F.lit(float(KMV3_K - 1))
-            * F.lit(1152921504606846976.0)
-            / kth.cast("double")
-            * hits.cast("double")
-            / F.lit(KMV3_K)
-        ).alias("est_abc"),
-    ).crossJoin(F.broadcast(abc)).select(
-        "n_union_exact", "n_abc_exact", "k_hits", "est_abc"
+    return (
+        bk.groupBy()
+        .agg(
+            hits.cast("bigint").alias("k_hits"),
+            (
+                F.lit(float(KMV3_K - 1))
+                * F.lit(1152921504606846976.0)
+                / kth.cast("double")
+                * hits.cast("double")
+                / F.lit(KMV3_K)
+            ).alias("est_abc"),
+        )
+        .crossJoin(F.broadcast(n_union))
+        .crossJoin(F.broadcast(abc))
+        .select("n_union_exact", "n_abc_exact", "k_hits", "est_abc")
     )
 
 

@@ -560,6 +560,12 @@ WINDOW_EXEMPT = {
     "low-cardinality status key; approx quantile siblings cover scale",
     "quality_rank_normalize": "exact per-source rank normalization; "
     "sibling quality_length_quantile_audit (histogram-window quantiles)",
+    # flipped to exposed by the round-10 classifier tightening
+    # (entity-keyed aggregates no longer count as cardinality bounds):
+    "events_pareto_user_deciles": "exact user-decile Pareto curve needs "
+    "a global ordering of per-user totals; sketch/quantile siblings "
+    "(agg_percentile_approx, histogram forms) are the scale path — the "
+    "§9r hand audit already classified this row exposed",
 }
 
 _SAFE_WINDOW_CLASSES = {"wgl", "bounded", "per-entity", "partition-local"}
@@ -623,6 +629,32 @@ def test_window_audit_classifier_classes(spark):
 
     broken = ev.withColumn("cum", F.sum("value").over(Window.orderBy("ts")))
     assert [w.klass for w in classify_windows(broken)] == ["exposed"]
+
+    # stacked windows: a low-cardinality WGL below (top-3 per
+    # event_type, <= 3*|types| rows) genuinely bounds the upper window
+    lower = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("ts")),
+    ).filter("rn <= 3")
+    stacked = lower.withColumn(
+        "cum", F.sum("value").over(Window.orderBy("ts"))
+    )
+    ks = sorted(w.klass for w in classify_windows(stacked))
+    assert ks == ["bounded", "wgl"], ks
+
+    # ...but an ENTITY-keyed WGL does not (top-3 per user is |users|*3
+    # rows): the upper global window must come back exposed — the
+    # two-window false-negative hole, and the per-user-totals shape
+    # the hand audit classified exposed for events_pareto_user_deciles
+    lower_u = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts")),
+    ).filter("rn <= 3")
+    stacked_u = lower_u.withColumn(
+        "cum", F.sum("value").over(Window.orderBy("ts"))
+    )
+    ks = sorted(w.klass for w in classify_windows(stacked_u))
+    assert ks == ["exposed", "wgl"], ks
 
 
 def test_entity_share_audit_is_window_free_topk(spark):
