@@ -28,6 +28,15 @@ stable for static analysis), find every Window-family node, and
 classify it. ``tests/test_plans.py::test_registry_window_skew_classes``
 sweeps the whole registry and fails on any unclassified window.
 
+KNOWN LIMIT — checkpoint-hidden stages: a lazy ``localCheckpoint``
+truncates the SQL plan at an ExistingRDD scan, so windows upstream of
+a checkpoint are invisible to the sweep. Any query that checkpoints a
+window-bearing stage must classify that stage in a dedicated test on
+the PRE-checkpoint DataFrame (the pattern:
+``tests/test_winnowing.py::test_winnowing_windows_classify_per_entity``);
+as of round 10 the only checkpoint users are aggregate-only stages
+plus winnowing's fingerprint table, which carries that test.
+
 Classification is structural, not name-based:
 
 - class 1 iff a ``WindowGroupLimitExec`` sits in the window's subtree

@@ -152,7 +152,10 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    fp = winnow_fingerprints(docs)
+    # referenced by the a-leg, b-leg AND the df-cap — materialize once
+    # (the §9d lesson: without this the whole winnowing pipeline runs
+    # three times; the sweep showed 6 Window nodes instead of 2)
+    fp = winnow_fingerprints(docs).localCheckpoint(eager=False)
     kept = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WIN_DF_CAP
     )

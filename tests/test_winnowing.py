@@ -68,13 +68,19 @@ def test_fingerprint_density_matches_winnowing_economy(spark):
 def test_winnowing_windows_classify_per_entity(spark):
     """The per-doc winnowing windows must land in the §9r per-entity
     class under the mechanical sweep — bounded by document length,
-    never a global sort."""
+    never a global sort. Classified on the PRE-checkpoint stage: the
+    registered query localCheckpoints the fingerprint table (it has
+    three consumers), and a lazy checkpoint truncates the SQL plan at
+    an ExistingRDD scan, so the registry-wide sweep cannot see these
+    windows — this dedicated test is the documented pattern for
+    checkpoint-hidden stages (see window_audit docstring)."""
+    from cognitive_score_bigdata_spark.io import load_table
     from cognitive_score_bigdata_spark.plans.window_audit import classify_windows
-    from cognitive_score_bigdata_spark.queries import load_registry
     from tests.conftest import SF_DIR
 
-    q = load_registry()["dedup_winnowing_pairs"].fn(spark, SF_DIR)
-    ks = {w.klass for w in classify_windows(q)}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(docs)
+    ks = {w.klass for w in classify_windows(fp)}
     assert ks == {"per-entity"}, ks
 
 
