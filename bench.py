@@ -230,6 +230,10 @@ HEADLINE = [
     # round-11 staging: winnowing substring-overlap pairs (benched
     # from day one, driver row in its round-11 birth window)
     "dedup_winnowing_pairs",
+    # round-11 staging: retrieval compositions — RRF hybrid fusion +
+    # MMR diversity re-rank (benched from day one)
+    "search_hybrid_rrf",
+    "search_mmr_rerank",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

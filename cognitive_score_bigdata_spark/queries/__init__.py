@@ -588,6 +588,7 @@ def load_registry() -> dict[str, QuerySpec]:
         multimodal_real,
         projections,
         quality,
+        retrieval,
         round3_additions,
         round4_staging,
         round4_staging2,

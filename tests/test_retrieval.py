@@ -1,0 +1,197 @@
+"""Retrieval compositions (queries/retrieval.py): the cross-engine
+bit-exactness anchor, RRF fusion semantics, MMR diversity semantics,
+and the plan shapes that make both scale."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.similarity import cosine
+from cognitive_score_bigdata_spark.queries.retrieval import (
+    MMR_CAND_K,
+    MMR_SEL_K,
+    QUERY_MOD,
+    _cosine_ranked,
+    search_hybrid_rrf,
+    search_mmr_rerank,
+)
+from tests.conftest import SF_DIR
+
+
+def test_hof_cosine_bit_identical_to_duckdb(spark, oracle_con):
+    """The exactness anchor the module docstring claims: Spark's
+    sequential aggregate fold over DOUBLE-cast arrays equals DuckDB's
+    list_cosine_similarity(CAST(... AS DOUBLE[])) BIT FOR BIT, so every
+    downstream comparison (top-C cuts, MMR greedy) is exact, not
+    margin-dependent. If this ever fails, both retrieval queries must
+    be re-audited for float-boundary risk before trusting a hash-green
+    row."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qa"), F.col("embedding").alias("ea")
+    )
+    b = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("qb"), F.col("embedding").alias("eb")
+    )
+    got = {
+        (r.qa, r.qb): r.c
+        for r in a.crossJoin(b)
+        .select("qa", "qb", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .collect()
+    }
+    want = oracle_con.execute(
+        """
+        SELECT a.vec_id, b.vec_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 3 AND b.vec_id >= 3 AND b.vec_id < 40
+        """
+    ).fetchall()
+    assert len(want) == len(got) > 0
+    for qa, qb, c in want:
+        assert got[(qa, qb)] == c, (qa, qb, got[(qa, qb)], c)
+
+
+def _write_corpus(spark, docs_rows, emb_rows):
+    d = tempfile.mkdtemp(prefix="csb_retrieval_")
+    spark.createDataFrame(
+        docs_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in emb_rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def test_rrf_promotes_doc_strong_in_both_legs(spark):
+    """The reason hybrid fusion exists: a document that is SECOND in
+    each leg must outrank documents that are FIRST in one leg and
+    absent from the other (1/62 + 1/62 > 1/61 + 0). Fixture: doc 98 is
+    the lexical #1 (pure term spam, orthogonal embedding), doc 99 the
+    vector #1 (near-identical embedding, no query terms), doc 100
+    second in both — fused #1 must be 100."""
+    rng = np.random.RandomState(7)
+    q_vec = _unit(rng.randn(64))
+    near = _unit(q_vec + 0.05 * _unit(rng.randn(64)))  # vector #1
+    both = _unit(q_vec + 0.40 * _unit(rng.randn(64)))  # vector #2
+    docs = [
+        (1, "alpha beta gamma delta eps", "en", "s", 0),  # the query doc
+        (98, " ".join(["alpha beta gamma delta eps"] * 6), "en", "s", 0),
+        (99, "nothing shared here at all", "en", "s", 0),
+        (100, "alpha beta gamma filler filler", "en", "s", 0),
+    ]
+    embs = [
+        (1, q_vec),
+        (98, _unit(rng.randn(64))),
+        (99, near),
+        (100, both),
+    ]
+    # filler docs keep BM25 idf sane and the vector pool >2, with no
+    # query terms and embeddings far from q
+    for i in range(2, 20):
+        docs.append((i, f"fill{i}a fill{i}b fill{i}c", "en", "s", 0))
+        embs.append((i, _unit(rng.randn(64))))
+    d = _write_corpus(spark, docs, embs)
+    out = search_hybrid_rrf(spark, d).collect()
+    by_rank = {r.rnk: r for r in out if r.query_id == 1}
+    assert by_rank[1].doc_id == 100, sorted(
+        (r.rnk, r.doc_id, r.n_legs) for r in out
+    )
+    assert by_rank[1].n_legs == 2
+    # the single-leg champions trail the both-legs doc
+    trailing = {by_rank[k].doc_id for k in by_rank if k > 1}
+    assert {98, 99} <= trailing
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    """The diversity property MMR is for: after picking the top hit,
+    its near-duplicate (sim ~1) scores 0.5*rel - 0.5*~1 and must fall
+    behind a diverse moderately-relevant doc; pure-relevance order
+    would pick the duplicate second."""
+    rng = np.random.RandomState(11)
+    q_vec = _unit(rng.randn(64))
+    off = _unit(rng.randn(64))
+    top = _unit(q_vec + 0.10 * off)
+    # same offset direction, slightly farther: sim(top, dup) ~ 1 while
+    # rel(dup) < rel(top) by construction, not by luck of the seed
+    dup = _unit(q_vec + 0.12 * off)
+    diverse = _unit(q_vec + 0.80 * _unit(rng.randn(64)))
+    embs = [(1, q_vec), (2, top), (3, dup), (4, diverse)]
+    docs = [(i, f"text {i}", "en", "s", 0) for i, _ in embs]
+    for i in range(5, 12):
+        embs.append((i, _unit(rng.randn(64))))
+        docs.append((i, f"text {i}", "en", "s", 0))
+    d = _write_corpus(spark, docs, embs)
+    out = sorted(
+        ((r.rnk, r.doc_id) for r in search_mmr_rerank(spark, d).collect()
+         if r.query_id == 1)
+    )
+    order = [doc for _, doc in out]
+    assert order[0] == 2, order  # top relevance first
+    assert order[1] == 4, order  # diverse beats the near-dup
+    assert order.index(3) > order.index(4), order
+
+
+def test_mmr_first_pick_is_pure_relevance(spark):
+    """Step 1 of the greedy has an empty selected set, so it must equal
+    the cosine rank-1 candidate per query — the registry's exact
+    brute-force ordering (vector_cosine_topk machinery). Pins the
+    rel/sim wiring through the cogrouped rerank."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    want = {
+        (r.query_id, r.doc_id)
+        for r in _cosine_ranked(emb, 1).select("query_id", "doc_id").collect()
+    }
+    got = {
+        (r.query_id, r.doc_id)
+        for r in search_mmr_rerank(spark, SF_DIR).collect()
+        if r.rnk == 1
+    }
+    assert got == want
+
+
+def test_mmr_output_shape(spark):
+    """Every query id in the modulus class emits exactly MMR_SEL_K
+    contiguous ranks (candidate pool >= MMR_SEL_K at test SF)."""
+    rows = search_mmr_rerank(spark, SF_DIR).collect()
+    n_emb = load_table(spark, SF_DIR, "embeddings").count()
+    expect_q = {i for i in range(n_emb) if i % QUERY_MOD == 1}
+    assert MMR_CAND_K >= MMR_SEL_K
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    assert set(by_q) == expect_q
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, MMR_SEL_K + 1)), (q, rnks)
+
+
+def test_retrieval_plan_shapes(spark):
+    """Scale pins: the relevance leg broadcasts the query side (never
+    shuffles the corpus for it); the MMR rerank is ONE cogrouped Arrow
+    stage fed by candidate pools, and the pairwise-sim join is keyed on
+    query_id (an equi-join, not a cartesian)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    leg = _cosine_ranked(emb, MMR_CAND_K)
+    leg_plan = leg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in leg_plan, leg_plan
+
+    mmr = search_mmr_rerank(spark, SF_DIR)
+    plan = mmr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+    rrf = search_hybrid_rrf(spark, SF_DIR)
+    rplan = rrf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan, rplan
