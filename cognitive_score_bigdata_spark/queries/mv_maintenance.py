@@ -1,0 +1,190 @@
+"""Incremental materialized-view maintenance: algebraic agg-state merge.
+
+Round 10 added the dedup-index MERGE (append-only — LSH bucket
+membership is additive, so absorbing a snapshot reads zero old
+partitions). This module adds the OTHER canonical incremental shape: a
+daily rollup MV over ``events`` whose per-(day, type) state is
+ALGEBRAIC — (count, count(value), decimal-sum, min, max) — so partial
+states combine exactly: counts and decimal sums add, min/max fold.
+``avg`` is deliberately NOT stored; it is derived at read time from
+(sum, count), the classic MV-maintenance lesson (stored averages
+cannot be merged). Exact distinct is NOT algebraic and is out of scope
+here by design — that is what the sketches family (HLL/KMV/theta,
+``queries/sketches.py``) exists for.
+
+Unlike the dedup index, aggregation state DOES need read-modify-write
+when late data lands in an already-materialized day. The merge here:
+
+1. aggregates ONLY the increment (new day + late rows),
+2. reads back ONLY the day partitions the increment touches (the scan
+   carries a partition filter — pruning is plan-pinned in
+   ``tests/test_mv_maintenance.py``),
+3. combines old and new partial states by the algebra above,
+4. rewrites ONLY the touched partitions via dynamic partition
+   overwrite — untouched day files are left byte-identical on disk
+   (pinned by file-snapshot comparison in the same test module).
+
+At 100 TB that is the difference between a merge proportional to the
+increment (minutes) and a nightly full recompute over the fact table
+(hours): the work is O(touched partitions), not O(history). The
+oracle is the FULL-RECOMPUTE formulation over ``events``, so the
+driver's hash-match is the conservation proof — the incrementally
+maintained MV is bit-identical to recomputing from scratch (the
+DECIMAL(28,6) accumulator makes the sum exact and therefore
+merge-order-insensitive; a double sum would NOT survive this test).
+
+Reference parity: the reference maintains per-user latest state in a
+KV upsert sink (`/root/reference/src/stream_processor.py`); the
+batch-side rollup-with-late-data lifecycle is part of the warehouse
+battery this repo adds on top.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import DEC
+from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+# Late arrivals: every 17th event is withheld from the initial
+# materialization and arrives with the increment, landing in old days.
+LATE_MOD = 17
+
+_MV_ORACLE = """
+    SELECT CAST(ts AS DATE) AS event_day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(value) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _state(ev: DataFrame) -> DataFrame:
+    """Algebraic partial state per (event_day, event_type).
+
+    ``sum_dec`` stays DECIMAL in the stored state — exactness is what
+    makes the merge order-insensitive; ``n_val`` (non-null count) is
+    kept separately from ``n_events`` because it is avg's denominator.
+    """
+    return ev.groupBy("event_day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_val"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _combine(states: DataFrame) -> DataFrame:
+    """Merge partial states — the algebra the state was chosen for."""
+    return states.groupBy("event_day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_val").alias("n_val"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def _events_with_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # partition values round-trip as strings; cast back at read time
+    return ev.select(
+        "event_id",
+        F.to_date("ts").cast("string").alias("event_day"),
+        "event_type",
+        "value",
+    )
+
+
+def merge_increment(spark: SparkSession, inc: DataFrame, path: str) -> list:
+    """Absorb an increment into the day-partitioned MV at ``path``.
+
+    Reads back only the day partitions the increment touches and
+    rewrites only those (dynamic partition overwrite). Returns the
+    touched day list (bounded by the calendar, not the data — the one
+    driver-side collect in this lifecycle).
+    """
+    inc_state = _state(inc)
+    touched = [r.event_day for r in inc_state.select("event_day").distinct().collect()]
+    # partition-column inference reads event_day back as DATE; pin the
+    # state schema to string so the union/filter types are explicit
+    old = (
+        spark.read.parquet(path)
+        .withColumn("event_day", F.col("event_day").cast("string"))
+        .filter(F.col("event_day").isin(touched))
+    )
+    merged = _combine(old.unionByName(inc_state))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("event_day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
+
+
+_MV_CACHE: dict[tuple, str] = {}
+
+
+def maintained_mv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build the MV once per (session, corpus): initial materialization
+    over the on-time history, then ONE merge absorbing the increment
+    (the newest day + every LATE_MOD'th event arriving late into old
+    days). The same lifecycle contract as the dedup/IVF index builds."""
+
+    def build() -> str:
+        ev = _events_with_day(spark, sf_dir)
+        max_day = ev.agg(F.max("event_day")).collect()[0][0]
+        is_inc = (F.col("event_id") % LATE_MOD == 0) | (
+            F.col("event_day") == max_day
+        )
+        path = tempfile.mkdtemp(prefix="csb_mv_") + "/mv"
+        _state(ev.filter(~is_inc)).write.partitionBy("event_day").parquet(
+            path
+        )
+        merge_increment(spark, ev.filter(is_inc), path)
+        return path
+
+    return session_scoped(_MV_CACHE, spark, (sf_dir,), build)
+
+
+@register(
+    "agg_incremental_mv_merge",
+    oracle=_MV_ORACLE,
+    doc="incremental materialized-view maintenance (daily rollup over "
+    "events): per-(day,type) ALGEBRAIC state — counts, DECIMAL(28,6) "
+    "sum, min/max; avg derived at read time, never stored — "
+    "materialized day-partitioned, then an increment (newest day + "
+    "late rows into old days) absorbed by aggregating ONLY the "
+    "increment, reading back ONLY touched day partitions (pruning "
+    "plan-pinned), and rewriting ONLY those via dynamic partition "
+    "overwrite (untouched files byte-identical, file-snapshot-pinned). "
+    "Merge work is O(increment + touched partitions), not O(history). "
+    "The oracle is the full-recompute formulation, so the driver "
+    "hash-match IS the conservation proof: the maintained MV is "
+    "bit-identical to recomputing from scratch — which only holds "
+    "because the stored sum is exact decimal, not double",
+)
+def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = spark.read.parquet(maintained_mv_path(spark, sf_dir))
+    return mv.select(
+        F.col("event_day").cast("date").alias("event_day"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        (F.col("sum_dec").cast("double") / F.col("n_val")).alias(
+            "avg_value"
+        ),
+        "min_value",
+        "max_value",
+    )
