@@ -321,16 +321,18 @@ ROUND8_WINDOW = [
 # driver-mirror comparator at round-10 end (2026-08-15): 46 hash-green
 # + 4 rows-only (agg_approx_distinct, agg_percentile_approx,
 # sample_stratified, vector_kmeans_cluster_sizes — all ledgered with
-# green exact siblings), 0 red. The THREE round-11 staged queries
-# front the window as their birth rows, displacing the last three
+# green exact siblings), 0 red. The FOUR round-11 staged queries
+# front the window as their birth rows, displacing the last four
 # refills (subquery_scalar_avg_diff, multimodal_extract_features,
-# quality_data_validation): dedup_winnowing_pairs
-# (queries/round11_staging.py) and search_hybrid_rrf +
-# search_mmr_rerank (queries/retrieval.py) — every one validated
-# hash-green at sf0.001 AND sf0.01 at staging time (the retrieval
-# pair additionally via the verify-skill driver-contract run,
-# 2026-08-15). Any further new round-11 queries displace refills
-# from the END of the list, never the r6 carries.
+# quality_data_validation, setop_union_by_name):
+# dedup_winnowing_pairs (queries/round11_staging.py),
+# search_hybrid_rrf + search_mmr_rerank (queries/retrieval.py), and
+# agg_incremental_mv_merge (queries/mv_maintenance.py) — every one
+# validated hash-green at sf0.001 AND sf0.01 at staging time (the
+# retrieval pair and the MV merge additionally via verify-skill
+# driver-contract runs, 2026-08-15). Any further new round-11
+# queries displace refills from the END of the list, never the r6
+# carries.
 #
 # Round-10 rotation (VERDICT r9 item 1 — executes the plan written
 # here at round-9 end, all 50 rows pre-validated at sf0.01 under the
