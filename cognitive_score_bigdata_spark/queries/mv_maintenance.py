@@ -133,6 +133,37 @@ def merge_increment(spark: SparkSession, inc: DataFrame, path: str) -> list:
     return touched
 
 
+def merge_stream_increment(
+    spark: SparkSession, batch_df: DataFrame, path: str, batch_id: int
+) -> bool:
+    """``foreachBatch`` hook: continuous MV maintenance over a stream.
+
+    Aggregation state is NOT idempotent under re-delivery (merging the
+    same rows twice double-counts — unlike the dedup index, whose
+    bucket rows are additive and safely re-appended), and foreachBatch
+    is at-least-once. So committed batch ids are fenced via a ledger
+    next to the MV: replay of an already-merged ``batch_id`` is a
+    no-op. Returns whether the batch was merged. The residual window —
+    a crash BETWEEN the partition overwrite and the ledger append —
+    is exactly what transactional table formats close with an atomic
+    commit; documented here rather than papered over, the same honesty
+    contract as the streaming layer's watermark notes.
+    """
+    import os
+
+    ledger = path + "_ledger"
+    committed: set[str] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            committed = {line.strip() for line in fh if line.strip()}
+    if str(batch_id) in committed:
+        return False
+    merge_increment(spark, batch_df, path)
+    with open(ledger, "a") as fh:
+        fh.write(f"{batch_id}\n")
+    return True
+
+
 _MV_CACHE: dict[tuple, str] = {}
 
 

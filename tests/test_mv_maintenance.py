@@ -121,6 +121,92 @@ def test_late_data_merges_exactly(spark):
     assert merged == full
 
 
+def test_streaming_maintenance_foreachbatch(spark, tmp_path):
+    """Continuous maintenance: a micro-batch stream of increments
+    drained one file per trigger through merge_stream_increment must
+    leave the MV identical to the full recompute over everything the
+    stream delivered."""
+    from cognitive_score_bigdata_spark.queries.mv_maintenance import (
+        merge_stream_increment,
+    )
+
+    schema = "event_id long, event_day string, event_type string, value double"
+    base = spark.createDataFrame(
+        [(1, "2024-02-01", "view", 1.5), (2, "2024-02-01", "click", 2.25)],
+        schema,
+    )
+    path = str(tmp_path / "mv")
+    _state(base).write.partitionBy("event_day").parquet(path)
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    batches = [
+        [(3, "2024-02-02", "view", 4.5)],
+        [(4, "2024-02-01", "view", 0.125)],  # late into the old day
+        [(5, "2024-02-03", "click", 7.0), (6, "2024-02-02", "view", 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: merge_stream_increment(spark, b, path, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    everything = base.unionByName(
+        spark.createDataFrame(sum(batches, []), schema)
+    )
+    got = {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r.event_day, r.event_type): (r.n_events, float(r.sum_dec))
+        for r in _state(everything).collect()
+    }
+    assert got == want
+
+
+def test_stream_merge_replay_is_fenced(spark, tmp_path):
+    """Re-delivery of a committed batch_id must be a no-op: aggregation
+    state double-counts under replay (unlike the additive dedup index),
+    so the ledger fence is what makes at-least-once delivery safe."""
+    from cognitive_score_bigdata_spark.queries.mv_maintenance import (
+        merge_stream_increment,
+    )
+
+    schema = "event_id long, event_day string, event_type string, value double"
+    base = spark.createDataFrame([(1, "2024-03-01", "view", 2.0)], schema)
+    path = str(tmp_path / "mv")
+    _state(base).write.partitionBy("event_day").parquet(path)
+    inc = spark.createDataFrame([(2, "2024-03-01", "view", 3.0)], schema)
+
+    assert merge_stream_increment(spark, inc, path, 7) is True
+    snap = {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert snap[("2024-03-01", "view")] == (2, 5.0)
+    # replay: same batch id again — fenced, state unchanged
+    assert merge_stream_increment(spark, inc, path, 7) is False
+    again = {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == snap
+
+
 def test_combine_is_merge_order_insensitive(spark):
     """Splitting the same rows 3 ways and combining in any grouping
     must give identical state — the property the decimal sum buys and
