@@ -330,9 +330,14 @@ ROUND8_WINDOW = [
 # agg_incremental_mv_merge (queries/mv_maintenance.py) — every one
 # validated hash-green at sf0.001 AND sf0.01 at staging time (the
 # retrieval pair and the MV merge additionally via verify-skill
-# driver-contract runs, 2026-08-15). Any further new round-11
-# queries displace refills from the END of the list, never the r6
-# carries.
+# driver-contract runs, 2026-08-15). The FULL post-displacement
+# 50-row composition (4 staged + 38 carries + 8 refills) was
+# re-mirrored end-to-end at sf0.01 under the driver-gate comparator
+# on 2026-08-15: 46 hash-green + 4 rows-only (agg_approx_distinct,
+# agg_percentile_approx, sample_stratified,
+# vector_kmeans_cluster_sizes — all ledgered with green exact
+# siblings), 0 red. Any further new round-11 queries displace
+# refills from the END of the list, never the r6 carries.
 #
 # Round-10 rotation (VERDICT r9 item 1 — executes the plan written
 # here at round-9 end, all 50 rows pre-validated at sf0.01 under the
