@@ -16,6 +16,7 @@ bench.py headline row.
 
 Usage:
     python scripts/volatile_band_probe.py            # 5 runs, band JSON
+    python scripts/volatile_band_probe.py q1 q2 ...  # band other queries
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 ...      # default sf0.1
 
 Output: one JSON line {"runs": [...], "band": {name: [min, max]}}.
@@ -41,6 +42,20 @@ TRIO = [
 ]
 N_RUNS = 5
 
+# Once-per-corpus artifact builds bench.py warms before each target —
+# the band must measure the query, not its index build (bench order).
+WARM_FOR = {
+    "vector_ann_ivfpq_topk": ["vector_ann_pq_topk", "vector_ann_ivfpq_topk"],
+    "search_hybrid_rrf": ["text_bm25_topk"],
+    "agg_incremental_mv_merge": ["agg_incremental_mv_merge"],
+    "dedup_index_merge_pairs_md5": ["dedup_index_merge_pairs_md5"],
+}
+
+
+def _targets() -> list[str]:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    return names or TRIO
+
 
 def one_run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,16 +64,18 @@ def one_run() -> None:
 
     from bench import materialize  # the r10 noop-sink materializer
 
+    targets = _targets()
     registry = load_registry()
     spark = get_spark("volatile-band")
     spark.sparkContext.setLogLevel("ERROR")
-    # bench.py's session warm-ups relevant to the trio, in bench order
+    # bench.py's session warm-ups relevant to the targets, in bench order
     materialize(registry["flagship_stats"].fn(spark, sf_dir))
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
-    materialize(registry["vector_ann_pq_topk"].fn(spark, sf_dir))
-    materialize(registry["vector_ann_ivfpq_topk"].fn(spark, sf_dir))
+    for t in targets:
+        for warm in WARM_FOR.get(t, []):
+            materialize(registry[warm].fn(spark, sf_dir))
     out: dict[str, float] = {}
-    for name in TRIO:
+    for name in targets:
         spark._jvm.System.gc()  # noqa: SLF001 — same protocol as bench.time_one
         t0 = time.perf_counter()
         materialize(registry[name].fn(spark, sf_dir))
@@ -68,10 +85,11 @@ def one_run() -> None:
 
 
 def main() -> None:
+    targets = _targets()
     runs: list[dict[str, float]] = []
     for i in range(N_RUNS):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one"],
+            [sys.executable, os.path.abspath(__file__), "--one", *targets],
             capture_output=True,
             text=True,
             check=True,
@@ -81,7 +99,7 @@ def main() -> None:
         print(f"run {i + 1}/{N_RUNS}: {row}", file=sys.stderr)
     band = {
         name: [min(r[name] for r in runs), max(r[name] for r in runs)]
-        for name in TRIO
+        for name in targets
     }
     print(json.dumps({"runs": runs, "band": band}))
 
