@@ -350,6 +350,69 @@ ROUND8_WINDOW = [
 # round-6-latest rows, chosen for flagship freshness + module spread.
 # Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
+
+# The round-11 window, MATERIALIZED at round-10 end exactly as
+# re-mirrored at sf0.01 (46 green + 4 ledgered rows-only, 0 red —
+# see the plan comment above). NOT yet live: load_registry() orders
+# by ROUND10_WINDOW until the round-11 session swaps the two
+# references below. Kept as data, not prose, so the swap cannot
+# mistranscribe the validated composition.
+ROUND11_WINDOW = [
+    # the 4 round-11 staged rows (birth-window driver rows)
+    "dedup_winnowing_pairs",
+    "search_hybrid_rrf",
+    "search_mmr_rerank",
+    "agg_incremental_mv_merge",
+    # ALL 38 round-6-latest carries — clears round-6 debt
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_percentile_approx",
+    "agg_rollup",
+    "analytics_skyline_parts",
+    "corpus_contamination_4gram",
+    "corpus_mix_rebalance",
+    "events_markov_transitions",
+    "events_streak_islands",
+    "graph_pagerank_bucketed",
+    "join_anti",
+    "join_asof_cogrouped",
+    "join_explode_ownership",
+    "join_left_composite",
+    "join_semi",
+    "market_rule_lift",
+    "multimodal_arrow_bytes",
+    "proj_derived_status",
+    "quality_repetition_signals",
+    "sample_domain_quota",
+    "sample_stratified",
+    "scalar_regexp_replace",
+    "scalar_string_funcs",
+    "scalar_variant_props",
+    "scan_orc_pushdown",
+    "scan_runtime_bloom_join",
+    "sketch_cms_md5_tokens",
+    "streaming_markov_transitions",
+    "streaming_quota_admission",
+    "subquery_in_filter",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "timeseries_gapfill_daily",
+    "vector_cosine_topk",
+    "vector_kmeans_cluster_sizes",
+    "window_percentiles",
+    "window_rank_analytic",
+    # 8 refills from the round-7-latest rows (watch priority + spread)
+    "corpus_dedup_keep_best",
+    "window_rolling_avg",
+    "text_chunk_dedup",
+    "corpus_shard_assignment",
+    "window_latest_per_key",
+    "dedup_cluster_exact",
+    "analytics_q2_min_cost_supplier",
+    "scalar_hash_md5",
+]
+
 ROUND10_WINDOW = [
     # the 2 staged round-10 scorer audits (birth-window rows)
     "curation_scorer_oov_audit",
