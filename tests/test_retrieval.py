@@ -177,6 +177,37 @@ def test_mmr_output_shape(spark):
         assert sorted(rnks) == list(range(1, MMR_SEL_K + 1)), (q, rnks)
 
 
+def test_mmr_leg_windows_classify_safely(spark):
+    """search_mmr_rerank lazily checkpoints its candidate leg (three
+    consumers), which hides the leg's rank window from the registry
+    sweep — so classify it directly, the documented pattern for
+    checkpoint-hidden stages (see window_audit / test_winnowing). The
+    top-k-per-query rank filter must stay in a safe class."""
+    from cognitive_score_bigdata_spark.plans.window_audit import (
+        classify_windows,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    leg = _cosine_ranked(emb, MMR_CAND_K)
+    ks = {w.klass for w in classify_windows(leg)}
+    assert ks and ks <= {"wgl", "per-entity"}, ks
+
+
+def test_mmr_candidate_leg_runs_once(spark):
+    """The §9d lesson, pinned: three consumers of the candidate pool
+    must not triple the broadcast-NLJ scoring leg. After the lazy
+    checkpoint the registered query's plan contains no
+    BroadcastNestedLoopJoin (the leg hides behind the checkpoint scan
+    and executes once)."""
+    plan = (
+        search_mmr_rerank(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_retrieval_plan_shapes(spark):
     """Scale pins: the relevance leg broadcasts the query side (never
     shuffles the corpus for it); the MMR rerank is ONE cogrouped Arrow
