@@ -371,17 +371,24 @@ def _mmr_greedy(
 )
 def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Drop the embedding payload BEFORE the leg's rank shuffle (the
+    # ivf_probe lesson: sorting Q x N rows that still carry a vector is
+    # the quadratic-payload term at scale; Catalyst prunes it here
+    # because this select does not consume c_emb) and re-attach vectors
+    # afterwards for the top-C x Q survivors only.
+    ranked = _cosine_ranked(emb, MMR_CAND_K).select(
+        "query_id", "doc_id", "rel"
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
     # three consumers (rel projection + both pair-join sides) — without
     # this the broadcast-NLJ scoring leg executes three times (the §9d
     # winnowing lesson; the plan showed 3 BroadcastNestedLoopJoins).
     # The checkpoint hides the leg's rank window from the registry
     # sweep, so tests/test_retrieval.py classifies it directly — the
     # documented pattern for checkpoint-hidden stages.
-    cand = (
-        _cosine_ranked(emb, MMR_CAND_K)
-        .select("query_id", "doc_id", "rel", "c_emb")
-        .localCheckpoint(eager=False)
-    )
+    cand = ranked.join(vecs, "doc_id").localCheckpoint(eager=False)
     # Pairwise sims within each query's pool: C*(C-1)/2 HOF cosines per
     # query, join keyed on query_id — bounded by the pool, not the corpus.
     a = cand.alias("a")
