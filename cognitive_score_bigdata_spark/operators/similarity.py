@@ -480,7 +480,16 @@ def cosine_neardup_lsh(
     difference between an impossible N² shuffle and a bucket-local join
     keyed on (table, bucket).
     """
-    b = signlsh_buckets(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    # Both self-join sides consume the bucket table and both verify
+    # legs consume the unit table; the sides differ by column alias so
+    # Spark reuses NEITHER exchange — without materialization the
+    # sign-LSH hashing and the normalization each run TWICE (two
+    # redundant full-corpus Arrow passes, seen as duplicate MapInPandas
+    # nodes with zero ReusedExchange). Same lazy-checkpoint fix as the
+    # winnowing fingerprints and the MMR candidate leg.
+    b = signlsh_buckets(
+        vectors, n_planes, n_tables, seed, id_col, vec_col
+    ).localCheckpoint(eager=False)
     # Candidate generation moves IDS ONLY: the band self-join and the
     # dedup shuffle never carry embedding payloads (the earlier
     # formulation shipped two 1 KB arrays per candidate row through both
@@ -494,7 +503,7 @@ def cosine_neardup_lsh(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    u = unit_rows(vectors, id_col, vec_col)
+    u = unit_rows(vectors, id_col, vec_col).localCheckpoint(eager=False)
     ua = u.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
     ub = u.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
     if vectors.count() <= BROADCAST_MAX_VECTOR_ROWS:
