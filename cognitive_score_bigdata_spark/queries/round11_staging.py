@@ -88,13 +88,20 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " +").alias("t")
     )
+    # Docs with fewer than WIN_K tokens yield NO grams. The guard is
+    # load-bearing: F.sequence(1, 0) is the DESCENDING [1, 0] (Spark
+    # defaults the step to -1 when start > stop), and the i=0 it emits
+    # aborts slice(t, 0, k) with INVALID_PARAMETER_VALUE.START — a
+    # data-dependent hard failure on any 1-3-token document. The DuckDB
+    # oracle's range(1, 1) is empty, so the empty-array branch is also
+    # what keeps short docs semantically identical cross-engine.
     kg = toks.select(
         "doc_id",
         F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size("t") - F.lit(WIN_K - 1), F.lit(0)),
-            )
+            F.when(
+                F.size("t") >= WIN_K,
+                F.sequence(F.lit(1), F.size("t") - F.lit(WIN_K - 1)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("i"),
         "t",
     ).select(

@@ -49,6 +49,41 @@ def test_shared_run_at_guarantee_floor_is_detected(spark):
     assert not any(3 in p for p in got), got
 
 
+def test_short_documents_yield_no_grams_and_no_crash(spark):
+    """Documents with fewer than WIN_K tokens must contribute ZERO
+    fingerprints — and must not abort the job. Without the size guard,
+    F.sequence(1, 0) emits the DESCENDING [1, 0] (Spark's default step
+    is -1 when start > stop) and the i=0 kills slice() with
+    INVALID_PARAMETER_VALUE.START; the DuckDB oracle's range(1, 1) is
+    empty, so the empty set is also the cross-engine-correct answer.
+    Covers 1-, 2-, 3-token and empty/whitespace-only docs — all routine
+    in web-corpus text."""
+    shared = " ".join(f"common{i}" for i in range(GUARANTEE))
+    rows = [
+        (1, f"alpha beta {shared} gamma", "en", "a", 0),
+        (2, f"x y z {shared} w v", "en", "b", 0),
+        (3, "tiny", "en", "c", 0),  # 1 token
+        (4, "two tokens", "en", "c", 0),
+        (5, "just three tokens", "en", "c", 0),
+        (6, " ", "en", "c", 0),  # whitespace-only
+    ]
+    got = _pairs(spark, rows)
+    assert (1, 2) in got, got
+    assert not any(p[0] >= 3 or p[1] >= 3 for p in got), got
+    # and directly: the fingerprint table has no rows for short docs
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fp_docs = {
+        r.doc_id
+        for r in winnow_fingerprints(docs.select("doc_id", "text"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert fp_docs == {1, 2}, fp_docs
+
+
 def test_fingerprint_density_matches_winnowing_economy(spark):
     """Winnowing keeps roughly 2/(w+1) of gram hashes (the paper's
     expected density) — far fewer than all grams, which is the point;
