@@ -353,9 +353,9 @@ ROUND8_WINDOW = [
 
 # The round-11 window, MATERIALIZED at round-10 end exactly as
 # re-mirrored at sf0.01 (46 green + 4 ledgered rows-only, 0 red —
-# see the plan comment above). NOT yet live: load_registry() orders
-# by ROUND10_WINDOW until the round-11 session swaps the two
-# references below. Kept as data, not prose, so the swap cannot
+# see the plan comment above). LIVE since round 11: load_registry()
+# orders by this list (the one-reference swap VERDICT r10 item 1
+# asked for). Kept as data, not prose, so the swap could not
 # mistranscribe the validated composition.
 ROUND11_WINDOW = [
     # the 4 round-11 staged rows (birth-window driver rows)
@@ -616,7 +616,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND10_WINDOW` comes first.
+    the registry reordered so :data:`ROUND11_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -693,15 +693,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND10_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND11_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND10_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND11_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND10_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND11_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered
