@@ -234,6 +234,14 @@ HEADLINE = [
     # MMR diversity re-rank (benched from day one)
     "search_hybrid_rrf",
     "search_mmr_rerank",
+    # round-11: IVF-backed MMR candidate generation (the 100 TB
+    # retrieval path as a registry row; the inverted-file build is a
+    # once-per-corpus artifact, warmed like the other index builds)
+    "search_mmr_rerank_ivf",
+    # round-11: IVF inverted-file incremental merge — timed row
+    # measures the full-probe top-k from the merged on-disk file;
+    # build+absorb are once-per-snapshot artifacts, warmed below
+    "vector_ivf_merge_topk",
     # round-11 staging: incremental MV maintenance (timed row measures
     # reading the maintained rollup; build+merge are once-per-corpus
     # artifacts, warmed like the index builds)
@@ -298,10 +306,17 @@ def main() -> None:
         # IVF+residual-PQ index build (VERDICT r7 item 2: the build was
         # landing in the timed probe while the PQ sibling's was warmed)
         "vector_ann_ivfpq_topk",
+        # 16-cell IVF inverted-file build (round 11): shared session-
+        # scoped artifact of vector_ann_ivf_topk AND search_mmr_rerank_
+        # ivf — warm it so both timed rows measure probe, not build
+        "vector_ann_ivf_topk",
         # snapshot-1 index build + snapshot-2 append-merge (round 10):
         # once-per-snapshot artifacts; the timed row measures pair
         # generation from the merged on-disk index
         "dedup_index_merge_pairs_md5",
+        # snapshot-1 inverted-file build + frozen-centroid absorption
+        # (round 11): the timed row measures the merged-file probe
+        "vector_ivf_merge_topk",
         # initial MV materialization + increment merge (round-11
         # staging): once-per-corpus maintenance jobs; the timed row
         # measures reading the maintained rollup
@@ -482,6 +497,30 @@ def main() -> None:
     excl_canary = round(
         sum(sec for name, sec in timings.items() if name not in CANARY), 3
     )
+    # Probe-normalized values for the banded queries (VERDICT r10
+    # item 4): raw bands are host-relative — the r10 driver host ran
+    # BELOW three band floors simply by being faster than the
+    # band-recording host, and the same offset reversed would
+    # false-alarm. secs / median(noise_probe) cancels host speed, so
+    # THIS is the number to check against the normalized bands in
+    # SURVEY §9aa when the running host differs from the recording one.
+    banded = [
+        "vector_ann_ivfpq_topk",
+        "text_prefix_filter_join",
+        "dedup_simhash_pairs",
+    ]
+    probe_median = sorted(probes)[len(probes) // 2]
+    banded_normalized = {
+        name: round(timings[name] / probe_median, 2)
+        for name in banded
+        if name in timings
+    }
+    banded_normalized["graph_family_total"] = round(
+        sum(sec for n, sec in timings.items() if n.startswith("graph_"))
+        / probe_median,
+        2,
+    )
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -502,6 +541,12 @@ def main() -> None:
         # host/session speed calibration at bench start/middle/end —
         # a fixed 50M-row synthetic shuffle agg (see noise_probe)
         "noise_probe": probes,
+        # banded queries in secs-per-probe-second (host-transferable;
+        # see the comment where this is computed)
+        "banded_normalized": {
+            "probe_median": probe_median,
+            **banded_normalized,
+        },
         # session-aging telemetry: the canary pair timed before the
         # suite / mid-suite / after, + JVM code-cache/GC/heap at the
         # same three points (see jvm_probe docstring). NOTE: because
@@ -549,6 +594,7 @@ def main() -> None:
                 "api_parity_total": result["api_parity_total"],
                 "n_api_parity": len(api_parity),
                 "noise_probe": probes,
+                "banded_normalized": result["banded_normalized"],
                 "canary": canary,
                 "bench_config": result["bench_config"],
                 "detail": "BENCH_LOCAL.json",

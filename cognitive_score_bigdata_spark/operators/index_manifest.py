@@ -1,0 +1,255 @@
+"""Manifest-committed persisted indexes: the object-store-true commit
+protocol shared by the minhash band index (``queries/round10.py``) and
+the IVF inverted file (``queries/ivf_lifecycle.py``).
+
+The protocol (VERDICT r10: a ``rmtree``+``rename`` partition swap is
+neither crash-atomic nor reader-atomic, and directory renames do not
+exist on an object store) — the same snapshot-isolation move
+Delta/Iceberg make:
+
+    path/_manifest/m-0000000001.json   full list of live data files
+    path/_current                      name of the current manifest
+
+Readers (:func:`read_index`) resolve ``_current`` -> manifest -> file
+list and read exactly those files; writers stage new files BESIDE the
+live set (append-only object writes, never an in-place delete) and
+commit by publishing a new manifest + flipping ``_current`` — a
+single-object replace, atomic on POSIX (``os.replace``) and a single
+PUT on an object store, so a concurrent reader resolves the OLD file
+set or the NEW one, never a hole and never a mix. A crash at any point
+before the flip leaves the live manifest (and every file it names)
+untouched; orphaned staged files are garbage, not corruption, swept by
+:func:`vacuum_index` — the ONLY place data files are ever deleted,
+kept separate from commit so readers holding an older manifest keep a
+retention window (Iceberg's expire-snapshots split). Single-writer
+maintenance is assumed (merges/compactions are the nightly job);
+reader/writer concurrency is what the manifest protects, pinned in
+``tests/test_round10_merge.py``.
+
+Indexes are hive-partitioned on ONE integer column (``band=N`` for the
+minhash index, ``cell=N`` for the IVF inverted file); every helper here
+is partition-column-agnostic — the column name only matters to the
+caller's DataFrame filters.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifest"
+_CURRENT = "_current"
+
+
+def _list_data_files(path: str) -> list[str]:
+    """Relative paths of all physical partitioned data files under
+    ``path`` (any single hive partition level, e.g. band=N or cell=N)."""
+    import glob
+    import os
+
+    return sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(path, "*=*", "*.parquet"))
+    )
+
+
+def read_manifest(path: str) -> tuple[int, list[str]] | None:
+    """(version, live data files) of the committed manifest, or None if
+    the index has never published one (legacy plain-directory index)."""
+    import json
+    import os
+
+    cur = os.path.join(path, _CURRENT)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        name = f.read().strip()
+    with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
+        m = json.load(f)
+    return int(m["version"]), list(m["files"])
+
+
+def publish_manifest(path: str, files: list[str], note: str = "") -> int:
+    """Commit ``files`` as the new live set. The manifest file is
+    written complete before the ``_current`` flip, and the flip is
+    ``os.replace`` of a same-directory temp file — readers see the old
+    pointer or the new one, never a partial write. (Object-store
+    translation: manifest PUT, then ``_current`` PUT.)"""
+    import json
+    import os
+
+    cur = read_manifest(path)
+    version = (cur[0] if cur else 0) + 1
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"m-{version:010d}.json"
+    with open(os.path.join(mdir, name), "w") as f:
+        json.dump(
+            {"version": version, "files": sorted(files), "note": note}, f
+        )
+    tmp = os.path.join(path, f"{_CURRENT}.tmp.{version}")
+    with open(tmp, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(path, _CURRENT))
+    return version
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-aware index scan: exactly the committed file set, with
+    ``basePath`` so the partition column (and its partition pruning)
+    survives the explicit file list. Falls back to the plain directory
+    scan for a never-published index."""
+    import os
+
+    m = read_manifest(path)
+    if m is None:
+        return spark.read.parquet(path)
+    _, files = m
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+
+
+def _part_of(relpath: str) -> int:
+    return int(relpath.split("/", 1)[0].rsplit("=", 1)[1])
+
+
+def part_file_counts(path: str) -> dict[int, int]:
+    """PHYSICAL parquet files per partition (manifest-blind — includes
+    staged/retained files; use :func:`live_part_file_counts` for the
+    committed view compaction decisions read)."""
+    out: dict[int, int] = {}
+    for f in _list_data_files(path):
+        p = _part_of(f)
+        out[p] = out.get(p, 0) + 1
+    return out
+
+
+def live_part_file_counts(path: str) -> dict[int, int]:
+    """Committed (manifest) data files per partition."""
+    m = read_manifest(path)
+    files = m[1] if m else _list_data_files(path)
+    out: dict[int, int] = {}
+    for f in files:
+        p = _part_of(f)
+        out[p] = out.get(p, 0) + 1
+    return out
+
+
+def append_commit(path: str, write_append, note: str = "append") -> list[str]:
+    """Run ``write_append()`` (a Spark append into ``path``) and commit
+    the files it added into the manifest (bootstrapping one for a
+    legacy plain-directory index). Base = the CURRENT manifest, not a
+    directory listing: a listing would resurrect files an earlier
+    compaction superseded but vacuum has not yet swept. Returns the
+    committed new relative paths."""
+    before = set(_list_data_files(path))
+    write_append()
+    added = sorted(set(_list_data_files(path)) - before)
+    cur = read_manifest(path)
+    base = cur[1] if cur else sorted(before)
+    publish_manifest(path, base + added, note=note)
+    return added
+
+
+def compact_index_parts(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    max_files_per_part: int = 1,
+    parts: list[int] | None = None,
+    _before_publish=None,
+) -> dict[int, tuple[int, int]]:
+    """Small-file maintenance for an append-merged partitioned index.
+
+    Every snapshot merge appends one file set per partition, so after N
+    snapshots each partition holds N file sets and scan/open overhead
+    grows with snapshot count. Compaction is the place where
+    read-union-rewrite IS the right shape — but applied per PARTITION,
+    never to the whole index: only partitions whose live file count
+    exceeds ``max_files_per_part`` (or the explicit ``parts`` override)
+    are read — a pruned scan, the parquet reader touches no other
+    partition — rewritten as one file per partition, STAGED beside the
+    live files, and committed via the manifest flip (see the module
+    protocol note: old files are not deleted here —
+    :func:`vacuum_index` sweeps them after the retention window).
+    Content is untouched (conservation pinned in test_round10_merge);
+    at 100 TB this is the nightly job that keeps probe-time file counts
+    flat while merges stay append-only.
+
+    ``_before_publish`` is a test seam: called after staging, before
+    the manifest flip — the crash/concurrent-reader window the
+    protocol tests pin.
+
+    Returns {part: (live_files_before, live_files_after)}.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    m = read_manifest(path)
+    live = m[1] if m else _list_data_files(path)
+    counts = live_part_file_counts(path)
+    touched = (
+        sorted(parts)
+        if parts is not None
+        else sorted(p for p, n in counts.items() if n > max_files_per_part)
+    )
+    if not touched:
+        return {}
+    pruned = read_index(spark, path).filter(F.col(part_col).isin(touched))
+    tmp = tempfile.mkdtemp(prefix="csb_idx_compact_")
+    (
+        pruned.repartition(len(touched), part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp)
+    )
+    version = (m[0] if m else 0) + 1
+    staged: list[str] = []
+    for p in touched:
+        src_dir = os.path.join(tmp, f"{part_col}={p}")
+        dst_dir = os.path.join(path, f"{part_col}={p}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in sorted(os.listdir(src_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            staged_name = f"compact-v{version}-{fn}"
+            shutil.move(
+                os.path.join(src_dir, fn), os.path.join(dst_dir, staged_name)
+            )
+            staged.append(f"{part_col}={p}/{staged_name}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if _before_publish is not None:
+        _before_publish()
+    survivors = [f for f in live if _part_of(f) not in touched]
+    publish_manifest(
+        path, survivors + staged, note=f"compact {part_col}s={touched}"
+    )
+    after = live_part_file_counts(path)
+    return {p: (counts[p], after[p]) for p in touched}
+
+
+def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
+    """Delete physical data files referenced by NONE of the newest
+    ``keep_versions`` manifests — the retention window that lets a
+    reader holding an older manifest finish its scan before the files
+    it resolved disappear. The only deletion in the index lifecycle;
+    never called by commit paths. Returns the deleted relative paths."""
+    import glob
+    import json
+    import os
+
+    manifests = sorted(glob.glob(os.path.join(path, _MANIFEST_DIR, "m-*.json")))
+    if not manifests:
+        return []
+    keep: set[str] = set()
+    for mp in manifests[-keep_versions:]:
+        with open(mp) as f:
+            keep.update(json.load(f)["files"])
+    deleted = []
+    for f in _list_data_files(path):
+        if f not in keep:
+            os.remove(os.path.join(path, f))
+            deleted.append(f)
+    return deleted

@@ -320,6 +320,35 @@ def _train_centroids(
     return C
 
 
+IVF_CAND_SCHEMA = "neighbor_id long, __c array<double>, cell int"
+
+
+def norm_assign_fn(C: np.ndarray, id_col: str, vec_col: str):
+    """The fused normalize+assign Arrow pass against a FIXED centroid
+    matrix — shared by the initial build (freshly trained centroids)
+    and incremental absorption (frozen centroids from the persisted
+    index, ``queries/ivf_lifecycle.py``): chaining unit_rows into a
+    second mapInPandas would cost a whole extra Python-worker stage for
+    work that shares the same stacked matrix."""
+
+    def norm_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (mat @ C.T)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "__c": list(mat),
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return norm_assign
+
+
 def ivf_build(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -351,29 +380,9 @@ def ivf_build(
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     C = _train_centroids(sample, n_cells, seed)
 
-    out_schema = f"neighbor_id long, __c array<double>, cell int"
-
-    # Normalize + assign fused in ONE Arrow pass: chaining unit_rows into
-    # a second mapInPandas costs a whole extra Python-worker stage for
-    # work that shares the same stacked matrix.
-    def norm_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            d = (C * C).sum(axis=1)[None, :] - 2.0 * (mat @ C.T)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col],
-                    "__c": list(mat),
-                    "cell": d.argmin(axis=1).astype(np.int32),
-                }
-            )
-
     cand = (
         fan_out(vectors.select(id_col, vec_col))
-        .mapInPandas(norm_assign, out_schema)
+        .mapInPandas(norm_assign_fn(C, id_col, vec_col), IVF_CAND_SCHEMA)
         .persist()
     )
     centers_df = vectors.sparkSession.createDataFrame(

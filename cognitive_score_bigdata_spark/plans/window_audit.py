@@ -233,19 +233,54 @@ def _classify_one(node, *, logical: bool) -> "WindowClass":
     return WindowClass(partition_cols=cols, klass=klass)
 
 
+def _window_signature(node) -> tuple:
+    """(partition cols, order cols) sans expr-id suffixes — the
+    operator-level identity of a window computation. Two nodes with the
+    same signature are the same window planned at two positions."""
+
+    def strip(s: str) -> str:
+        return s.split("#", 1)[0].strip().lower()
+
+    try:
+        order = node.orderSpec()
+        order_cols = tuple(
+            strip(order.apply(i).child().toString()) for i in range(order.size())
+        )
+    except Exception:  # noqa: BLE001 - node without an order spec
+        order_cols = ()
+    return (tuple(_partition_cols(node)), order_cols)
+
+
 def classify_windows(df: DataFrame) -> list[WindowClass]:
     """Classify every Window node in ``df``'s pre-AQE physical plan,
     plus any Window hiding inside subquery expressions (swept on the
-    optimized logical plan — see module docstring)."""
+    optimized logical plan — see module docstring).
+
+    Engine-made duplicates: dynamic partition pruning COPIES a join's
+    broadcast build side — windows and all — into a scan's pruning
+    subquery, AFTER InferWindowGroupLimit ran, so the copy lacks the
+    group-limit its main instance carries and would misclassify as
+    exposed (first seen on ``vector_ivf_merge_topk``: probing the
+    cell-partitioned inverted file DPP-duplicates the per-query
+    cell-rank window). A subquery window whose (partition, order)
+    signature matches a main-plan window is the SAME operator planned
+    twice by the engine for pruning — the main instance's class is the
+    audit verdict, so the duplicate is skipped. Genuinely novel
+    subquery windows (no main-plan twin) still classify on their own.
+    """
     qe = df._jdf.queryExecution()  # noqa: SLF001
     out: list[WindowClass] = []
+    main_sigs: set[tuple] = set()
     for node in _walk(qe.sparkPlan()):
         if _name(node) in WINDOW_NODES:
             out.append(_classify_one(node, logical=False))
+            main_sigs.add(_window_signature(node))
     subs = qe.optimizedPlan().subqueriesAll()
     for i in range(subs.size()):
         for node in _walk(subs.apply(i)):
             if _name(node) in _L_WINDOW:
+                if _window_signature(node) in main_sigs:
+                    continue  # DPP duplicate of a classified window
                 out.append(_classify_one(node, logical=True))
     return out
 

@@ -351,18 +351,33 @@ ROUND8_WINDOW = [
 # Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
 
-# The round-11 window, MATERIALIZED at round-10 end exactly as
-# re-mirrored at sf0.01 (46 green + 4 ledgered rows-only, 0 red —
-# see the plan comment above). LIVE since round 11: load_registry()
-# orders by this list (the one-reference swap VERDICT r10 item 1
-# asked for). Kept as data, not prose, so the swap could not
-# mistranscribe the validated composition.
+# The round-11 window, MATERIALIZED at round-10 end and LIVE since
+# round 11: load_registry() orders by this list (the one-reference
+# swap VERDICT r10 item 1 asked for). Kept as data, not prose, so the
+# swap could not mistranscribe the validated composition. The FULL
+# post-swap 50-row composition — including the two round-11 births
+# search_mmr_rerank_ivf + vector_ivf_merge_topk, which displaced the
+# END refills scalar_hash_md5 + analytics_q2_min_cost_supplier — was
+# re-mirrored end-to-end at sf0.01 under the driver-mirror comparator
+# on 2026-08-15 (round-11 session): 45 hash-green + 5 ledgered
+# rows-only (search_mmr_rerank_ivf, agg_approx_distinct,
+# agg_percentile_approx, sample_stratified,
+# vector_kmeans_cluster_sizes — each with a hash-green exact
+# sibling), 0 red.
 ROUND11_WINDOW = [
     # the 4 round-11 staged rows (birth-window driver rows)
     "dedup_winnowing_pairs",
     "search_hybrid_rrf",
     "search_mmr_rerank",
     "agg_incremental_mv_merge",
+    # the 2 NEW round-11 queries (birth-window rows): IVF-backed MMR
+    # candidate generation (VERDICT r10 item 3 — rows-only ledgered,
+    # exact sibling search_mmr_rerank fronts this same window) and the
+    # IVF inverted-file incremental merge (VERDICT r10 item 5 —
+    # full-probe conservation oracle). Displace the END refills
+    # scalar_hash_md5 + analytics_q2_min_cost_supplier per the rule.
+    "search_mmr_rerank_ivf",
+    "vector_ivf_merge_topk",
     # ALL 38 round-6-latest carries — clears round-6 debt
     "agg_approx_distinct",
     "agg_cube",
@@ -409,8 +424,6 @@ ROUND11_WINDOW = [
     "corpus_shard_assignment",
     "window_latest_per_key",
     "dedup_cluster_exact",
-    "analytics_q2_min_cost_supplier",
-    "scalar_hash_md5",
 ]
 
 ROUND10_WINDOW = [
@@ -607,6 +620,12 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "sketch_theta_user_overlap": "Datasketches theta internals are "
     "library-specific; sibling sketch_kmv_overlap3 (driver r4) "
     "hash-verifies the KMV/theta-style set-algebra machinery",
+    "search_mmr_rerank_ivf": "IVF-probed candidate pool is approximate "
+    "by design (n_probe<n_cells drops true neighbors before the "
+    "greedy); exact sibling search_mmr_rerank (driver r11 birth row, "
+    "hash-green) runs the byte-identical greedy tail over brute-force "
+    "candidates, pool recall + selection agreement pinned in "
+    "tests/test_retrieval.py",
     "agg_pandas_udaf_gmean": "geometric mean goes through exp/log "
     "transcendentals (cross-engine ulp drift by design of the check); "
     "the row exists for the grouped pandas-UDAF API surface, Arrow "
@@ -656,6 +675,7 @@ def load_registry() -> dict[str, QuerySpec]:
         dedup_similarity,
         extensions,
         flagship,
+        ivf_lifecycle,
         joins,
         mlops,
         multimodal_q,

@@ -298,6 +298,47 @@ def _mmr_greedy(
     )
 
 
+def _mmr_from_candidates(ranked: DataFrame, vecs: DataFrame) -> DataFrame:
+    """The shared MMR tail: re-attach vectors to the (query_id, doc_id,
+    rel) candidate pool, compute pairwise pool sims, run the bounded
+    per-query greedy in one cogrouped Arrow stage. The candidate LEG is
+    the part that changes with scale (brute force vs IVF probe); this
+    tail is identical for both."""
+    # three consumers (rel projection + both pair-join sides) — without
+    # this the candidate leg executes three times (the §9d winnowing
+    # lesson; the plan showed 3 BroadcastNestedLoopJoins). The
+    # checkpoint hides the leg's windows from the registry sweep, so
+    # tests/test_retrieval.py classifies them directly — the documented
+    # pattern for checkpoint-hidden stages.
+    cand = ranked.join(vecs, "doc_id").localCheckpoint(eager=False)
+    # Pairwise sims within each query's pool: C*(C-1)/2 HOF cosines per
+    # query, join keyed on query_id — bounded by the pool, not the corpus.
+    a = cand.alias("a")
+    b = cand.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            cosine(F.col("a.c_emb"), F.col("b.c_emb")).alias("sim"),
+        )
+    )
+    rel = cand.select("query_id", "doc_id", "rel")
+    return (
+        rel.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            lambda left, right: _mmr_greedy(left, right),
+            "query_id bigint, doc_id bigint, rnk bigint",
+        )
+    )
+
+
 @register(
     "search_mmr_rerank",
     oracle=f"""
@@ -351,10 +392,16 @@ def _mmr_greedy(
       ) mx ON TRUE
       WHERE m.step < {MMR_SEL_K}
       GROUP BY m.query_id, m.step, m.sel
+    ),
+    laststep AS (
+      SELECT query_id, sel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY step DESC) AS rs
+      FROM mmr
     )
     SELECT query_id, unnest(sel) AS doc_id,
            CAST(unnest(range(1, len(sel) + 1)) AS BIGINT) AS rnk
-    FROM mmr WHERE step = {MMR_SEL_K}
+    FROM laststep WHERE rs = 1
     """,
     doc=f"maximal-marginal-relevance diversity re-rank (Carbonell/"
     f"Goldstein SIGIR'98, lambda=0.5): top-{MMR_CAND_K} cosine "
@@ -382,36 +429,50 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
     )
-    # three consumers (rel projection + both pair-join sides) — without
-    # this the broadcast-NLJ scoring leg executes three times (the §9d
-    # winnowing lesson; the plan showed 3 BroadcastNestedLoopJoins).
-    # The checkpoint hides the leg's rank window from the registry
-    # sweep, so tests/test_retrieval.py classifies it directly — the
-    # documented pattern for checkpoint-hidden stages.
-    cand = ranked.join(vecs, "doc_id").localCheckpoint(eager=False)
-    # Pairwise sims within each query's pool: C*(C-1)/2 HOF cosines per
-    # query, join keyed on query_id — bounded by the pool, not the corpus.
-    a = cand.alias("a")
-    b = cand.alias("b")
-    sims = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.query_id").alias("query_id"),
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            cosine(F.col("a.c_emb"), F.col("b.c_emb")).alias("sim"),
-        )
+    return _mmr_from_candidates(ranked, vecs)
+
+
+# IVF candidate generation: same coarse quantizer geometry as
+# vector_ann_ivf_topk (and the same session-scoped index build — the
+# inverted file is a batch artifact probed by every retrieval query).
+MMR_IVF_CELLS = 16
+MMR_IVF_PROBE = 4
+
+
+@register(
+    "search_mmr_rerank_ivf",
+    oracle=None,  # IVF candidates are approximate by design; recall +
+    # greedy-agreement pinned vs the exact sibling in tests
+    doc=f"MMR diversity re-rank over IVF-probed candidates — the 100 TB "
+    f"candidate path made registry-resident (VERDICT r10 item 3; §9v "
+    f"measured the exact-vs-IVF crossover: 71.2 s vs 1.4 s at 32x). "
+    f"Candidate leg = ivf_probe over the session-scoped "
+    f"{MMR_IVF_CELLS}-cell inverted file, {MMR_IVF_PROBE} nearest "
+    f"cells per query, top-{MMR_CAND_K} by unit-dot cosine — each "
+    f"query scores ~n_probe/n_cells of the corpus instead of all of "
+    f"it, and the rank shuffle is payload-free (both pinned in "
+    f"tests/test_retrieval.py). The greedy tail is byte-for-byte the "
+    f"exact sibling's (_mmr_from_candidates): pairwise pool sims via "
+    f"the HOF cosine fold, bounded per-query selection of "
+    f"{MMR_SEL_K} in one cogrouped Arrow stage. search_mmr_rerank is "
+    f"the exact-oracle sibling",
+)
+def search_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
+    from cognitive_score_bigdata_spark.queries.dedup_similarity import (
+        ivf_index,
     )
-    rel = cand.select("query_id", "doc_id", "rel")
-    return (
-        rel.groupBy("query_id")
-        .cogroup(sims.groupBy("query_id"))
-        .applyInPandas(
-            lambda left, right: _mmr_greedy(left, right),
-            "query_id bigint, doc_id bigint, rnk bigint",
-        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_index(spark, sf_dir, n_cells=MMR_IVF_CELLS)
+    ranked = ivf_probe(
+        index, _query_ids(emb), k=MMR_CAND_K, n_probe=MMR_IVF_PROBE
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cos").alias("rel"),
     )
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
+    return _mmr_from_candidates(ranked, vecs)

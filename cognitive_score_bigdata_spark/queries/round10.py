@@ -37,6 +37,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    _list_data_files,
+    append_commit,
+    compact_index_parts,
+    live_part_file_counts,
+    part_file_counts,
+    publish_manifest,
+    read_index,
+    read_manifest,
+    vacuum_index,
+)
 from cognitive_score_bigdata_spark.queries import register
 from cognitive_score_bigdata_spark.queries.round4_staging2 import (
     MH_BANDS,
@@ -102,7 +113,14 @@ def merge_into_index(new_docs: DataFrame, path: str) -> DataFrame:
     ``path``: only the new batch is read, no old partition is touched.
     """
     new_rows = md5_banded_rows(fan_out(new_docs))
-    new_rows.write.mode("append").partitionBy("band").parquet(path)
+    # append_commit publishes the added files into the manifest
+    # (bootstrapping one for a legacy plain-directory index) without
+    # resurrecting files an earlier compaction superseded
+    append_commit(
+        path,
+        lambda: new_rows.write.mode("append").partitionBy("band").parquet(path),
+        note="merge append",
+    )
     return new_rows
 
 
@@ -118,6 +136,7 @@ def merged_index_path(spark: SparkSession, sf_dir: str) -> str:
         path = tempfile.mkdtemp(prefix="csb_mh_merged_") + "/idx"
         # snapshot-1 standing index (the batch build)
         md5_banded_rows(fan_out(snap1)).write.partitionBy("band").parquet(path)
+        publish_manifest(path, _list_data_files(path), note="initial build")
         # the MERGE under test: snapshot 2 appended, no index read
         merge_into_index(snap2, path)
         return path
@@ -142,7 +161,7 @@ def merged_index_path(spark: SparkSession, sf_dir: str) -> str:
     "bit-identical to a from-scratch rebuild over the snapshot union",
 )
 def dedup_index_merge_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = spark.read.parquet(merged_index_path(spark, sf_dir))
+    idx = read_index(spark, merged_index_path(spark, sf_dir))
     a = idx.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = idx.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (
@@ -248,18 +267,24 @@ def quality_entity_share_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Index compaction — the maintenance half of the merge lifecycle
 # ---------------------------------------------------------------------------
+#
+# The commit protocol (manifest + _current flip; staged files, vacuum
+# as the only deleter) lives in operators/index_manifest.py — shared
+# with the IVF inverted file (queries/ivf_lifecycle.py), which mirrors
+# this index's merge/compact/vacuum lifecycle on cell= partitions.
+# These bindings keep the minhash index's band-named API.
 
 
 def band_file_counts(path: str) -> dict[int, int]:
-    """Parquet data files per band partition of an index at ``path``."""
-    import glob
-    import os
+    """PHYSICAL parquet files per band partition (manifest-blind —
+    includes staged/retained files; use :func:`live_band_file_counts`
+    for the committed view compaction decisions read)."""
+    return part_file_counts(path)
 
-    out: dict[int, int] = {}
-    for d in glob.glob(os.path.join(path, "band=*")):
-        band = int(d.rsplit("=", 1)[1])
-        out[band] = len(glob.glob(os.path.join(d, "*.parquet")))
-    return out
+
+def live_band_file_counts(path: str) -> dict[int, int]:
+    """Committed (manifest) data files per band partition."""
+    return live_part_file_counts(path)
 
 
 def compact_index_bands(
@@ -267,49 +292,18 @@ def compact_index_bands(
     path: str,
     max_files_per_band: int = 1,
     bands: list[int] | None = None,
+    _before_publish=None,
 ) -> dict[int, tuple[int, int]]:
-    """Small-file maintenance for the append-merged band index.
-
-    Every snapshot merge appends one file set per band
-    (:func:`merge_into_index`), so after N snapshots each band
-    partition holds N file sets and scan/open overhead grows with
-    snapshot count. Compaction is the place where read-union-rewrite
-    IS the right shape — but applied per PARTITION, never to the whole
-    index: only bands whose file count exceeds ``max_files_per_band``
-    (or the explicit ``bands`` override) are read — a pruned scan, the
-    parquet reader touches no other partition — rewritten as one file
-    per band, and atomically swapped in. Content is untouched
-    (conservation pinned in test_round10_merge); at 100 TB this is the
-    nightly job that keeps probe-time file counts flat while merges
-    stay append-only.
-
-    Returns {band: (files_before, files_after)} for compacted bands.
-    """
-    import os
-    import shutil
-    import tempfile
-
-    counts = band_file_counts(path)
-    touched = (
-        sorted(bands)
-        if bands is not None
-        else sorted(b for b, n in counts.items() if n > max_files_per_band)
+    """Per-band compaction of the minhash index under the manifest
+    commit (see :func:`operators.index_manifest.compact_index_parts`
+    for the full protocol contract)."""
+    return compact_index_parts(
+        spark,
+        path,
+        part_col="band",
+        max_files_per_part=max_files_per_band,
+        parts=bands,
+        _before_publish=_before_publish,
     )
-    if not touched:
-        return {}
-    pruned = spark.read.parquet(path).filter(F.col("band").isin(touched))
-    tmp = tempfile.mkdtemp(prefix="csb_mh_compact_")
-    (
-        pruned.repartition(len(touched), "band")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(tmp)
-    )
-    for b in touched:
-        dst = os.path.join(path, f"band={b}")
-        src = os.path.join(tmp, f"band={b}")
-        shutil.rmtree(dst)
-        os.rename(src, dst)
-    shutil.rmtree(tmp, ignore_errors=True)
-    after = band_file_counts(path)
-    return {b: (counts[b], after[b]) for b in touched}
+
+

@@ -74,12 +74,33 @@ def one_run() -> None:
     for t in targets:
         for warm in WARM_FOR.get(t, []):
             materialize(registry[warm].fn(spark, sf_dir))
+    def noise_probe() -> float:
+        # bench.py's fixed synthetic reference job, verbatim: the
+        # host-speed denominator that makes bands transfer across hosts
+        # (VERDICT r10 item 4 — the r10 driver host ran BELOW three raw
+        # band floors simply by being faster than the recording host)
+        spark._jvm.System.gc()  # noqa: SLF001
+        t0 = time.perf_counter()
+        (
+            spark.range(50_000_000)
+            .selectExpr("id % 997 AS k", "id")
+            .groupBy("k")
+            .agg({"id": "sum"})
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    probes = [noise_probe()]
     out: dict[str, float] = {}
     for name in targets:
         spark._jvm.System.gc()  # noqa: SLF001 — same protocol as bench.time_one
         t0 = time.perf_counter()
         materialize(registry[name].fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
+    probes.append(noise_probe())
+    # two samples (pre/post target block) -> mean as the run's host
+    # speed; stored under a dunder key so the band loop skips it
+    out["__probe"] = round(sum(probes) / len(probes), 3)
     print(json.dumps(out))
     spark.stop()
 
@@ -101,7 +122,26 @@ def main() -> None:
         name: [min(r[name] for r in runs), max(r[name] for r in runs)]
         for name in targets
     }
-    print(json.dumps({"runs": runs, "band": band}))
+    # probe-normalized band (seconds per probe-second): divide each
+    # run's value by ITS OWN run's host-speed probe, then min/max —
+    # the form that transfers across hosts (VERDICT r10 item 4)
+    band_norm = {
+        name: [
+            round(min(r[name] / r["__probe"] for r in runs), 2),
+            round(max(r[name] / r["__probe"] for r in runs), 2),
+        ]
+        for name in targets
+    }
+    print(
+        json.dumps(
+            {
+                "runs": runs,
+                "band": band,
+                "band_normalized": band_norm,
+                "probes": [r["__probe"] for r in runs],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -657,6 +657,44 @@ def test_window_audit_classifier_classes(spark):
     assert ks == ["exposed", "wgl"], ks
 
 
+def test_window_audit_dpp_duplicate_and_novel_subquery_windows(spark):
+    """Round-11 classifier extension: dynamic partition pruning COPIES
+    a join's broadcast side (windows included) into a scan's pruning
+    subquery AFTER InferWindowGroupLimit ran, so the copy lacks its
+    group-limit and would false-alarm as exposed. A subquery window
+    whose (partition, order) signature matches a main-plan window must
+    be skipped as the engine-made duplicate it is (positive fixture =
+    the registered vector_ivf_merge_topk plan, the query that first
+    tripped this). A subquery window with NO main-plan twin must still
+    classify — including coming back exposed when it is (negative
+    fixture: global cumsum window inside an IN-subquery)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.plans.window_audit import classify_windows
+
+    R = load_registry()
+    ivf = R["vector_ivf_merge_topk"].fn(spark, SF_DIR)
+    ks = [w.klass for w in classify_windows(ivf)]
+    assert ks == ["wgl", "wgl"], ks  # the DPP copy reported neither
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "__audit_events"
+    )
+    novel = spark.sql(
+        """
+        SELECT * FROM __audit_events WHERE user_id IN (
+          SELECT user_id FROM (
+            SELECT user_id, SUM(value) OVER (ORDER BY ts) AS cum
+            FROM __audit_events
+          ) WHERE cum > 100
+        )
+        """
+    )
+    ks = [w.klass for w in classify_windows(novel)]
+    assert "exposed" in ks, ks
+
+
 def test_entity_share_audit_is_window_free_topk(spark):
     """The audit that exists to FIND skew must not itself be
     skew-exposed: map-side-combined per-user count, the total joined

@@ -16,6 +16,7 @@ from cognitive_score_bigdata_spark.queries.retrieval import (
     MMR_SEL_K,
     QUERY_MOD,
     _cosine_ranked,
+    _query_ids,
     search_hybrid_rrf,
     search_mmr_rerank,
 )
@@ -177,6 +178,44 @@ def test_mmr_output_shape(spark):
         assert sorted(rnks) == list(range(1, MMR_SEL_K + 1)), (q, rnks)
 
 
+def test_mmr_short_pool_matches_oracle(spark):
+    """A query whose candidate pool is SMALLER than MMR_SEL_K must emit
+    min(MMR_SEL_K, pool) rows in BOTH engines. The Spark greedy always
+    did; the oracle's recursive CTE used to stop at `step = MMR_SEL_K`
+    and emit ZERO rows for short pools (the recursion never reaches
+    that step when the pool runs dry) — fixed to take the per-query max
+    step. 6 vectors -> query vec_id=1, pool of 5 < MMR_SEL_K=10."""
+    import duckdb
+
+    from cognitive_score_bigdata_spark.queries import REGISTRY, load_registry
+
+    load_registry()
+    rng = np.random.default_rng(7)
+    emb_rows = [(i, _unit(rng.normal(size=16))) for i in range(6)]
+    d = _write_corpus(spark, [(0, "x", "en", "s", 1)], emb_rows)
+    pool = len(emb_rows) - 1
+    assert pool < MMR_SEL_K
+    got = {
+        (r.query_id, r.doc_id, r.rnk)
+        for r in search_mmr_rerank(spark, d).collect()
+    }
+    assert len(got) == pool, got
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    want = {
+        (q, doc, rnk)
+        for q, doc, rnk in con.execute(
+            REGISTRY["search_mmr_rerank"].oracle
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
 def test_mmr_leg_windows_classify_safely(spark):
     """search_mmr_rerank lazily checkpoints its candidate leg (three
     consumers), which hides the leg's rank window from the registry
@@ -206,6 +245,123 @@ def test_mmr_candidate_leg_runs_once(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mmr_ivf_pool_recall_and_selection_contract(spark):
+    """The rows-only ledger pins for search_mmr_rerank_ivf vs its
+    exact-oracle sibling. Testdata embeddings are RANDOM — IVF's worst
+    case (no cluster structure to exploit) — so the floors are above
+    the n_probe/n_cells = 25% chance baseline, not near 1.0: measured
+    pool recall 0.47-0.60 per query at sf0.001. Selection contract is
+    structural: every query emits exactly MMR_SEL_K contiguous ranks,
+    every selection comes from the IVF pool, and the first pick is the
+    pool's pure-relevance argmax (the greedy's step-1 definition)."""
+    from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
+    from cognitive_score_bigdata_spark.queries.dedup_similarity import (
+        ivf_index,
+    )
+    from cognitive_score_bigdata_spark.queries.retrieval import (
+        MMR_IVF_CELLS,
+        MMR_IVF_PROBE,
+        search_mmr_rerank_ivf,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_pool: dict = {}
+    for r in _cosine_ranked(emb, MMR_CAND_K).select(
+        "query_id", "doc_id"
+    ).collect():
+        exact_pool.setdefault(r.query_id, set()).add(r.doc_id)
+    idx = ivf_index(spark, SF_DIR, n_cells=MMR_IVF_CELLS)
+    probe = ivf_probe(
+        idx, _query_ids(emb), k=MMR_CAND_K, n_probe=MMR_IVF_PROBE
+    ).collect()
+    ivf_pool: dict = {}
+    ivf_rel: dict = {}
+    for r in probe:
+        ivf_pool.setdefault(r.query_id, set()).add(r.neighbor_id)
+        ivf_rel.setdefault(r.query_id, {})[r.neighbor_id] = r.cos
+    assert set(ivf_pool) == set(exact_pool)
+    recalls = [
+        len(ivf_pool[q] & s) / len(s) for q, s in exact_pool.items()
+    ]
+    chance = MMR_IVF_PROBE / MMR_IVF_CELLS
+    assert min(recalls) > chance + 0.05, recalls
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    sel = search_mmr_rerank_ivf(spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, {})[r.rnk] = r.doc_id
+    assert set(by_q) == set(exact_pool)
+    for q, picks in by_q.items():
+        assert sorted(picks) == list(range(1, MMR_SEL_K + 1)), (q, picks)
+        assert set(picks.values()) <= ivf_pool[q], q
+        rels = ivf_rel[q]
+        assert picks[1] == min(rels, key=lambda d: (-rels[d], d)), q
+
+    ex_sel = {}
+    for r in search_mmr_rerank(spark, SF_DIR).collect():
+        ex_sel.setdefault(r.query_id, set()).add(r.doc_id)
+    agree = [
+        len(set(by_q[q].values()) & ex_sel[q]) / MMR_SEL_K for q in ex_sel
+    ]
+    assert sum(agree) / len(agree) >= 0.25, agree
+
+
+def test_mmr_ivf_leg_windows_classify_safely(spark):
+    """The IVF candidate leg's windows (per-query cell rank + per-query
+    candidate rank) classify per-entity under the §9r sweep. Classified
+    PRE-checkpoint: _mmr_from_candidates lazily localCheckpoints the
+    pool (three consumers), truncating the registered plan at an
+    ExistingRDD scan — the documented dedicated-test pattern for
+    checkpoint-hidden windows."""
+    from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
+    from cognitive_score_bigdata_spark.plans.window_audit import (
+        classify_windows,
+    )
+    from cognitive_score_bigdata_spark.queries.dedup_similarity import (
+        ivf_index,
+    )
+    from cognitive_score_bigdata_spark.queries.retrieval import (
+        MMR_IVF_CELLS,
+        MMR_IVF_PROBE,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_index(spark, SF_DIR, n_cells=MMR_IVF_CELLS)
+    leg = ivf_probe(
+        idx, _query_ids(emb), k=MMR_CAND_K, n_probe=MMR_IVF_PROBE
+    )
+    ks = {w.klass for w in classify_windows(leg)}
+    # wgl (WindowGroupLimit fires on the rank<=k filters) is the best
+    # class; per-entity is the acceptable fallback — never exposed
+    assert ks and ks <= {"wgl", "per-entity"}, ks
+
+
+def test_mmr_ivf_rank_shuffle_is_payload_free(spark):
+    """The IVF leg's rank exchange must not carry vector payloads (the
+    quadratic-payload term the exact leg already eliminated): no
+    Exchange in the probe plan may ship an array column."""
+    import re as _re
+
+    from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
+    from cognitive_score_bigdata_spark.queries.dedup_similarity import (
+        ivf_index,
+    )
+    from cognitive_score_bigdata_spark.queries.retrieval import (
+        MMR_IVF_CELLS,
+        MMR_IVF_PROBE,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_index(spark, SF_DIR, n_cells=MMR_IVF_CELLS)
+    leg = ivf_probe(
+        idx, _query_ids(emb), k=MMR_CAND_K, n_probe=MMR_IVF_PROBE
+    )
+    plan = leg._jdf.queryExecution().executedPlan().toString()
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^\n]*)", plan):
+        assert "__q" not in m.group(1) and "__c" not in m.group(1), m.group(0)
 
 
 def test_retrieval_plan_shapes(spark):

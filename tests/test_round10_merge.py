@@ -91,40 +91,163 @@ def test_merged_pairs_equal_single_shot_pairs(spark):
     assert a.equals(b), (len(a), len(b))
 
 
-def test_compaction_reduces_files_and_conserves_content(spark):
-    """After build+merge every band partition holds 2 file sets;
-    compaction must bring each touched band to one file, leave the row
-    set bit-identical, and its read must be partition-pruned to the
-    touched bands only."""
+def _build_small_index(spark, path, n1=120, n2=80):
     from cognitive_score_bigdata_spark.queries.round10 import (
-        band_file_counts,
-        compact_index_bands,
+        _list_data_files,
+        publish_manifest,
     )
 
     snap1, snap2 = snapshot_docs(spark, SF_DIR)
-    path = tempfile.mkdtemp(prefix="csb_compact_") + "/idx"
-    md5_banded_rows(snap1.limit(120)).write.partitionBy("band").parquet(path)
-    merge_into_index(snap2.limit(80), path)
+    md5_banded_rows(snap1.limit(n1)).write.partitionBy("band").parquet(path)
+    publish_manifest(path, _list_data_files(path), note="initial build")
+    merge_into_index(snap2.limit(n2), path)
 
-    before_files = band_file_counts(path)
+
+def test_compaction_reduces_files_and_conserves_content(spark):
+    """After build+merge every band partition holds 2 live file sets;
+    compaction must bring each touched band to one LIVE file (the
+    manifest view readers resolve), leave the row set bit-identical,
+    and vacuum — the only deleter — must bring the PHYSICAL counts
+    down to the live set once the retention window is dropped."""
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        band_file_counts,
+        compact_index_bands,
+        live_band_file_counts,
+        read_index,
+        vacuum_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="csb_compact_") + "/idx"
+    _build_small_index(spark, path)
+
+    before_files = live_band_file_counts(path)
     assert all(n >= 2 for n in before_files.values()), before_files
-    before_rows = spark.read.parquet(path).toPandas()
+    before_rows = read_index(spark, path).toPandas()
 
     # pruning pin: the compaction scan carries PartitionFilters on band
     touched = sorted(before_files)
-    pruned = spark.read.parquet(path).filter(F.col("band").isin(touched))
+    pruned = read_index(spark, path).filter(F.col("band").isin(touched))
     assert re.search(r"PartitionFilters: \[[^\]]*band", plan_text(pruned))
 
     stats = compact_index_bands(spark, path, max_files_per_band=1)
     assert set(stats) == set(before_files)
-    after_files = band_file_counts(path)
-    assert all(n == 1 for n in after_files.values()), after_files
+    after_live = live_band_file_counts(path)
+    assert all(n == 1 for n in after_live.values()), after_live
+    # commit deleted nothing: old files still present for in-flight
+    # readers until vacuum drops the retention window
+    assert all(n >= 3 for n in band_file_counts(path).values())
+    deleted = vacuum_index(path, keep_versions=1)
+    assert deleted, "vacuum should sweep the superseded files"
+    assert band_file_counts(path) == after_live
 
-    after_rows = spark.read.parquet(path).toPandas()
+    after_rows = read_index(spark, path).toPandas()
     cols = sorted(before_rows.columns)
     a = before_rows[cols].sort_values(cols).reset_index(drop=True)
     b = after_rows[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_compaction_commit_is_reader_atomic(spark):
+    """The VERDICT-r10 seam: a reader DURING compaction (after the
+    compacted files are staged, before the manifest flip) must resolve
+    EXACTLY the old committed file set — old XOR new, never a hole,
+    never a mix — and a crash in that window must leave the live index
+    untouched with the staged files as sweepable garbage."""
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        band_file_counts,
+        compact_index_bands,
+        live_band_file_counts,
+        read_index,
+        read_manifest,
+        vacuum_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="csb_compact3_") + "/idx"
+    _build_small_index(spark, path, n1=100, n2=60)
+    v_before, files_before = read_manifest(path)
+    rows_before = read_index(spark, path).toPandas()
+    cols = sorted(rows_before.columns)
+    canon = lambda df: df[cols].sort_values(cols).reset_index(drop=True)  # noqa: E731
+
+    seen = {}
+
+    def reader_mid_compaction():
+        # staged files are already physically present beside the live
+        # set, yet the committed view must be byte-identical to before
+        seen["manifest"] = read_manifest(path)
+        seen["rows"] = read_index(spark, path).toPandas()
+        assert any(
+            n > live_band_file_counts(path)[b]
+            for b, n in band_file_counts(path).items()
+        ), "staging should have added physical files"
+
+    compact_index_bands(
+        spark, path, max_files_per_band=1, _before_publish=reader_mid_compaction
+    )
+    assert seen["manifest"] == (v_before, files_before)
+    assert canon(seen["rows"]).equals(canon(rows_before))
+    v_after, files_after = read_manifest(path)
+    assert v_after == v_before + 1 and files_after != files_before
+    assert canon(read_index(spark, path).toPandas()).equals(canon(rows_before))
+
+    # crash window: a failure after staging but before the flip aborts
+    # with the OLD manifest still live and content intact
+    path2 = tempfile.mkdtemp(prefix="csb_compact4_") + "/idx"
+    _build_small_index(spark, path2, n1=100, n2=60)
+    v2, files2 = read_manifest(path2)
+    rows2 = read_index(spark, path2).toPandas()
+
+    def boom():
+        raise RuntimeError("simulated crash before publish")
+
+    try:
+        compact_index_bands(spark, path2, max_files_per_band=1, _before_publish=boom)
+        raise AssertionError("compaction should have propagated the crash")
+    except RuntimeError:
+        pass
+    assert read_manifest(path2) == (v2, files2)
+    assert canon(read_index(spark, path2).toPandas()).equals(canon(rows2))
+    # the orphaned staged files are garbage, not corruption: vacuum
+    # sweeps anything no kept manifest references
+    orphans = set(vacuum_index(path2, keep_versions=2))
+    assert orphans and all("compact-" in f for f in orphans), orphans
+    assert canon(read_index(spark, path2).toPandas()).equals(canon(rows2))
+
+
+def test_merge_after_compaction_does_not_resurrect_swept_files(spark):
+    """A merge that follows a compaction must base its manifest on the
+    CURRENT manifest, not a directory listing — otherwise the
+    superseded (not-yet-vacuumed) files would re-enter the live set and
+    double every row they hold. Full lifecycle: build -> merge ->
+    compact -> merge again == from-scratch rebuild over all parts."""
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        compact_index_bands,
+        read_index,
+    )
+
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        _list_data_files,
+        publish_manifest,
+    )
+
+    snap1, snap2 = snapshot_docs(spark, SF_DIR)
+    # deterministic doc_id-range parts (limit() is not stable across
+    # evaluations, and this test re-derives the corpus for the rebuild)
+    part1 = snap1.filter(F.col("doc_id") < 300)
+    part2 = snap2.filter(F.col("doc_id") < 300)
+    part3 = snap2.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+    path = tempfile.mkdtemp(prefix="csb_compact5_") + "/idx"
+    md5_banded_rows(part1).write.partitionBy("band").parquet(path)
+    publish_manifest(path, _list_data_files(path), note="initial build")
+    merge_into_index(part2, path)
+    compact_index_bands(spark, path, max_files_per_band=1)
+    # second increment appended AFTER compaction, old files still on disk
+    merge_into_index(part3, path)
+    merged = read_index(spark, path)
+    rebuilt = md5_banded_rows(part1.unionByName(part2).unionByName(part3))
+    cols = rebuilt.columns
+    assert merged.select(cols).exceptAll(rebuilt.select(cols)).count() == 0
+    assert rebuilt.select(cols).exceptAll(merged.select(cols)).count() == 0
 
 
 def test_compaction_band_subset_leaves_others_untouched(spark):
