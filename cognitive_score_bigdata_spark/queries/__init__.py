@@ -378,7 +378,13 @@ ROUND11_WINDOW = [
     # scalar_hash_md5 + analytics_q2_min_cost_supplier per the rule.
     "search_mmr_rerank_ivf",
     "vector_ivf_merge_topk",
-    # ALL 38 round-6-latest carries — clears round-6 debt
+    # ALL 39 round-6-latest carries — clears round-6 debt. The
+    # materialized plan listed 38: it missed range_join_time_binned,
+    # which ROUND10's own births had displaced from ROUND10's END
+    # refills (see the comment in ROUND10_WINDOW below) and thereby
+    # left r6-latest. Caught by recomputing the latest-row map in the
+    # round-11 session; added here per the carries-are-sacred rule,
+    # displacing one more END refill (dedup_cluster_exact).
     "agg_approx_distinct",
     "agg_cube",
     "agg_percentile_approx",
@@ -398,6 +404,7 @@ ROUND11_WINDOW = [
     "multimodal_arrow_bytes",
     "proj_derived_status",
     "quality_repetition_signals",
+    "range_join_time_binned",
     "sample_domain_quota",
     "sample_stratified",
     "scalar_regexp_replace",
@@ -417,13 +424,15 @@ ROUND11_WINDOW = [
     "vector_kmeans_cluster_sizes",
     "window_percentiles",
     "window_rank_analytic",
-    # 8 refills from the round-7-latest rows (watch priority + spread)
+    # refills from the round-7-latest rows (watch priority + spread);
+    # originally 8, minus 3 END displacements (scalar_hash_md5 +
+    # analytics_q2_min_cost_supplier for the two r11 births,
+    # dedup_cluster_exact for the missed r6 carry above)
     "corpus_dedup_keep_best",
     "window_rolling_avg",
     "text_chunk_dedup",
     "corpus_shard_assignment",
     "window_latest_per_key",
-    "dedup_cluster_exact",
 ]
 
 ROUND10_WINDOW = [
