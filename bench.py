@@ -520,6 +520,9 @@ def main() -> None:
         / probe_median,
         2,
     )
+    banded_normalized["headline_total"] = round(
+        sum(timings.values()) / probe_median, 1
+    )
 
     result = {
         "metric": "headline_queries_total",

@@ -69,29 +69,61 @@ def read_manifest(path: str) -> tuple[int, list[str]] | None:
     return int(m["version"]), list(m["files"])
 
 
-def publish_manifest(path: str, files: list[str], note: str = "") -> int:
+def publish_manifest(
+    path: str, files: list[str], note: str = "", meta: dict | None = None
+) -> int:
     """Commit ``files`` as the new live set. The manifest file is
     written complete before the ``_current`` flip, and the flip is
     ``os.replace`` of a same-directory temp file — readers see the old
     pointer or the new one, never a partial write. (Object-store
-    translation: manifest PUT, then ``_current`` PUT.)"""
+    translation: manifest PUT, then ``_current`` PUT.)
+
+    ``meta`` rides in the SAME manifest document, so any caller state
+    (e.g. a streaming batch-id fence) commits atomically WITH the file
+    list — there is no residual window between "files live" and "state
+    recorded". Each manifest carries its own complete meta; callers
+    that accumulate (fences) read the current meta first. Omitted meta
+    carries the current manifest's forward unchanged."""
     import json
     import os
 
     cur = read_manifest(path)
     version = (cur[0] if cur else 0) + 1
+    if meta is None:
+        meta = read_manifest_meta(path)
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     name = f"m-{version:010d}.json"
     with open(os.path.join(mdir, name), "w") as f:
         json.dump(
-            {"version": version, "files": sorted(files), "note": note}, f
+            {
+                "version": version,
+                "files": sorted(files),
+                "note": note,
+                "meta": meta,
+            },
+            f,
         )
     tmp = os.path.join(path, f"{_CURRENT}.tmp.{version}")
     with open(tmp, "w") as f:
         f.write(name)
     os.replace(tmp, os.path.join(path, _CURRENT))
     return version
+
+
+def read_manifest_meta(path: str) -> dict:
+    """The committed manifest's caller-state document ({} if the index
+    has no manifest yet or the manifest predates meta support)."""
+    import json
+    import os
+
+    cur = os.path.join(path, _CURRENT)
+    if not os.path.exists(cur):
+        return {}
+    with open(cur) as f:
+        name = f.read().strip()
+    with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
+        return dict(json.load(f).get("meta", {}))
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
@@ -136,19 +168,31 @@ def live_part_file_counts(path: str) -> dict[int, int]:
     return out
 
 
-def append_commit(path: str, write_append, note: str = "append") -> list[str]:
+def append_commit(
+    path: str,
+    write_append,
+    note: str = "append",
+    meta: dict | None = None,
+    _before_publish=None,
+) -> list[str]:
     """Run ``write_append()`` (a Spark append into ``path``) and commit
     the files it added into the manifest (bootstrapping one for a
     legacy plain-directory index). Base = the CURRENT manifest, not a
     directory listing: a listing would resurrect files an earlier
-    compaction superseded but vacuum has not yet swept. Returns the
-    committed new relative paths."""
+    compaction superseded but vacuum has not yet swept. ``meta``
+    commits atomically with the added files (see
+    :func:`publish_manifest`); ``_before_publish`` is the same test
+    seam as compaction's — the crash window between the physical
+    append and the flip, in which the added files are uncommitted
+    garbage. Returns the committed new relative paths."""
     before = set(_list_data_files(path))
     write_append()
     added = sorted(set(_list_data_files(path)) - before)
     cur = read_manifest(path)
     base = cur[1] if cur else sorted(before)
-    publish_manifest(path, base + added, note=note)
+    if _before_publish is not None:
+        _before_publish()
+    publish_manifest(path, base + added, note=note, meta=meta)
     return added
 
 

@@ -39,6 +39,12 @@ is (a nightly job, not a full-index rewrite), and the file-count growth
 it causes is handled by the shared per-partition compaction +
 vacuum — exercised on ``cell=`` partitions in
 ``tests/test_ivf_lifecycle.py``.
+
+The streaming face (:func:`absorb_stream_increment`) runs the same
+absorption per micro-batch under a batch-id fence committed INSIDE the
+manifest flip — files and fence state are one atomic commit, which
+closes the replay residual window the MV's side-car ledger documents
+(see the function docstring for why the MV cannot make the same move).
 """
 
 from __future__ import annotations
@@ -55,6 +61,7 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     append_commit,
     publish_manifest,
     read_index,
+    read_manifest_meta,
 )
 from cognitive_score_bigdata_spark.operators.similarity import (
     IVF_CAND_SCHEMA,
@@ -100,14 +107,20 @@ def load_centers(spark: SparkSession, path: str) -> DataFrame:
 
 
 def merge_vectors_into_ivf(
-    new_vectors: DataFrame, path: str
+    new_vectors: DataFrame,
+    path: str,
+    note: str = "merge append (frozen centroids)",
+    meta: dict | None = None,
+    _before_publish=None,
 ) -> DataFrame:
     """Absorb ``new_vectors`` into the inverted file at ``path`` by
     frozen-centroid assignment + append (the per-snapshot MERGE).
     Returns the candidate rows that were appended — whose plan, by
     construction, contains no scan of ``path``: only the new batch and
     the (n_cells-row) centroid table are read, no old cell partition
-    is touched."""
+    is touched. ``meta``/``_before_publish`` pass through to
+    :func:`append_commit` (the streaming fence and its crash-window
+    test seam)."""
     spark = new_vectors.sparkSession
     centers = load_centers(spark, path).collect()  # n_cells rows
     C = np.array(
@@ -120,9 +133,56 @@ def merge_vectors_into_ivf(
     append_commit(
         path,
         lambda: new_rows.write.mode("append").partitionBy("cell").parquet(path),
-        note="merge append (frozen centroids)",
+        note=note,
+        meta=meta,
+        _before_publish=_before_publish,
     )
     return new_rows
+
+
+def absorb_stream_increment(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    _before_publish=None,
+) -> bool:
+    """``foreachBatch`` hook: continuous vector ingestion into the
+    inverted file — the streaming face of the same frozen-centroid
+    absorption the batch merge runs.
+
+    foreachBatch is at-least-once, and a replayed append would bin the
+    same vectors twice (duplicate index rows change probe results —
+    unlike the minhash index, whose candidate pairs are DISTINCTed
+    downstream). So committed batch ids are fenced. The fence lives IN
+    THE MANIFEST (``meta["batch_ids"]``), committed by the SAME
+    ``_current`` flip that makes the batch's files live: files and
+    fence state cannot disagree. This CLOSES the residual window the
+    MV's side-ledger documents (``mv_maintenance.py``: a crash between
+    its partition overwrite and its ledger append replays into a
+    double-merge) — here a crash before the flip leaves the appended
+    files uncommitted garbage (vacuum sweeps them) and the fence
+    unrecorded, so the replay re-absorbs into the committed view
+    exactly once. What makes this possible is that the IVF absorption
+    is append-only: the MV's read-modify-write mutates live partitions
+    in place, so no manifest flip could make its merge+fence atomic
+    without also versioning the partitions themselves (that is the
+    full Delta/Iceberg overwrite protocol, out of scope here and said
+    so in ``mv_maintenance.py``).
+
+    Returns whether the batch was absorbed."""
+    meta = read_manifest_meta(path)
+    seen = list(meta.get("batch_ids", []))
+    if batch_id in seen:
+        return False
+    merge_vectors_into_ivf(
+        batch_df,
+        path,
+        note=f"stream absorb batch {batch_id}",
+        meta={**meta, "batch_ids": sorted([*seen, batch_id])},
+        _before_publish=_before_publish,
+    )
+    return True
 
 
 _MERGED_IVF_CACHE: dict[tuple, str] = {}

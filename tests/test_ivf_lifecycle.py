@@ -128,6 +128,133 @@ def test_cell_compaction_and_vacuum_share_the_manifest_protocol(spark):
     assert va == vb
 
 
+def _committed_view(spark, path):
+    """(manifest version, per-vector counts of the committed index)."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_manifest,
+    )
+
+    version, _ = read_manifest(path)
+    counts = {
+        r.neighbor_id: r["count"]
+        for r in read_index(spark, path).groupBy("neighbor_id").count().collect()
+    }
+    return version, counts
+
+
+def test_stream_absorb_replay_is_fenced(spark):
+    """foreachBatch is at-least-once and a replayed append would bin
+    the same vectors twice (duplicate index rows change probe results),
+    so a committed batch_id must be a no-op on replay: manifest version
+    unchanged, committed content unchanged."""
+    from cognitive_score_bigdata_spark.queries.ivf_lifecycle import (
+        absorb_stream_increment,
+    )
+
+    path, _, snap2 = _fresh_index(spark, "fence")
+    b1 = snap2.filter(F.col("vec_id") % 2 == 0)
+    b2 = snap2.filter(F.col("vec_id") % 2 == 1)
+
+    assert absorb_stream_increment(spark, b1, path, 7) is True
+    v1, counts1 = _committed_view(spark, path)
+    assert set(counts1.values()) == {1}
+    assert absorb_stream_increment(spark, b1, path, 7) is False  # replay
+    assert _committed_view(spark, path) == (v1, counts1)
+    assert absorb_stream_increment(spark, b2, path, 8) is True
+    v2, counts2 = _committed_view(spark, path)
+    assert v2 == v1 + 1 and set(counts2.values()) == {1}
+    assert len(counts2) == len(counts1) + b2.count()
+
+
+def test_stream_absorb_crash_window_replays_exactly_once(spark):
+    """The claim that distinguishes this fence from the MV's side-car
+    ledger: batch files and fence state commit in ONE manifest flip, so
+    a crash BETWEEN the physical append and the flip leaves the
+    committed view untouched (appended files = uncommitted garbage) and
+    the fence unrecorded — the replay then absorbs exactly once, and
+    vacuum sweeps the orphaned first attempt."""
+    from cognitive_score_bigdata_spark.queries.ivf_lifecycle import (
+        absorb_stream_increment,
+    )
+
+    path, _, snap2 = _fresh_index(spark, "crash")
+    batch = snap2.filter(F.col("vec_id") % 2 == 0)
+    v0, counts0 = _committed_view(spark, path)
+
+    def boom():
+        raise RuntimeError("simulated crash before the manifest flip")
+
+    try:
+        absorb_stream_increment(spark, batch, path, 7, _before_publish=boom)
+        raise AssertionError("the crash should have propagated")
+    except RuntimeError:
+        pass
+    # committed view untouched; the appended files are orphans
+    assert _committed_view(spark, path) == (v0, counts0)
+    n_live = sum(live_part_file_counts(path).values())
+    assert sum(part_file_counts(path).values()) > n_live
+
+    # replay of the SAME batch id absorbs (the fence was never
+    # recorded), exactly once
+    assert absorb_stream_increment(spark, batch, path, 7) is True
+    v1, counts1 = _committed_view(spark, path)
+    assert v1 == v0 + 1 and set(counts1.values()) == {1}
+    assert len(counts1) == len(counts0) + batch.count()
+    orphans = vacuum_index(path, keep_versions=2)
+    assert orphans, "the crashed attempt's files should be swept"
+    assert _committed_view(spark, path) == (v1, counts1)
+
+
+def test_stream_drop_dir_absorption_end_to_end(spark, tmp_path):
+    """availableNow drain of a drop-dir vector stream through the
+    foreachBatch hook: the committed inverted file ends holding base +
+    every streamed vector exactly once, regardless of micro-batch
+    split."""
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.queries.ivf_lifecycle import (
+        absorb_stream_increment,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    stream_rows = emb.filter(F.col("vec_id") % 3 != 0)
+    path = str(tmp_path / "idx")
+    build_ivf_file(base, path, n_cells=IVFM_CELLS)
+
+    drop = tmp_path / "drop"
+    for i in range(3):
+        stream_rows.filter(F.col("vec_id") % 3 == 1 + (i % 2)).filter(
+            F.col("vec_id") % 5 == i
+        ).coalesce(1).write.parquet(str(drop / f"b{i}"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: absorb_stream_increment(spark, b, path, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r.vec_id
+        for i in range(3)
+        for r in spark.read.parquet(str(drop / f"b{i}")).select("vec_id").collect()
+    }
+    got = {
+        r.neighbor_id: r["count"]
+        for r in read_index(spark, path).groupBy("neighbor_id").count().collect()
+    }
+    want = {r.vec_id for r in base.select("vec_id").collect()} | streamed
+    assert set(got) == want
+    assert set(got.values()) == {1}
+
+
 def test_exact_probe_of_merged_file_is_brute_force(spark):
     """The conservation statement the oracle pins at the driver,
     asserted in-suite as well: n_probe = n_cells over the merged file
