@@ -242,6 +242,13 @@ HEADLINE = [
     # measures the full-probe top-k from the merged on-disk file;
     # build+absorb are once-per-snapshot artifacts, warmed below
     "vector_ivf_merge_topk",
+    # round-12 staging: distributed BPE merge training (the timed row
+    # IS the 16-iteration training run — collapse-to-word-table plus
+    # K argmax/replace rounds; no warmable artifact by design) and the
+    # IVF-legged hybrid fusion (shares the warmed BM25 + 16-cell IVF
+    # artifacts with its exact sibling)
+    "corpus_bpe_train_merges",
+    "search_hybrid_rrf_ivf",
     # round-11 staging: incremental MV maintenance (timed row measures
     # reading the maintained rollup; build+merge are once-per-corpus
     # artifacts, warmed like the index builds)

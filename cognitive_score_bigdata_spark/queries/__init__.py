@@ -351,6 +351,76 @@ ROUND8_WINDOW = [
 # Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
 
+# Round-12 rotation plan, MATERIALIZED at round-11 end (the same
+# one-reference-swap contract as every rotation: the round-12 session
+# points load_registry's ordering block at ROUND12_WINDOW and changes
+# nothing else). Composition: the 2 round-12 staged births
+# (corpus_bpe_train_merges — distributed BPE training, full oracle;
+# search_hybrid_rrf_ivf — rows-only ledgered, exact sibling
+# hash-green r11) + ALL 45 round-7-latest carries (after r12 no
+# latest row predates round 8) + 3 refills from the round-8 cohort
+# (module spread: dedup/graph/curation). New round-12 queries
+# displace refills from the END, never the carries. Pre-validated
+# end-to-end at sf0.01 under the driver-mirror comparator at round-11
+# end (2026-08-15): 48 hash-green + 2 ledgered rows-only
+# (search_hybrid_rrf_ivf, ml_score_batch — both with hash-green
+# exact/shadow siblings), 0 red. See SURVEY §17/§9ab/§9ac.
+ROUND12_WINDOW = [
+    # the 2 round-12 staged rows (birth-window driver rows)
+    "corpus_bpe_train_merges",
+    "search_hybrid_rrf_ivf",
+    # ALL 45 round-7-latest carries — clears round-7 debt
+    "analytics_q16_supplier_cnt",
+    "analytics_q20_dominant_supplier",
+    "analytics_q21_waiting_supplier",
+    "analytics_q2_min_cost_supplier",
+    "corpus_clean_pipeline",
+    "corpus_pack_sequences",
+    "corpus_source_mixture",
+    "corpus_train_holdout_split",
+    "curation_url_canonical_hostdedup",
+    "dedup_cluster_exact",
+    "join_cross",
+    "join_full_outer",
+    "join_null_safe",
+    "ml_feature_assembly",
+    "ml_score_batch",
+    "multimodal_audio_spectrum",
+    "multimodal_audio_windows",
+    "multimodal_decode_real",
+    "multimodal_extract_features",
+    "multimodal_video_frames",
+    "proj_distinct",
+    "proj_filter_basic",
+    "proj_rename_cast",
+    "quality_data_validation",
+    "quality_length_quantile_audit",
+    "scalar_base64",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_hash_md5",
+    "scan_zorder_two_dim",
+    "scd2_user_event_history",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_by_name",
+    "sketch_heavy_hitter_tokens",
+    "streaming_corpus_clean",
+    "subquery_scalar_avg_diff",
+    "text_bm25_topk",
+    "text_token_stats",
+    "window_nth_lag_default",
+    "window_ntile",
+    "window_sliding_10m_5m",
+    "window_topk_recent",
+    "window_tumbling_hourly",
+    # 3 refills from the round-8-latest rows (watch priority + spread)
+    "dedup_minhash_pairs_md5",
+    "graph_pagerank_copurchase",
+    "curation_dsir_importance_topk",
+]
+
 # The round-11 window, MATERIALIZED at round-10 end and LIVE since
 # round 11: load_registry() orders by this list (the one-reference
 # swap VERDICT r10 item 1 asked for). Kept as data, not prose, so the
@@ -635,6 +705,11 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "hash-green) runs the byte-identical greedy tail over brute-force "
     "candidates, pool recall + selection agreement pinned in "
     "tests/test_retrieval.py",
+    "search_hybrid_rrf_ivf": "the vector leg's IVF ranks are "
+    "approximate by design (same ledger logic as search_mmr_rerank_"
+    "ivf); exact sibling search_hybrid_rrf shares the BM25 leg and "
+    "fusion code byte-for-byte, leg recall + fused-set agreement "
+    "pinned in tests/test_retrieval.py",
     "agg_pandas_udaf_gmean": "geometric mean goes through exp/log "
     "transcendentals (cross-engine ulp drift by design of the check); "
     "the row exists for the grouped pandas-UDAF API surface, Arrow "
@@ -705,6 +780,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round10,
         round10_staging,
         round11_staging,
+        round12_staging,
         scalar_funcs,
         setops,
         sharding,

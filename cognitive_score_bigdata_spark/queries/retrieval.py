@@ -57,6 +57,12 @@ RRF_LEG_K = 20  # depth each leg contributes
 RRF_TOP_K = 10  # fused cut
 MMR_CAND_K = 30  # candidate pool per query (top-C by relevance)
 MMR_SEL_K = 10  # selections per query
+# IVF candidate generation (the *_ivf scale variants): same coarse
+# quantizer geometry as vector_ann_ivf_topk, same session-scoped index
+# build — the inverted file is a batch artifact probed by every
+# retrieval query.
+MMR_IVF_CELLS = 16
+MMR_IVF_PROBE = 4
 # MMR balance: score = 0.5*rel - 0.5*max_sim, written identically in the
 # Spark-side greedy and the oracle's recursive CTE (exact halves, so the
 # expression is two IEEE ops on bit-identical inputs in both engines).
@@ -191,12 +197,19 @@ def _cosine_ranked(emb: DataFrame, top_k: int) -> DataFrame:
     f"K-row-per-query tables on (query, doc) — never corpus-sized",
 )
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vleg = _cosine_ranked(emb, RRF_LEG_K).select("query_id", "doc_id", "rv")
+    return _rrf_fuse(_bm25_leg(spark, sf_dir), vleg)
+
+
+def _bm25_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, rb): BM25 posting-list ranks to RRF_LEG_K —
+    query terms are the query documents' first 5 distinct tokens (the
+    text_bm25_topk convention). Shared verbatim by the exact and the
+    IVF hybrid queries — only the VECTOR leg changes with scale."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     tf, dl, stats, dfreq = _bm25_index(spark, sf_dir)
-
-    # BM25 leg: query terms from the query documents (first 5 distinct
-    # tokens — the text_bm25_topk convention), ranks to RRF_LEG_K.
     q = (
         _query_ids(emb)
         .select("vec_id")
@@ -230,14 +243,16 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
-    bleg = (
+    return (
         bscored.withColumn("rb", F.row_number().over(wb).cast("bigint"))
         .filter(F.col("rb") <= RRF_LEG_K)
         .select("query_id", "doc_id", "rb")
     )
 
-    vleg = _cosine_ranked(emb, RRF_LEG_K).select("query_id", "doc_id", "rv")
 
+def _rrf_fuse(bleg: DataFrame, vleg: DataFrame) -> DataFrame:
+    """1/(K+rank) fusion of two (query_id, doc_id, rank) legs — integer
+    ranks in, so no cross-engine float drift can originate here."""
     fused = bleg.join(vleg, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -256,6 +271,40 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOP_K)
         .select("query_id", "doc_id", "n_legs", "rnk")
     )
+
+
+@register(
+    "search_hybrid_rrf_ivf",
+    oracle=None,  # the IVF leg's ranks are approximate by design; leg
+    # recall + fusion-agreement floors pinned vs the exact sibling in
+    # tests/test_retrieval.py
+    doc=f"hybrid RRF with the vector leg generated by IVF probe — the "
+    f"100 TB form of search_hybrid_rrf, completing the retrieval "
+    f"family's scale path (the search_mmr_rerank_ivf move applied to "
+    f"fusion): BM25 leg and 1/(K+rank) fusion are the exact sibling's "
+    f"code shared byte-for-byte (_bm25_leg/_rrf_fuse); only the "
+    f"cosine leg swaps brute force for ivf_probe over the shared "
+    f"session-scoped {MMR_IVF_CELLS}-cell inverted file "
+    f"({MMR_IVF_PROBE} nearest cells per query, top-{RRF_LEG_K}). "
+    f"Rows-only ledgered; search_hybrid_rrf is the hash-green exact "
+    f"sibling",
+)
+def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
+    from cognitive_score_bigdata_spark.queries.dedup_similarity import (
+        ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_index(spark, sf_dir, n_cells=MMR_IVF_CELLS)
+    vleg = ivf_probe(
+        index, _query_ids(emb), k=RRF_LEG_K, n_probe=MMR_IVF_PROBE
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("rv"),
+    )
+    return _rrf_fuse(_bm25_leg(spark, sf_dir), vleg)
 
 
 def _mmr_greedy(
@@ -430,13 +479,6 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
     )
     return _mmr_from_candidates(ranked, vecs)
-
-
-# IVF candidate generation: same coarse quantizer geometry as
-# vector_ann_ivf_topk (and the same session-scoped index build — the
-# inverted file is a batch artifact probed by every retrieval query).
-MMR_IVF_CELLS = 16
-MMR_IVF_PROBE = 4
 
 
 @register(

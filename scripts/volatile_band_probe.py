@@ -47,6 +47,9 @@ N_RUNS = 5
 WARM_FOR = {
     "vector_ann_ivfpq_topk": ["vector_ann_pq_topk", "vector_ann_ivfpq_topk"],
     "search_hybrid_rrf": ["text_bm25_topk"],
+    "search_hybrid_rrf_ivf": ["text_bm25_topk", "vector_ann_ivf_topk"],
+    "search_mmr_rerank_ivf": ["vector_ann_ivf_topk"],
+    "vector_ivf_merge_topk": ["vector_ivf_merge_topk"],
     "agg_incremental_mv_merge": ["agg_incremental_mv_merge"],
     "dedup_index_merge_pairs_md5": ["dedup_index_merge_pairs_md5"],
 }

@@ -364,6 +364,63 @@ def test_mmr_ivf_rank_shuffle_is_payload_free(spark):
         assert "__q" not in m.group(1) and "__c" not in m.group(1), m.group(0)
 
 
+def test_rrf_ivf_leg_recall_and_fusion_agreement(spark):
+    """The rows-only ledger pins for search_hybrid_rrf_ivf vs its
+    exact sibling: (a) the IVF vector leg's recall of the exact
+    cosine top-RRF_LEG_K beats the n_probe/n_cells chance baseline
+    (random testdata embeddings — IVF's worst case); (b) the fused
+    top-10 sets agree above a floor (the BM25 leg and the fusion are
+    the sibling's code shared byte-for-byte, so divergence can ONLY
+    enter through dropped vector-leg candidates; measured agreement
+    0.80 at sf0.001 and sf0.01); (c) structure: every query emits
+    exactly RRF_TOP_K contiguous ranks."""
+    from cognitive_score_bigdata_spark.queries import load_registry
+    from cognitive_score_bigdata_spark.queries.retrieval import (
+        MMR_IVF_CELLS,
+        MMR_IVF_PROBE,
+        RRF_LEG_K,
+        RRF_TOP_K,
+    )
+
+    R = load_registry()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact_leg: dict = {}
+    for r in _cosine_ranked(emb, RRF_LEG_K).collect():
+        exact_leg.setdefault(r.query_id, set()).add(r.doc_id)
+
+    from cognitive_score_bigdata_spark.operators.similarity import ivf_probe
+    from cognitive_score_bigdata_spark.queries.dedup_similarity import (
+        ivf_index,
+    )
+
+    idx = ivf_index(spark, SF_DIR, n_cells=MMR_IVF_CELLS)
+    ivf_leg: dict = {}
+    for r in ivf_probe(
+        idx, _query_ids(emb), k=RRF_LEG_K, n_probe=MMR_IVF_PROBE
+    ).collect():
+        ivf_leg.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ivf_leg) == set(exact_leg)
+    recalls = [len(ivf_leg[q] & s) / len(s) for q, s in exact_leg.items()]
+    chance = MMR_IVF_PROBE / MMR_IVF_CELLS
+    assert min(recalls) > chance + 0.05, recalls
+
+    fused_ivf: dict = {}
+    by_q_ranks: dict = {}
+    for r in R["search_hybrid_rrf_ivf"].fn(spark, SF_DIR).collect():
+        fused_ivf.setdefault(r.query_id, set()).add(r.doc_id)
+        by_q_ranks.setdefault(r.query_id, []).append(r.rnk)
+    fused_exact: dict = {}
+    for r in R["search_hybrid_rrf"].fn(spark, SF_DIR).collect():
+        fused_exact.setdefault(r.query_id, set()).add(r.doc_id)
+    assert set(fused_ivf) == set(fused_exact)
+    agree = [
+        len(fused_ivf[q] & s) / len(s) for q, s in fused_exact.items()
+    ]
+    assert sum(agree) / len(agree) >= 0.5, agree
+    for q, rnks in by_q_ranks.items():
+        assert sorted(rnks) == list(range(1, RRF_TOP_K + 1)), (q, rnks)
+
+
 def test_retrieval_plan_shapes(spark):
     """Scale pins: the relevance leg broadcasts the query side (never
     shuffles the corpus for it); the MMR rerank is ONE cogrouped Arrow
