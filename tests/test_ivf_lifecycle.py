@@ -205,6 +205,30 @@ def test_stream_absorb_crash_window_replays_exactly_once(spark):
     assert _committed_view(spark, path) == (v1, counts1)
 
 
+def test_compaction_preserves_the_batch_id_fence(spark):
+    """Maintenance must not reset the replay fence: compaction
+    publishes a new manifest, and if it dropped ``meta`` a replayed
+    batch id would silently double-absorb afterwards. publish_manifest
+    carries the current meta forward when the caller supplies none —
+    pinned here end-to-end: absorb -> compact -> replay is still a
+    no-op."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_manifest_meta,
+    )
+    from cognitive_score_bigdata_spark.queries.ivf_lifecycle import (
+        absorb_stream_increment,
+    )
+
+    path, _, snap2 = _fresh_index(spark, "fencecomp")
+    batch = snap2.filter(F.col("vec_id") % 2 == 0)
+    assert absorb_stream_increment(spark, batch, path, 7) is True
+    compact_index_parts(spark, path, "cell", max_files_per_part=1)
+    assert read_manifest_meta(path).get("batch_ids") == [7]
+    v, counts = _committed_view(spark, path)
+    assert absorb_stream_increment(spark, batch, path, 7) is False
+    assert _committed_view(spark, path) == (v, counts)
+
+
 def test_stream_drop_dir_absorption_end_to_end(spark, tmp_path):
     """availableNow drain of a drop-dir vector stream through the
     foreachBatch hook: the committed inverted file ends holding base +
