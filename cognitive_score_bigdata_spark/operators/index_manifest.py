@@ -1,6 +1,8 @@
-"""Manifest-committed persisted indexes: the object-store-true commit
-protocol shared by the minhash band index (``queries/round10.py``) and
-the IVF inverted file (``queries/ivf_lifecycle.py``).
+"""Manifest-committed persisted artifacts: the object-store-true commit
+protocol shared by the minhash band index (``queries/round10.py``), the
+IVF inverted file (``queries/ivf_lifecycle.py``), and the daily-rollup
+MV (``queries/mv_maintenance.py`` — via :func:`replace_parts_commit`,
+the read-modify-write form).
 
 The protocol (VERDICT r10: a ``rmtree``+``rename`` partition swap is
 neither crash-atomic nor reader-atomic, and directory renames do not
@@ -26,10 +28,14 @@ maintenance is assumed (merges/compactions are the nightly job);
 reader/writer concurrency is what the manifest protects, pinned in
 ``tests/test_round10_merge.py``.
 
-Indexes are hive-partitioned on ONE integer column (``band=N`` for the
-minhash index, ``cell=N`` for the IVF inverted file); every helper here
-is partition-column-agnostic — the column name only matters to the
-caller's DataFrame filters.
+Artifacts are hive-partitioned on ONE column (``band=N`` / ``cell=N``
+integers for the indexes, ``event_day=YYYY-MM-DD`` strings for the
+MV); the commit/read/vacuum helpers are partition-column-agnostic.
+The integer-keyed count/compaction helpers (``part_file_counts``,
+``compact_index_parts``) assume integer partition values — the MV's
+maintenance merges already rewrite its touched partitions wholesale,
+so it needs no separate compaction pass (each day's live set is one
+merge's output).
 """
 
 from __future__ import annotations
@@ -193,6 +199,52 @@ def append_commit(
     if _before_publish is not None:
         _before_publish()
     publish_manifest(path, base + added, note=note, meta=meta)
+    return added
+
+
+def _part_val(relpath: str) -> str:
+    """The raw partition-value string of a data file's first path
+    segment (``event_day=2024-03-01`` → ``2024-03-01``)."""
+    return relpath.split("/", 1)[0].rsplit("=", 1)[1]
+
+
+def replace_parts_commit(
+    path: str,
+    write_append,
+    part_values,
+    note: str = "replace parts",
+    meta: dict | None = None,
+    _before_publish=None,
+) -> list[str]:
+    """Read-modify-write commit targeting a partition-VALUE set: run
+    ``write_append()`` — which must APPEND the replacement files for
+    exactly ``part_values``, never delete in place — then publish a
+    manifest where those partitions' previous files are superseded and
+    every other partition's live set is untouched. This is the
+    'overwrite partitions' move of a transactional table format on the
+    same two-phase commit :func:`append_commit` and compaction use: a
+    reader resolves the old partition content XOR the new, a crash
+    before the flip leaves the live view untouched (the appended files
+    are vacuum-sweepable garbage), and ``meta`` (e.g. a streaming
+    batch-id fence) commits in the SAME flip as the content it fences.
+    Raises if the replacement wrote outside the declared partitions —
+    a silent stray file would otherwise supersede nothing and
+    double-count forever."""
+    vals = {str(v) for v in part_values}
+    before = set(_list_data_files(path))
+    write_append()
+    added = sorted(set(_list_data_files(path)) - before)
+    stray = [f for f in added if _part_val(f) not in vals]
+    if stray:
+        raise ValueError(
+            f"replacement wrote outside the declared partitions: {stray}"
+        )
+    cur = read_manifest(path)
+    base = cur[1] if cur else sorted(before)
+    survivors = [f for f in base if _part_val(f) not in vals]
+    if _before_publish is not None:
+        _before_publish()
+    publish_manifest(path, survivors + added, note=note, meta=meta)
     return added
 
 

@@ -42,9 +42,9 @@ vacuum — exercised on ``cell=`` partitions in
 
 The streaming face (:func:`absorb_stream_increment`) runs the same
 absorption per micro-batch under a batch-id fence committed INSIDE the
-manifest flip — files and fence state are one atomic commit, which
-closes the replay residual window the MV's side-car ledger documents
-(see the function docstring for why the MV cannot make the same move).
+manifest flip — files and fence state are one atomic commit, no
+replay residual window. The MV's streaming merge makes the same move
+via the replace-parts commit (``mv_maintenance.py``).
 """
 
 from __future__ import annotations
@@ -157,18 +157,15 @@ def absorb_stream_increment(
     downstream). So committed batch ids are fenced. The fence lives IN
     THE MANIFEST (``meta["batch_ids"]``), committed by the SAME
     ``_current`` flip that makes the batch's files live: files and
-    fence state cannot disagree. This CLOSES the residual window the
-    MV's side-ledger documents (``mv_maintenance.py``: a crash between
-    its partition overwrite and its ledger append replays into a
-    double-merge) — here a crash before the flip leaves the appended
-    files uncommitted garbage (vacuum sweeps them) and the fence
-    unrecorded, so the replay re-absorbs into the committed view
-    exactly once. What makes this possible is that the IVF absorption
-    is append-only: the MV's read-modify-write mutates live partitions
-    in place, so no manifest flip could make its merge+fence atomic
-    without also versioning the partitions themselves (that is the
-    full Delta/Iceberg overwrite protocol, out of scope here and said
-    so in ``mv_maintenance.py``).
+    fence state cannot disagree. A crash before the flip leaves the
+    appended files uncommitted garbage (vacuum sweeps them) and the
+    fence unrecorded, so the replay re-absorbs into the committed view
+    exactly once — no residual window. The MV's streaming merge
+    (``mv_maintenance.merge_stream_increment``) commits its fence the
+    same way; the only difference is the commit's shape — pure append
+    here (cell membership is a function of the vector) vs
+    replace-parts there (aggregation state is read-modify-write, so
+    its staged day files must SUPERSEDE the old ones in the manifest).
 
     Returns whether the batch was absorbed."""
     meta = read_manifest_meta(path)

@@ -20,9 +20,19 @@ when late data lands in an already-materialized day. The merge here:
    carries a partition filter — pruning is plan-pinned in
    ``tests/test_mv_maintenance.py``),
 3. combines old and new partial states by the algebra above,
-4. rewrites ONLY the touched partitions via dynamic partition
-   overwrite — untouched day files are left byte-identical on disk
-   (pinned by file-snapshot comparison in the same test module).
+4. replaces ONLY the touched partitions via the manifest commit
+   (``operators/index_manifest.replace_parts_commit`` — the same
+   protocol the persisted indexes use, in its read-modify-write form):
+   the merged day states are STAGED as appended files, then one
+   ``_current`` flip supersedes the touched days' previous files.
+   Untouched day files are byte-identical on disk (file-snapshot
+   pinned); a reader mid-merge resolves the old MV or the new, never
+   a mix; a crash before the flip leaves the live MV untouched with
+   the staged files as vacuum-sweepable garbage. (Rounds ≤11 staged
+   this with dynamic partition overwrite, which rewrites touched
+   partitions IN PLACE — correct single-writer/no-crash, but a reader
+   racing the overwrite could see a half-replaced day and a crash
+   mid-overwrite loses it; the manifest commit closes both.)
 
 At 100 TB that is the difference between a merge proportional to the
 increment (minutes) and a nightly full recompute over the fact table
@@ -47,6 +57,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    _list_data_files,
+    publish_manifest,
+    read_index,
+    read_manifest_meta,
+    replace_parts_commit,
+)
 from cognitive_score_bigdata_spark.queries import register
 from cognitive_score_bigdata_spark.queries._helpers import DEC
 from cognitive_score_bigdata_spark.session_cache import session_scoped
@@ -106,30 +123,44 @@ def _events_with_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_increment(spark: SparkSession, inc: DataFrame, path: str) -> list:
+def merge_increment(
+    spark: SparkSession,
+    inc: DataFrame,
+    path: str,
+    meta: dict | None = None,
+    _before_publish=None,
+) -> list:
     """Absorb an increment into the day-partitioned MV at ``path``.
 
     Reads back only the day partitions the increment touches and
-    rewrites only those (dynamic partition overwrite). Returns the
-    touched day list (bounded by the calendar, not the data — the one
-    driver-side collect in this lifecycle).
+    replaces only those via :func:`replace_parts_commit` (staged
+    appends + one manifest flip — see the module docstring for what
+    this buys over in-place overwrite). ``meta`` commits atomically
+    with the merged content (the streaming fence);
+    ``_before_publish`` is the crash/concurrent-reader test seam.
+    Returns the touched day list (bounded by the calendar, not the
+    data — the one driver-side collect in this lifecycle).
     """
     inc_state = _state(inc)
     touched = [r.event_day for r in inc_state.select("event_day").distinct().collect()]
     # partition-column inference reads event_day back as DATE; pin the
     # state schema to string so the union/filter types are explicit
     old = (
-        spark.read.parquet(path)
+        read_index(spark, path)
         .withColumn("event_day", F.col("event_day").cast("string"))
         .filter(F.col("event_day").isin(touched))
     )
     merged = _combine(old.unionByName(inc_state))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("event_day").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    replace_parts_commit(
+        path,
+        lambda: merged.write.mode("append")
+        .partitionBy("event_day")
+        .parquet(path),
+        part_values=touched,
+        note=f"merge increment ({len(touched)} days)",
+        meta=meta,
+        _before_publish=_before_publish,
+    )
     return touched
 
 
@@ -141,26 +172,31 @@ def merge_stream_increment(
     Aggregation state is NOT idempotent under re-delivery (merging the
     same rows twice double-counts — unlike the dedup index, whose
     bucket rows are additive and safely re-appended), and foreachBatch
-    is at-least-once. So committed batch ids are fenced via a ledger
-    next to the MV: replay of an already-merged ``batch_id`` is a
-    no-op. Returns whether the batch was merged. The residual window —
-    a crash BETWEEN the partition overwrite and the ledger append —
-    is exactly what transactional table formats close with an atomic
-    commit; documented here rather than papered over, the same honesty
-    contract as the streaming layer's watermark notes.
+    is at-least-once. So committed batch ids are fenced — and the
+    fence lives IN THE MANIFEST (``meta["batch_ids"]``), committed by
+    the SAME ``_current`` flip that publishes the merged day states:
+    merged content and fence state cannot disagree. Rounds ≤11 fenced
+    via a side-car ledger file and documented the residual window (a
+    crash between the partition overwrite and the ledger append
+    replays into a double-merge); the manifest commit closes it — a
+    crash before the flip leaves the staged files uncommitted, the
+    fence unrecorded, and the replay merges into the committed view
+    exactly once (pinned in ``tests/test_mv_maintenance.py``). Same
+    protocol as the IVF stream absorption
+    (``queries/ivf_lifecycle.absorb_stream_increment``); what differs
+    is only the commit's shape — replace-parts here (read-modify-write
+    state) vs pure append there. Returns whether the batch was merged.
     """
-    import os
-
-    ledger = path + "_ledger"
-    committed: set[str] = set()
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            committed = {line.strip() for line in fh if line.strip()}
-    if str(batch_id) in committed:
+    meta = read_manifest_meta(path)
+    seen = list(meta.get("batch_ids", []))
+    if batch_id in seen:
         return False
-    merge_increment(spark, batch_df, path)
-    with open(ledger, "a") as fh:
-        fh.write(f"{batch_id}\n")
+    merge_increment(
+        spark,
+        batch_df,
+        path,
+        meta={**meta, "batch_ids": sorted([*seen, batch_id])},
+    )
     return True
 
 
@@ -183,6 +219,9 @@ def maintained_mv_path(spark: SparkSession, sf_dir: str) -> str:
         _state(ev.filter(~is_inc)).write.partitionBy("event_day").parquet(
             path
         )
+        publish_manifest(
+            path, _list_data_files(path), note="initial materialization"
+        )
         merge_increment(spark, ev.filter(is_inc), path)
         return path
 
@@ -198,8 +237,11 @@ def maintained_mv_path(spark: SparkSession, sf_dir: str) -> str:
     "materialized day-partitioned, then an increment (newest day + "
     "late rows into old days) absorbed by aggregating ONLY the "
     "increment, reading back ONLY touched day partitions (pruning "
-    "plan-pinned), and rewriting ONLY those via dynamic partition "
-    "overwrite (untouched files byte-identical, file-snapshot-pinned). "
+    "plan-pinned), and replacing ONLY those via the manifest "
+    "replace-parts commit (staged appends + one atomic pointer flip — "
+    "untouched files byte-identical, file-snapshot-pinned; reader "
+    "mid-merge sees old XOR new; crash before the flip leaves the "
+    "live MV untouched). "
     "Merge work is O(increment + touched partitions), not O(history). "
     "The oracle is the full-recompute formulation, so the driver "
     "hash-match IS the conservation proof: the maintained MV is "
@@ -207,7 +249,7 @@ def maintained_mv_path(spark: SparkSession, sf_dir: str) -> str:
     "because the stored sum is exact decimal, not double",
 )
 def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mv = spark.read.parquet(maintained_mv_path(spark, sf_dir))
+    mv = read_index(spark, maintained_mv_path(spark, sf_dir))
     return mv.select(
         F.col("event_day").cast("date").alias("event_day"),
         "event_type",

@@ -11,6 +11,11 @@ import tempfile
 
 import pyspark.sql.functions as F
 
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    read_index,
+    read_manifest_meta,
+    vacuum_index,
+)
 from cognitive_score_bigdata_spark.queries.mv_maintenance import (
     _combine,
     _events_with_day,
@@ -33,9 +38,15 @@ def _file_snapshot(path: str) -> dict[str, tuple[int, float]]:
 
 def test_merge_touches_only_increment_partitions(spark):
     """The scale contract: after the initial materialization, merging
-    an increment that lands in 2 of N days must leave every other
-    day's files byte-identical (same path, size, mtime) and rewrite
-    exactly the touched days."""
+    an increment that lands in 2 of N days must leave every file
+    byte-identical ON DISK (same path, size, mtime — the staged-append
+    commit never rewrites anything), supersede exactly the touched
+    days in the LIVE (manifest) view, and stage fresh files only for
+    those days."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_manifest,
+    )
+
     ev = _events_with_day(spark, SF_DIR)
     days = sorted(r.event_day for r in ev.select("event_day").distinct().collect())
     assert len(days) >= 4, "fixture needs several days"
@@ -48,16 +59,22 @@ def test_merge_touches_only_increment_partitions(spark):
     got_touched = merge_increment(spark, inc, path)
     assert set(got_touched) == touched_days
     after = _file_snapshot(path)
+    # NOTHING on disk was rewritten — old files physically intact
+    # (vacuum, not merge, deletes)
     for rel, meta in before.items():
+        assert after.get(rel) == meta, f"file rewritten in place: {rel}"
+    # the LIVE view: untouched days keep their original files, touched
+    # days resolve ONLY to fresh staged files
+    _, live = read_manifest(path)
+    for rel in live:
         day = rel.split("/")[0].split("=", 1)[1]
         if day in touched_days:
-            continue
-        assert after.get(rel) == meta, f"untouched partition rewritten: {rel}"
+            assert rel not in before, f"superseded file still live: {rel}"
+        else:
+            assert rel in before, f"untouched day's live file changed: {rel}"
     for day in touched_days:
         part = f"event_day={day}"
-        fresh = {r for r in after if r.startswith(part)}
-        assert fresh, f"touched partition missing: {part}"
-        assert fresh.isdisjoint(before), f"touched partition not rewritten: {part}"
+        assert any(r.startswith(part) for r in live), f"missing: {part}"
 
 
 def test_merge_readback_is_partition_pruned(spark):
@@ -106,7 +123,7 @@ def test_late_data_merges_exactly(spark):
             r.min_value,
             r.max_value,
         )
-        for r in spark.read.parquet(path).collect()
+        for r in read_index(spark, path).collect()
     }
     full = {
         (r.event_day, r.event_type): (
@@ -169,7 +186,7 @@ def test_streaming_maintenance_foreachbatch(spark, tmp_path):
     )
     got = {
         (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
-        for r in spark.read.parquet(path).collect()
+        for r in read_index(spark, path).collect()
     }
     want = {
         (r.event_day, r.event_type): (r.n_events, float(r.sum_dec))
@@ -180,8 +197,9 @@ def test_streaming_maintenance_foreachbatch(spark, tmp_path):
 
 def test_stream_merge_replay_is_fenced(spark, tmp_path):
     """Re-delivery of a committed batch_id must be a no-op: aggregation
-    state double-counts under replay (unlike the additive dedup index),
-    so the ledger fence is what makes at-least-once delivery safe."""
+    state double-counts under replay (unlike the additive dedup index).
+    The fence lives in the manifest's meta, committed with the merged
+    content in one flip."""
     from cognitive_score_bigdata_spark.queries.mv_maintenance import (
         merge_stream_increment,
     )
@@ -193,18 +211,111 @@ def test_stream_merge_replay_is_fenced(spark, tmp_path):
     inc = spark.createDataFrame([(2, "2024-03-01", "view", 3.0)], schema)
 
     assert merge_stream_increment(spark, inc, path, 7) is True
+    assert read_manifest_meta(path).get("batch_ids") == [7]
     snap = {
         (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
-        for r in spark.read.parquet(path).collect()
+        for r in read_index(spark, path).collect()
     }
     assert snap[("2024-03-01", "view")] == (2, 5.0)
     # replay: same batch id again — fenced, state unchanged
     assert merge_stream_increment(spark, inc, path, 7) is False
     again = {
         (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
-        for r in spark.read.parquet(path).collect()
+        for r in read_index(spark, path).collect()
     }
     assert again == snap
+
+
+def test_merge_commit_is_reader_atomic_and_crash_safe(spark, tmp_path):
+    """The upgrade over rounds ≤11's dynamic partition overwrite +
+    side-car ledger (which had a documented residual window): (a) a
+    reader DURING the merge — after the merged day files are staged,
+    before the manifest flip — resolves the byte-identical OLD MV;
+    (b) a crash in that window leaves the live MV untouched and the
+    fence unrecorded, so replaying the SAME batch merges exactly once;
+    (c) vacuum sweeps the crashed attempt's staged files."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_manifest,
+    )
+    from cognitive_score_bigdata_spark.queries.mv_maintenance import (
+        merge_stream_increment,
+    )
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        _list_data_files,
+        publish_manifest,
+    )
+
+    schema = "event_id long, event_day string, event_type string, value double"
+    base = spark.createDataFrame(
+        [(1, "2024-04-01", "view", 2.0), (2, "2024-04-02", "click", 1.0)],
+        schema,
+    )
+    path = str(tmp_path / "mv")
+    _state(base).write.partitionBy("event_day").parquet(path)
+    # reader-atomicity holds from the first PUBLISHED manifest on (a
+    # legacy plain-directory MV's first merge bootstraps one, but a
+    # reader racing THAT bootstrap directory-scans staged files too —
+    # which is why maintained_mv_path publishes at build time)
+    publish_manifest(path, _list_data_files(path), note="initial")
+    inc = spark.createDataFrame([(3, "2024-04-01", "view", 3.5)], schema)
+
+    def view():
+        return {
+            (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+            for r in read_index(spark, path).collect()
+        }
+
+    before = view()
+    seen = {}
+
+    def reader_mid_merge():
+        seen["view"] = view()
+        seen["manifest"] = read_manifest(path)
+
+    merge_increment(spark, inc, path, _before_publish=reader_mid_merge)
+    assert seen["view"] == before  # old XOR new, never a mix
+    assert seen["manifest"][0] == 1  # still the initial manifest
+    after = view()
+    assert after[("2024-04-01", "view")] == (2, 5.5)
+
+    # crash window: staged but never published
+    path2 = str(tmp_path / "mv2")
+    _state(base).write.partitionBy("event_day").parquet(path2)
+    publish_manifest(path2, _list_data_files(path2), note="initial")
+    before2 = {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in read_index(spark, path2).collect()
+    }
+
+    def boom():
+        raise RuntimeError("simulated crash before the manifest flip")
+
+    try:
+        merge_increment(spark, inc, path2, _before_publish=boom)
+        raise AssertionError("crash should propagate")
+    except RuntimeError:
+        pass
+    view2 = {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in read_index(spark, path2).collect()
+    }
+    assert view2 == before2
+    assert read_manifest_meta(path2).get("batch_ids") is None
+    # replay of the same logical batch through the STREAM hook merges
+    # exactly once (fence was never recorded)
+    assert merge_stream_increment(spark, inc, path2, 9) is True
+    final = {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in read_index(spark, path2).collect()
+    }
+    assert final[("2024-04-01", "view")] == (2, 5.5)
+    swept = vacuum_index(path2, keep_versions=2)
+    assert swept, "crashed attempt's staged files should be swept"
+    assert {
+        (str(r.event_day), r.event_type): (r.n_events, float(r.sum_dec))
+        for r in read_index(spark, path2).collect()
+    } == final
 
 
 def test_combine_is_merge_order_insensitive(spark):
