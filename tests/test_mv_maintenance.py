@@ -81,11 +81,25 @@ def test_merge_readback_is_partition_pruned(spark):
     """The read-back of old state must carry PartitionFilters on
     event_day — at 100 TB this is the difference between scanning the
     touched days and scanning the MV's whole history."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        _list_data_files,
+        publish_manifest,
+    )
+
     ev = _events_with_day(spark, SF_DIR)
     path = tempfile.mkdtemp(prefix="csb_mv_prune_") + "/mv"
     _state(ev).write.partitionBy("event_day").parquet(path)
+    publish_manifest(path, _list_data_files(path), note="initial")
     day = ev.agg(F.max("event_day")).collect()[0][0]
-    scan = spark.read.parquet(path).filter(F.col("event_day").isin([day]))
+    # the EXACT read shape merge_increment uses: manifest-aware scan,
+    # partition column cast to string, THEN the day filter — Catalyst
+    # pushes the cast-compare into PartitionFilters (verified here, not
+    # assumed), so the merge read-back stays O(touched partitions)
+    scan = (
+        read_index(spark, path)
+        .withColumn("event_day", F.col("event_day").cast("string"))
+        .filter(F.col("event_day").isin([day]))
+    )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     import re
 
