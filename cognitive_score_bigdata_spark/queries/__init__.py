@@ -293,7 +293,13 @@ ROUND8_WINDOW = [
     "window_trailing_30d_range",
 ]
 
-# Round-11 rotation plan (execute as ROUND11_WINDOW next round): ALL
+# Round-11 rotation plan (execute as ROUND11_WINDOW next round).
+# [HISTORICAL — kept as written at round-10 end; the round-11 session
+# found this plan undercounted the r6 cohort by one
+# (range_join_time_binned, displaced from ROUND10's refills by r10's
+# own births after this list was drawn) and the mirror split shifted
+# to 45+5 once the two r11 births joined; the ROUND11_WINDOW comment
+# below holds the corrected, executed truth.] Plan as written: ALL
 # 38 remaining round-6-latest rows — after that window no query's
 # latest driver row predates round 7 and round-6 debt is CLEARED —
 # then 12 refills from the 50 round-7-latest rows, chosen for watch
