@@ -725,7 +725,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND11_WINDOW` comes first.
+    the registry reordered so :data:`ROUND12_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -753,6 +753,13 @@ def load_registry() -> dict[str, QuerySpec]:
     never-driver-checked queries) + ALL 35 round-5-latest carries +
     r6 refills — after this window no query's latest driver row
     predates round 6 and the never-checked count is back to 0.
+    Round 11 fronted the 2 r11 births (MMR-over-IVF, frozen-centroid
+    IVF merge) + ALL 39 round-6-latest carries + 9 r7 refills
+    (CORRECTNESS_r11: 45 green + 5 rows-only by design) — after that
+    window no latest row predates round 7.  Round 12 fronts the 2 r12
+    births (distributed BPE training; RRF-over-IVF hybrid) + ALL 45
+    round-7-latest carries + 3 r8 refills — after this window no
+    latest row predates round 8.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -804,15 +811,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND11_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND12_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND11_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND12_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND11_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND12_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered
