@@ -136,13 +136,29 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     """Manifest-aware index scan: exactly the committed file set, with
     ``basePath`` so the partition column (and its partition pruning)
     survives the explicit file list. Falls back to the plain directory
-    scan for a never-published index."""
+    scan for a never-published index.
+
+    A committed manifest with ZERO live files (legal: a
+    :func:`replace_parts_commit` that replaced every live partition
+    with an empty set) cannot be handed to the parquet reader (zero
+    paths is an error there, ADVICE r11) — the schema is recovered
+    from the superseded physical files still on disk awaiting vacuum
+    (``limit(0)`` over the directory scan), or, if vacuum already
+    swept everything, fails with a message naming the index instead of
+    a bare reader error."""
     import os
 
     m = read_manifest(path)
     if m is None:
         return spark.read.parquet(path)
     _, files = m
+    if not files:
+        if _list_data_files(path):
+            return spark.read.option("basePath", path).parquet(path).limit(0)
+        raise ValueError(
+            f"index at {path!r} has a committed manifest with no live "
+            "files and no physical files to recover a schema from"
+        )
     return spark.read.option("basePath", path).parquet(
         *[os.path.join(path, f) for f in files]
     )
@@ -287,7 +303,12 @@ def compact_index_parts(
     live = m[1] if m else _list_data_files(path)
     counts = live_part_file_counts(path)
     touched = (
-        sorted(parts)
+        # Intersect an explicit override with the partitions that
+        # actually have live rows (ADVICE r11): a named partition with
+        # no live files produces no staged output directory, which
+        # previously failed LATE (os.listdir on the missing src dir)
+        # after the rewrite already ran.
+        sorted(p for p in parts if p in counts)
         if parts is not None
         else sorted(p for p, n in counts.items() if n > max_files_per_part)
     )
@@ -305,6 +326,10 @@ def compact_index_parts(
     staged: list[str] = []
     for p in touched:
         src_dir = os.path.join(tmp, f"{part_col}={p}")
+        if not os.path.isdir(src_dir):
+            # live files but zero live rows: the rewrite stages nothing
+            # for this partition; its old files are simply superseded
+            continue
         dst_dir = os.path.join(path, f"{part_col}={p}")
         os.makedirs(dst_dir, exist_ok=True)
         for fn in sorted(os.listdir(src_dir)):
@@ -323,7 +348,7 @@ def compact_index_parts(
         path, survivors + staged, note=f"compact {part_col}s={touched}"
     )
     after = live_part_file_counts(path)
-    return {p: (counts[p], after[p]) for p in touched}
+    return {p: (counts[p], after.get(p, 0)) for p in touched}
 
 
 def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
@@ -348,4 +373,16 @@ def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
         if f not in keep:
             os.remove(os.path.join(path, f))
             deleted.append(f)
+    # Expire metadata along with data (ADVICE r11: every commit adds a
+    # manifest JSON, so _manifest/ otherwise grows unboundedly) —
+    # Iceberg's expire-snapshots move. Only manifests OLDER than the
+    # newest keep_versions go (``_current`` always names the newest,
+    # which is always kept), plus any ``_current.tmp.*`` pointer file a
+    # crash stranded between write and ``os.replace``.
+    for mp in manifests[:-keep_versions]:
+        os.remove(mp)
+        deleted.append(os.path.relpath(mp, path))
+    for tmp in glob.glob(os.path.join(path, f"{_CURRENT}.tmp.*")):
+        os.remove(tmp)
+        deleted.append(os.path.relpath(tmp, path))
     return deleted

@@ -234,21 +234,48 @@ def _classify_one(node, *, logical: bool) -> "WindowClass":
 
 
 def _window_signature(node) -> tuple:
-    """(partition cols, order cols) sans expr-id suffixes — the
+    """(partition cols, order spec incl. direction/null ordering, window
+    expressions incl. function + frame) sans expr-id suffixes — the
     operator-level identity of a window computation. Two nodes with the
-    same signature are the same window planned at two positions."""
+    same signature are the same window planned at two positions.
+
+    The expression list matters (ADVICE r11): a partition/order-only
+    signature would let a user-authored subquery window that merely
+    shares partition+order columns with a main-plan window be skipped
+    as a "DPP duplicate" even though it computes different functions —
+    an audit false negative. The windowspecdefinition string inside
+    each expression also carries the frame, so frame differences break
+    the match too."""
+    import re
 
     def strip(s: str) -> str:
-        return s.split("#", 1)[0].strip().lower()
+        return re.sub(r"#\d+L?", "", s).strip().lower()
 
     try:
         order = node.orderSpec()
         order_cols = tuple(
-            strip(order.apply(i).child().toString()) for i in range(order.size())
+            (
+                strip(order.apply(i).child().toString()),
+                str(order.apply(i).direction()).lower(),
+                str(order.apply(i).nullOrdering()).lower(),
+            )
+            for i in range(order.size())
         )
     except Exception:  # noqa: BLE001 - node without an order spec
         order_cols = ()
-    return (tuple(_partition_cols(node)), order_cols)
+    exprs = None
+    for getter in ("windowExpression", "windowExpressions"):
+        try:
+            exprs = getattr(node, getter)()
+            break
+        except Exception:  # noqa: BLE001 - other node flavor
+            continue
+    funcs = (
+        tuple(sorted(strip(exprs.apply(i).toString()) for i in range(exprs.size())))
+        if exprs is not None
+        else ()
+    )
+    return (tuple(_partition_cols(node)), order_cols, funcs)
 
 
 def classify_windows(df: DataFrame) -> list[WindowClass]:

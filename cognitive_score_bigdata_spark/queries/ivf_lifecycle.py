@@ -91,14 +91,25 @@ def snapshot_vectors(
 
 
 def build_ivf_file(vectors: DataFrame, path: str, n_cells: int) -> None:
-    """Initial build: train the coarse quantizer on ``vectors``, write
-    the inverted file cell-partitioned, publish the first manifest, and
-    store the centroid table beside it (``<path>_centers`` — the frozen
-    quantizer every later absorption assigns against)."""
+    """Initial build: train the coarse quantizer on ``vectors``, store
+    the centroid table beside the index (``<path>_centers`` — the
+    frozen quantizer every later absorption assigns against), write the
+    inverted file cell-partitioned, and publish the first manifest
+    LAST. The manifest flip is the commit (ADVICE r11): publishing
+    before the centers write left a crash window where a committed
+    index had no quantizer, breaking every later merge/probe; with the
+    centers written first, a crash before the flip leaves only
+    uncommitted garbage. The centers artifact is recorded in the
+    manifest meta so it is part of the committed index description."""
     idx = ivf_build(vectors, n_cells=n_cells)
-    idx.cand.write.partitionBy("cell").parquet(path)
-    publish_manifest(path, _list_data_files(path), note="initial build")
     idx.centers_df.write.parquet(f"{path}_centers")
+    idx.cand.write.partitionBy("cell").parquet(path)
+    publish_manifest(
+        path,
+        _list_data_files(path),
+        note="initial build",
+        meta={"centers": f"{path}_centers"},
+    )
     idx.unpersist()
 
 

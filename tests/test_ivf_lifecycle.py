@@ -295,3 +295,34 @@ def test_exact_probe_of_merged_file_is_brute_force(spark):
         for r in R["vector_ann_ivf_exact"].fn(spark, SF_DIR).collect()
     }
     assert merged == exact
+
+
+def test_build_commit_is_the_manifest_flip(spark, monkeypatch):
+    """ADVICE r11: build_ivf_file publishes the manifest LAST — a crash
+    anywhere before the flip leaves NO committed index (the centers
+    table already on disk is sweepable garbage, not corruption), never
+    a committed index whose quantizer is missing. The committed build
+    also records the centers artifact in the manifest meta."""
+    import cognitive_score_bigdata_spark.queries.ivf_lifecycle as ivfl
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_manifest,
+        read_manifest_meta,
+    )
+
+    snap1, _ = snapshot_vectors(spark, SF_DIR)
+    path = tempfile.mkdtemp(prefix="csb_ivfl_crash_") + "/idx"
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before flip")
+
+    monkeypatch.setattr(ivfl, "publish_manifest", boom)
+    try:
+        build_ivf_file(snap1, path, n_cells=IVFM_CELLS)
+    except RuntimeError:
+        pass
+    assert read_manifest(path) is None  # nothing committed
+    assert os.path.exists(f"{path}_centers")  # garbage, not corruption
+    monkeypatch.undo()
+
+    path2, _, _ = _fresh_index(spark, "meta")
+    assert read_manifest_meta(path2)["centers"] == f"{path2}_centers"

@@ -279,3 +279,112 @@ def test_compaction_band_subset_leaves_others_untouched(spark):
     assert list(stats) == [0] and stats[0][1] == 1
     for b, sig in untouched_sigs.items():
         assert file_sig(b) == sig, f"band {b} files were rewritten"
+
+
+def _tiny_index(spark, tag, bands=2, rows=10):
+    """A minimal band-partitioned index with a committed manifest —
+    protocol fixtures that need no minhash machinery."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        _list_data_files,
+        publish_manifest,
+    )
+
+    path = tempfile.mkdtemp(prefix=f"csb_proto_{tag}_") + "/idx"
+    df = spark.range(rows).select(
+        F.col("id"), (F.col("id") % bands).alias("band")
+    )
+    df.write.partitionBy("band").parquet(path)
+    publish_manifest(path, _list_data_files(path), note="v1")
+    return path
+
+
+def test_vacuum_expires_manifests_and_stray_pointers(spark):
+    """ADVICE r11: _manifest/ must not grow unboundedly — vacuum
+    deletes manifests older than the newest keep_versions (never the
+    one _current names) and crash-stranded _current.tmp.* pointers,
+    and the committed view still resolves afterwards."""
+    import glob
+    import os
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        append_commit,
+        read_index,
+        read_manifest,
+        vacuum_index,
+    )
+
+    path = _tiny_index(spark, "expire")
+    for i in range(3):
+        append_commit(
+            path,
+            lambda: spark.range(2)
+            .select(F.col("id"), F.lit(0).alias("band"))
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+            note=f"a{i}",
+        )
+    with open(os.path.join(path, "_current.tmp.99"), "w") as f:
+        f.write("m-junk")  # crash between pointer write and os.replace
+    mdir = os.path.join(path, "_manifest")
+    assert len(glob.glob(os.path.join(mdir, "m-*.json"))) == 4
+    vacuum_index(path, keep_versions=2)
+    kept = sorted(glob.glob(os.path.join(mdir, "m-*.json")))
+    assert len(kept) == 2
+    assert not glob.glob(os.path.join(path, "_current.tmp.*"))
+    version, files = read_manifest(path)
+    assert version == 4 and files  # _current's manifest survived
+    assert read_index(spark, path).count() == 10 + 6
+
+
+def test_compaction_explicit_dead_partition_is_skipped(spark):
+    """ADVICE r11: an explicit parts override naming a partition with
+    no live rows must be intersected with the live set, not fail late
+    on the missing staged directory."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        append_commit,
+        compact_index_parts,
+        read_index,
+    )
+
+    path = _tiny_index(spark, "deadpart")
+    append_commit(
+        path,
+        lambda: spark.range(4)
+        .select(F.col("id"), (F.col("id") % 2).alias("band"))
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path),
+    )
+    before = read_index(spark, path).toPandas().sort_values("id")
+    stats = compact_index_parts(spark, path, "band", parts=[0, 7])
+    assert 7 not in stats and set(stats) == {0}
+    after = read_index(spark, path).toPandas().sort_values("id")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+
+
+def test_read_index_empty_manifest_recovers_schema_or_fails_clearly(spark):
+    """ADVICE r11: a committed manifest with zero live files (every
+    partition replaced by an empty set) must not hand zero paths to the
+    parquet reader — schema is recovered from superseded physical files
+    (limit(0)), and with nothing on disk the error names the index."""
+    import os
+
+    import pytest
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        publish_manifest,
+        read_index,
+    )
+
+    path = _tiny_index(spark, "emptyman")
+    publish_manifest(path, [], note="replace everything with nothing")
+    df = read_index(spark, path)
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "band"}
+
+    bare = tempfile.mkdtemp(prefix="csb_proto_bare_") + "/idx"
+    os.makedirs(bare)
+    publish_manifest(bare, [], note="empty from birth")
+    with pytest.raises(ValueError, match="no live"):
+        read_index(spark, bare)
