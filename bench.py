@@ -253,6 +253,15 @@ HEADLINE = [
     # reading the maintained rollup; build+merge are once-per-corpus
     # artifacts, warmed like the index builds)
     "agg_incremental_mv_merge",
+    # round-12: seeded-quantizer SemDeDup (timed row measures the
+    # blocked per-cell pair kernel + ids-only cell join; the seed
+    # assignment table is a session-scoped build artifact, warmed
+    # below) and the composed BPE train->encode->pack->shard pipeline
+    # (the timed row IS train + vocabulary join + prefix sum — the
+    # training loop is the dominant leg, same contract as
+    # corpus_bpe_train_merges; no warmable artifact by design)
+    "dedup_semantic_pairs_seeded",
+    "corpus_bpe_pipeline",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -303,6 +312,7 @@ def main() -> None:
     for warm in (
         "dedup_incremental_newbatch",
         "dedup_semantic_pairs",
+        "dedup_semantic_pairs_seeded",  # seeded assignment table
         "text_bm25_topk",  # inverted-index build
         "scan_zorder_two_dim",  # lake layout rewrite
         "join_bucketed_colocated",  # bucketed-table write
@@ -572,8 +582,11 @@ def main() -> None:
         # query set mechanically.
         # r10-probe-first: jvm/noise probes now sample BEFORE the first
         # canary run, and value_excl_canary was added (ADVICE r9).
+        # r12-warmset: +dedup_semantic_pairs_seeded in the warm list,
+        # +2 headline rows (seeded SemDeDup, composed BPE pipeline).
+        # Timing methodology unchanged from r10-noop-sink.
         "bench_config": {
-            "revision": "r10-noop-sink",
+            "revision": "r12-warmset",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

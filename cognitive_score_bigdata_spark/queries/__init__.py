@@ -371,10 +371,22 @@ ROUND8_WINDOW = [
 # end (2026-08-15): 48 hash-green + 2 ledgered rows-only
 # (search_hybrid_rrf_ivf, ml_score_batch — both with hash-green
 # exact/shadow siblings), 0 red. See SURVEY §17/§9ab/§9ac.
+# ROUND-12 SESSION AMENDMENT (2026-08-15): the displace rule fired —
+# the session's 2 new births (dedup_semantic_pairs_seeded,
+# corpus_bpe_pipeline, both hash-green at sf0.001+sf0.01) replaced
+# the graph/curation end refills (both r8-latest; they carry to r13).
 ROUND12_WINDOW = [
     # the 2 round-12 staged rows (birth-window driver rows)
     "corpus_bpe_train_merges",
     "search_hybrid_rrf_ivf",
+    # the 2 rows BORN in the round-12 session (displacing, per this
+    # plan's own rule, the two end refills graph_pagerank_copurchase +
+    # curation_dsir_importance_topk — both r8-latest, they carry to
+    # r13): seeded-quantizer SemDeDup (the blocked path's first full
+    # hash oracle) and the composed BPE train->encode->pack->shard row.
+    # Both mirrored hash-green at sf0.001 AND sf0.01 on 2026-08-15.
+    "dedup_semantic_pairs_seeded",
+    "corpus_bpe_pipeline",
     # ALL 45 round-7-latest carries — clears round-7 debt
     "analytics_q16_supplier_cnt",
     "analytics_q20_dominant_supplier",
@@ -423,8 +435,6 @@ ROUND12_WINDOW = [
     "window_tumbling_hourly",
     # 3 refills from the round-8-latest rows (watch priority + spread)
     "dedup_minhash_pairs_md5",
-    "graph_pagerank_copurchase",
-    "curation_dsir_importance_topk",
 ]
 
 # The round-11 window, MATERIALIZED at round-10 end and LIVE since
@@ -793,6 +803,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round10,
         round10_staging,
         round11_staging,
+        round12,
         round12_staging,
         scalar_funcs,
         setops,

@@ -70,7 +70,19 @@ def bpe_train_distributed(
     words: DataFrame, n_merges: int
 ) -> list[tuple[int, str, str, int]]:
     """K merge iterations over the (w, cnt) table; returns
-    [(step, lhs, rhs, pair_count)] with step 1-based.
+    [(step, lhs, rhs, pair_count)] with step 1-based."""
+    return bpe_train_state(words, n_merges)[0]
+
+
+def bpe_train_state(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """K merge iterations over the (w, cnt) table; returns the merge
+    list [(step, lhs, rhs, pair_count)] (step 1-based) AND the final
+    state table (w, cnt, s) — each distinct word's fully-merged symbol
+    string, i.e. the corpus ENCODED under the just-trained tokenizer
+    (``corpus_bpe_pipeline`` consumes it; training for merges alone
+    discards it).
 
     Each iteration: pair counts (hash agg with map-side partials over
     the materialized word table), 1-row argmax collect, one ``replace``
@@ -90,7 +102,7 @@ def bpe_train_distributed(
     s0 = F.concat(
         F.lit(_US * 2), F.regexp_replace(F.col("w"), "(.)", "$1" + _US * 2)
     )
-    state = words.select("cnt", s0.alias("s")).localCheckpoint()
+    state = words.select("w", "cnt", s0.alias("s")).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -122,7 +134,7 @@ def bpe_train_distributed(
         state = state.withColumn(
             "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
         ).localCheckpoint()
-    return merges
+    return merges, state
 
 
 def _train_oracle(k: int = K_BPE_MERGES) -> str:
