@@ -262,6 +262,14 @@ HEADLINE = [
     # corpus_bpe_train_merges; no warmable artifact by design)
     "dedup_semantic_pairs_seeded",
     "corpus_bpe_pipeline",
+    # round-13 staging (benched from day one, like every staged pair):
+    # incremental semantic probe (timed row = the cogrouped new-batch
+    # probe against the warmed seeded-assignment artifact) and the
+    # ensemble cluster assignment (timed row = all three evidence legs
+    # + the min-label closure — deliberately uncached: the composition
+    # IS the cost being measured)
+    "dedup_semantic_incremental",
+    "dedup_ensemble_clusters",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

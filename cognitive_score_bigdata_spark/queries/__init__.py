@@ -357,6 +357,72 @@ ROUND8_WINDOW = [
 # Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
 
+# Round-13 rotation plan, MATERIALIZED at round-12 end: the 2
+# round-13 staged births (dedup_semantic_incremental,
+# dedup_ensemble_clusters — both FULL hash oracles, mirrored green at
+# sf0.001+sf0.01 at staging time) + 48 of the 49 round-8-latest
+# carries. The cohort is 51 candidates for a 50-row window; the one
+# row left to head round-14's refills is agg_pandas_udaf_gmean — the
+# API-parity demo whose oracle and aggregation machinery are shared
+# with hash-checked production siblings, making it the least-risk
+# 5-round-stale row. New round-13 session births displace carries
+# from the END of this list (there are no refills to displace); any
+# displaced carry heads round-14 alongside agg_pandas_udaf_gmean.
+ROUND13_WINDOW = [
+    # the 2 round-13 staged rows (birth-window driver rows)
+    "dedup_semantic_incremental",
+    "dedup_ensemble_clusters",
+    # 48 of the 49 round-8-latest carries (all but agg_pandas_udaf_gmean)
+    "agg_listagg_nations",
+    "corpus_token_budget_epochs",
+    "curation_compliance_source_filter",
+    "curation_dsir_importance_topk",
+    "curation_quality_keep_matrix",
+    "dedup_cluster_docs_star",
+    "dedup_incremental_newbatch",
+    "dedup_minhash_pairs",
+    "dedup_semantic_exact",
+    "dedup_semantic_pairs",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_md5",
+    "graph_clustering_topk",
+    "graph_kcore_copurchase",
+    "graph_minlabel_components",
+    "graph_pagerank_copurchase",
+    "graph_pagerank_weighted",
+    "graph_sssp_copurchase",
+    "graph_triangle_count",
+    "proj_unpivot_metrics",
+    "sketch_hll_group_users",
+    "sketch_hll_md5_users",
+    "sketch_kmv_overlap3",
+    "sketch_theta_user_overlap",
+    "streaming_dedup_watermark",
+    "streaming_hll_users",
+    "text_boilerplate_ngrams",
+    "text_charngram_familiarity",
+    "text_collapse_repeats",
+    "text_containment_neardup",
+    "text_contamination_check",
+    "text_fuzzy_token_pairs",
+    "text_gopher_rules",
+    "text_pii_scrub",
+    "text_prefix_filter_join",
+    "text_rolling_fingerprint",
+    "text_segment_udtf",
+    "vector_ann_ivf_exact",
+    "vector_ann_ivf_topk",
+    "vector_ann_ivfpq_exact",
+    "vector_ann_lsh_neardup",
+    "vector_ann_pq_topk",
+    "vector_centroid_by_group",
+    "vector_cosine_neardup",
+    "vector_cosine_topk_expr_q200",
+    "vector_cosine_topk_fast",
+    "vector_cosine_topk_fast_q200",
+    "window_trailing_30d_range",
+]
+
 # Round-12 rotation plan, MATERIALIZED at round-11 end (the same
 # one-reference-swap contract as every rotation: the round-12 session
 # points load_registry's ordering block at ROUND12_WINDOW and changes
@@ -805,6 +871,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round11_staging,
         round12,
         round12_staging,
+        round13_staging,
         scalar_funcs,
         setops,
         sharding,
