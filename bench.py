@@ -287,6 +287,24 @@ API_PARITY = [
     "agg_pandas_udaf_gmean",
 ]
 
+# Committed probe-normalized reference for THIS headline set (VERDICT
+# r11 item 2: the r11 driver total false-alarmed against a stale band
+# and was only exonerated by hand-deriving normalized parity). Six
+# full sf0.1 runs, one code revision, 2026-08-15 (r12 session; SURVEY
+# §9aa extension has the full table). The comparison below is only
+# meaningful while headline_hash matches the recording hash — adding
+# or removing a headline query invalidates it, and the emitted block
+# says so explicitly instead of letting a judge compare across sets.
+COMMITTED_NORMALIZED = {
+    "recorded_headline_hash": "4499dda4d317",
+    "recorded": "2026-08-15 r12 six-run protocol",
+    # s per probe-s: total / median(noise_probe) of each run
+    "headline_total_band": [309.8, 357.3],
+    "headline_total_values": [313.8, 309.8, 347.4, 343.4, 357.3, 321.3],
+    "raw_total_band": [180.7, 220.3],
+    "probe_median_range": [0.529, 0.634],
+}
+
 
 def materialize(df) -> None:
     """Execute the FULL plan: every row of every output column, via the
@@ -575,6 +593,25 @@ def main() -> None:
             "probe_median": probe_median,
             **banded_normalized,
         },
+        # live-vs-committed normalized headline in ONE block (VERDICT
+        # r11 item 2): a reader gets regression-or-host without
+        # re-deriving anything — `within_band` is the answer when
+        # `band_valid_for_this_run` is true; when false the committed
+        # band predates a headline-set change and must be re-recorded.
+        "committed_normalized": {
+            **COMMITTED_NORMALIZED,
+            "band_valid_for_this_run": headline_hash
+            == COMMITTED_NORMALIZED["recorded_headline_hash"],
+            "live_headline_total": banded_normalized["headline_total"],
+            "within_band": (
+                COMMITTED_NORMALIZED["headline_total_band"][0]
+                <= banded_normalized["headline_total"]
+                <= COMMITTED_NORMALIZED["headline_total_band"][1]
+                if headline_hash
+                == COMMITTED_NORMALIZED["recorded_headline_hash"]
+                else None
+            ),
+        },
         # session-aging telemetry: the canary pair timed before the
         # suite / mid-suite / after, + JVM code-cache/GC/heap at the
         # same three points (see jvm_probe docstring). NOTE: because
@@ -626,6 +663,7 @@ def main() -> None:
                 "n_api_parity": len(api_parity),
                 "noise_probe": probes,
                 "banded_normalized": result["banded_normalized"],
+                "committed_normalized": result["committed_normalized"],
                 "canary": canary,
                 "bench_config": result["bench_config"],
                 "detail": "BENCH_LOCAL.json",

@@ -833,9 +833,11 @@ def load_registry() -> dict[str, QuerySpec]:
     IVF merge) + ALL 39 round-6-latest carries + 9 r7 refills
     (CORRECTNESS_r11: 45 green + 5 rows-only by design) — after that
     window no latest row predates round 7.  Round 12 fronts the 2 r12
-    births (distributed BPE training; RRF-over-IVF hybrid) + ALL 45
-    round-7-latest carries + 3 r8 refills — after this window no
-    latest row predates round 8.
+    births (distributed BPE training; RRF-over-IVF hybrid) + the 2
+    rows born in the r12 session (seeded SemDeDup; composed BPE
+    pipeline — they displaced 2 end refills per the plan's rule) +
+    ALL 45 round-7-latest carries + 1 r8 refill — after this window
+    no latest row predates round 8.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
