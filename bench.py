@@ -303,6 +303,14 @@ COMMITTED_NORMALIZED = {
     "headline_total_values": [313.8, 309.8, 347.4, 343.4, 357.3, 321.3],
     "raw_total_band": [180.7, 220.3],
     "probe_median_range": [0.529, 0.634],
+    # per-metric normalized bands from the same six runs (keys match
+    # banded_normalized's)
+    "metric_bands": {
+        "vector_ann_ivfpq_topk": [3.73, 4.87],
+        "text_prefix_filter_join": [14.09, 15.57],
+        "dedup_simhash_pairs": [4.62, 6.48],
+        "graph_family_total": [33.19, 38.64],
+    },
 }
 
 
@@ -566,6 +574,7 @@ def main() -> None:
     banded_normalized["headline_total"] = round(
         sum(timings.values()) / probe_median, 1
     )
+    result_raw_total = round(sum(timings.values()), 3)
 
     result = {
         "metric": "headline_queries_total",
@@ -610,6 +619,47 @@ def main() -> None:
                 if headline_hash
                 == COMMITTED_NORMALIZED["recorded_headline_hash"]
                 else None
+            ),
+            # directional, because "outside the band" has two very
+            # different readings: above_band is the only regression
+            # signal; below_band means faster than every recording run
+            "metric_vs_band": (
+                {
+                    m: (
+                        "above_band"
+                        if banded_normalized[m] > hi
+                        else "below_band"
+                        if banded_normalized[m] < lo
+                        else "in_band"
+                    )
+                    for m, (lo, hi) in COMMITTED_NORMALIZED[
+                        "metric_bands"
+                    ].items()
+                    if m in banded_normalized
+                }
+                if headline_hash
+                == COMMITTED_NORMALIZED["recorded_headline_hash"]
+                else None
+            ),
+            # Same-host answer + probe sanity. Read in THIS order
+            # (§9aa): same host -> raw_within_band; cross host ->
+            # within_band (normalized). When raw is in-band but
+            # normalized is not AND probe_median_in_recorded_range is
+            # false, the 3-sample probe is the outlier, not the
+            # queries — normalization cancels sustained host-speed
+            # offsets, it cannot cancel probe-sample noise.
+            "raw_within_band": (
+                COMMITTED_NORMALIZED["raw_total_band"][0]
+                <= result_raw_total
+                <= COMMITTED_NORMALIZED["raw_total_band"][1]
+                if headline_hash
+                == COMMITTED_NORMALIZED["recorded_headline_hash"]
+                else None
+            ),
+            "probe_median_in_recorded_range": (
+                COMMITTED_NORMALIZED["probe_median_range"][0]
+                <= probe_median
+                <= COMMITTED_NORMALIZED["probe_median_range"][1]
             ),
         },
         # session-aging telemetry: the canary pair timed before the

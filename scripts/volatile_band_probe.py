@@ -52,6 +52,12 @@ WARM_FOR = {
     "vector_ivf_merge_topk": ["vector_ivf_merge_topk"],
     "agg_incremental_mv_merge": ["agg_incremental_mv_merge"],
     "dedup_index_merge_pairs_md5": ["dedup_index_merge_pairs_md5"],
+    # r12/r13: the seeded-cell assignment table is the session artifact
+    # both the blocked-pair row and the incremental probe read (bench
+    # warms dedup_semantic_pairs_seeded); the ensemble row and the BPE
+    # pipeline warm nothing by design — composition IS the timed cost
+    "dedup_semantic_pairs_seeded": ["dedup_semantic_pairs_seeded"],
+    "dedup_semantic_incremental": ["dedup_semantic_pairs_seeded"],
 }
 
 
