@@ -59,17 +59,48 @@ def _list_data_files(path: str) -> list[str]:
     )
 
 
-def read_manifest(path: str) -> tuple[int, list[str]] | None:
+def read_manifest(
+    path: str, version: int | None = None
+) -> tuple[int, list[str]] | None:
     """(version, live data files) of the committed manifest, or None if
-    the index has never published one (legacy plain-directory index)."""
+    the index has never published one (legacy plain-directory index).
+
+    ``version`` selects a RETAINED older manifest (snapshot read /
+    time travel — Iceberg's ``VERSION AS OF``): any version still
+    present under ``_manifest/`` resolves; one already expired by
+    :func:`vacuum_index` raises with the retained range named, because
+    silently falling back to ``_current`` would time-travel to the
+    wrong snapshot."""
+    import glob
     import json
     import os
 
     cur = os.path.join(path, _CURRENT)
     if not os.path.exists(cur):
+        if version is not None:
+            raise ValueError(
+                f"index at {path!r} has no committed manifest to "
+                f"time-travel in"
+            )
         return None
-    with open(cur) as f:
-        name = f.read().strip()
+    if version is None:
+        with open(cur) as f:
+            name = f.read().strip()
+    else:
+        name = f"m-{version:010d}.json"
+        if not os.path.exists(os.path.join(path, _MANIFEST_DIR, name)):
+            have = sorted(
+                int(os.path.basename(p)[2:-5])
+                for p in glob.glob(
+                    os.path.join(path, _MANIFEST_DIR, "m-*.json")
+                )
+            )
+            raise ValueError(
+                f"manifest version {version} of {path!r} is not "
+                f"retained (have {have[0]}..{have[-1]})"
+                if have
+                else f"index at {path!r} has no manifests"
+            )
     with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
         m = json.load(f)
     return int(m["version"]), list(m["files"])
@@ -132,11 +163,21 @@ def read_manifest_meta(path: str) -> dict:
         return dict(json.load(f).get("meta", {}))
 
 
-def read_index(spark: SparkSession, path: str) -> DataFrame:
+def read_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Manifest-aware index scan: exactly the committed file set, with
     ``basePath`` so the partition column (and its partition pruning)
     survives the explicit file list. Falls back to the plain directory
     scan for a never-published index.
+
+    ``version`` time-travels to a retained older snapshot (see
+    :func:`read_manifest`) — correct as long as vacuum's
+    ``keep_versions`` retention covers it, because data files are
+    append-only between commits and only :func:`vacuum_index` deletes:
+    every file an un-expired manifest names is still on disk. This is
+    the reader-side face of the same retention window that protects
+    in-flight readers during maintenance.
 
     A committed manifest with ZERO live files (legal: a
     :func:`replace_parts_commit` that replaced every live partition
@@ -148,7 +189,7 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     a bare reader error."""
     import os
 
-    m = read_manifest(path)
+    m = read_manifest(path, version=version)
     if m is None:
         return spark.read.parquet(path)
     _, files = m

@@ -1,0 +1,167 @@
+"""Property-based model check of the manifest-commit protocol
+(operators/index_manifest.py; SURVEY §4.1).
+
+Hypothesis drives arbitrary op sequences — append commits, replace-
+parts commits, per-partition compactions, vacuums with varying
+retention — against a real on-disk index, and after EVERY op the
+committed view (resolved exactly the way read_index does: _current →
+manifest → file list) must equal an independent Python model of the
+content. Snapshot history is modeled too: every retained version must
+still resolve to the content the model recorded AT that version, and
+expired versions must refuse to resolve.
+
+Data files are written with pyarrow (no Spark in the hot loop, so
+hypothesis can afford real sequence exploration); ONE final Spark
+read_index parity check per example confirms the Spark reader agrees
+with the model's file-level resolution. Compaction — the only op that
+needs an engine — runs through the real compact_index_parts with the
+session Spark."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    _list_data_files,
+    append_commit,
+    compact_index_parts,
+    publish_manifest,
+    read_index,
+    read_manifest,
+    replace_parts_commit,
+    vacuum_index,
+)
+
+BANDS = [0, 1, 2]
+
+
+def _write_rows(path: str, band: int, ids: list[int], tag: str) -> None:
+    d = os.path.join(path, f"band={band}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64())}),
+        os.path.join(d, f"{tag}.parquet"),
+    )
+
+
+def _committed_rows(path: str, version: int | None = None) -> Counter:
+    """(id, band) multiset of the committed view, resolved exactly as
+    read_index resolves it — _current (or a retained version) →
+    manifest → explicit file list."""
+    m = read_manifest(path, version=version)
+    files = m[1] if m else _list_data_files(path)
+    out: Counter = Counter()
+    for rel in files:
+        band = int(rel.split("/", 1)[0].split("=", 1)[1])
+        t = pq.read_table(os.path.join(path, rel), columns=["id"])
+        for i in t.column("id").to_pylist():
+            out[(i, band)] += 1
+    return out
+
+
+# One op = (kind, band-ish int, row-count-ish int)
+OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "replace", "compact", "vacuum"]),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS)
+def test_manifest_protocol_matches_model(spark, ops):
+    path = tempfile.mkdtemp(prefix="csb_model_") + "/idx"
+    os.makedirs(path)
+    next_id = [0]
+
+    def fresh_ids(n: int) -> list[int]:
+        ids = list(range(next_id[0], next_id[0] + n))
+        next_id[0] += n
+        return ids
+
+    # v1: bootstrap with one row per band
+    model: Counter = Counter()
+    for b in BANDS:
+        ids = fresh_ids(1)
+        _write_rows(path, b, ids, f"boot-{b}")
+        model.update((i, b) for i in ids)
+    publish_manifest(path, _list_data_files(path), note="boot")
+    history = {1: Counter(model)}
+    expired: set[int] = set()
+
+    for k, (kind, band, n) in enumerate(ops):
+        if kind == "append":
+            ids = fresh_ids(n + 1)
+            append_commit(
+                path,
+                lambda: _write_rows(path, band, ids, f"app-{k}"),
+                note=f"append {k}",
+            )
+            model.update((i, band) for i in ids)
+        elif kind == "replace":
+            # replace bands {band, band2} — band2 may equal band
+            band2 = (band + n) % len(BANDS)
+            vals = sorted({band, band2})
+            ids_per = {b: fresh_ids(n) for b in vals}
+
+            def write_replacement():
+                for b, ids in ids_per.items():
+                    if ids:  # zero-row replacement writes nothing
+                        _write_rows(path, b, ids, f"rep-{k}-{b}")
+
+            replace_parts_commit(
+                path, write_replacement, vals, note=f"replace {k}"
+            )
+            model = Counter(
+                {(i, b): c for (i, b), c in model.items() if b not in vals}
+            )
+            for b, ids in ids_per.items():
+                model.update((i, b) for i in ids)
+        elif kind == "compact":
+            parts = None if n == 0 else [band]
+            compact_index_parts(
+                spark, path, "band", max_files_per_part=1, parts=parts
+            )
+        else:  # vacuum
+            keep = max(1, n)
+            vacuum_index(path, keep_versions=keep)
+            cur = read_manifest(path)[0]
+            expired |= {v for v in history if v <= cur - keep}
+
+        # the committed view equals the model after EVERY op
+        cur, _ = read_manifest(path)
+        assert _committed_rows(path) == model, (kind, k)
+        history[cur] = Counter(model)
+
+        # every retained snapshot still resolves to what the model
+        # recorded at that version; expired ones refuse
+        for v, snap in history.items():
+            if v in expired:
+                continue
+            try:
+                got = _committed_rows(path, version=v)
+            except ValueError:
+                # vacuum may have expired it without a history op
+                expired.add(v)
+                continue
+            assert got == snap, (kind, k, v)
+
+    # final: the real Spark reader agrees with the model
+    pdf = read_index(spark, path).toPandas()
+    got = Counter(zip(pdf["id"], pdf["band"]))
+    assert got == model

@@ -388,3 +388,44 @@ def test_read_index_empty_manifest_recovers_schema_or_fails_clearly(spark):
     publish_manifest(bare, [], note="empty from birth")
     with pytest.raises(ValueError, match="no live"):
         read_index(spark, bare)
+
+
+def test_read_index_time_travel(spark):
+    """Snapshot reads (Iceberg's VERSION AS OF, the reader-side face
+    of the vacuum retention window): version=N resolves a RETAINED
+    older manifest's exact committed content — correct by construction
+    because data files are append-only between commits and vacuum is
+    the sole deleter. An EXPIRED version fails naming the retained
+    range instead of silently reading _current (time-traveling to the
+    wrong snapshot would be a correctness bug, not a convenience)."""
+    import pytest
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        append_commit,
+        read_index,
+        vacuum_index,
+    )
+
+    path = _tiny_index(spark, "timetravel")  # v1: 10 rows
+
+    def add(n, band):
+        append_commit(
+            path,
+            lambda: spark.range(n)
+            .select(F.col("id"), F.lit(band).alias("band"))
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+        )
+
+    add(2, 0)  # v2: 12 rows
+    add(3, 1)  # v3: 15 rows
+    assert read_index(spark, path, version=1).count() == 10
+    assert read_index(spark, path, version=2).count() == 12
+    assert read_index(spark, path).count() == 15
+
+    vacuum_index(path, keep_versions=2)  # expires v1
+    with pytest.raises(ValueError, match="not retained"):
+        read_index(spark, path, version=1)
+    assert read_index(spark, path, version=2).count() == 12
+    assert read_index(spark, path, version=3).count() == 15
