@@ -94,6 +94,12 @@ def semantic_probe_pairs(
     Gram kernel (new x corpus strips, executor memory bounded by
     ``block``; ids only in the output)."""
 
+    if new_cand is corpus_cand:
+        raise ValueError(
+            "cogrouping a DataFrame with itself is not well-defined in "
+            "Spark; for within-set pairs use semantic_dedup_pairs"
+        )
+
     def probe(key, corpus_pdf: pd.DataFrame, new_pdf: pd.DataFrame):
         if corpus_pdf.empty or new_pdf.empty:
             return pd.DataFrame({"cell": [], "new_id": [], "corpus_id": []})
