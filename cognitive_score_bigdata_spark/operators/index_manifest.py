@@ -36,6 +36,25 @@ The integer-keyed count/compaction helpers (``part_file_counts``,
 maintenance merges already rewrite its touched partitions wholesale,
 so it needs no separate compaction pass (each day's live set is one
 merge's output).
+
+Zone maps (file skipping): manifests optionally carry per-file
+min/max/null column statistics (``stats`` key), harvested from the
+parquet FOOTERS the writers already produced
+(:func:`file_column_stats` — a metadata-only read, no data scan) and
+committed in the SAME flip as the file list, so the stats a reader
+resolves always describe exactly the snapshot it resolved.
+:func:`read_index` takes an advisory ``prune=(col, lo, hi)`` range and
+drops files whose committed stats PROVE no row can satisfy it —
+Iceberg/Delta's data-skipping move, orthogonal to hive partition
+pruning (the stat column is a payload column, not the partition
+column). Skipping is strictly conservative: a file with no stats, no
+stats for that column, or an incomparable bound is always kept, and
+callers must still apply the real filter — pruning only removes
+footers/IO, never changes semantics. At 100 TB this is the difference
+between opening every file of a band/cell and opening the two whose
+doc-id range overlaps the probe; it pays exactly when writers CLUSTER
+on the stat column (``repartitionByRange`` before the write gives
+near-disjoint per-file ranges — pinned in ``tests/test_zonemaps.py``).
 """
 
 from __future__ import annotations
@@ -57,6 +76,63 @@ def _list_data_files(path: str) -> list[str]:
         os.path.relpath(p, path)
         for p in glob.glob(os.path.join(path, "*=*", "*.parquet"))
     )
+
+
+def file_column_stats(
+    path: str, files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file ``{col: [min, max, null_count, num_rows]}`` for
+    ``cols``, harvested from the parquet footers (pyarrow metadata —
+    no row is read; at scale this is one ranged GET per file, the same
+    footer the scan would fetch anyway, done once at commit time
+    instead of per query).
+
+    Bounds are the writer's footer statistics — valid bounds by the
+    parquet contract (writers may truncate string bounds, but only
+    outward). A column with no usable footer stats in SOME row group
+    is dropped for that file entirely (unknown ⇒ never skipped); an
+    all-null column keeps ``[None, None, nulls, rows]`` so range
+    pruning can skip the file (a range predicate never matches NULL).
+    Only JSON-safe scalar bounds (int/float/str/bool) are recorded —
+    anything else (timestamps, binary) is treated as unknown."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        fstats: dict[str, list] = {}
+        for col in cols:
+            if col not in names:
+                continue
+            ci = names.index(col)
+            mn = mx = None
+            nulls = rows = 0
+            ok = True
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                rows += rg.num_rows
+                st = rg.column(ci).statistics
+                if st is None or st.null_count is None:
+                    ok = False
+                    break
+                nulls += st.null_count
+                if st.null_count == rg.num_rows:
+                    continue  # all-null group contributes no bounds
+                if not st.has_min_max or not isinstance(
+                    st.min, (int, float, str, bool)
+                ):
+                    ok = False
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if ok:
+                fstats[col] = [mn, mx, nulls, rows]
+        if fstats:
+            out[rel] = fstats
+    return out
 
 
 def read_manifest(
@@ -107,7 +183,11 @@ def read_manifest(
 
 
 def publish_manifest(
-    path: str, files: list[str], note: str = "", meta: dict | None = None
+    path: str,
+    files: list[str],
+    note: str = "",
+    meta: dict | None = None,
+    stats: dict[str, dict[str, list]] | None = None,
 ) -> int:
     """Commit ``files`` as the new live set. The manifest file is
     written complete before the ``_current`` flip, and the flip is
@@ -120,7 +200,14 @@ def publish_manifest(
     list — there is no residual window between "files live" and "state
     recorded". Each manifest carries its own complete meta; callers
     that accumulate (fences) read the current meta first. Omitted meta
-    carries the current manifest's forward unchanged."""
+    carries the current manifest's forward unchanged.
+
+    ``stats`` (per-file zone maps, see :func:`file_column_stats`)
+    commits in the same flip. Carry-forward rule: a live file keeps
+    its current committed stats unless this commit provides new ones;
+    stats of files leaving the live set are dropped with them — the
+    stored map never names a dead file, so time travel resolves each
+    snapshot's own stats."""
     import json
     import os
 
@@ -128,6 +215,9 @@ def publish_manifest(
     version = (cur[0] if cur else 0) + 1
     if meta is None:
         meta = read_manifest_meta(path)
+    carried = read_manifest_stats(path)
+    carried.update(stats or {})
+    live_stats = {f: carried[f] for f in files if f in carried}
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     name = f"m-{version:010d}.json"
@@ -138,6 +228,7 @@ def publish_manifest(
                 "files": sorted(files),
                 "note": note,
                 "meta": meta,
+                "stats": live_stats,
             },
             f,
         )
@@ -163,8 +254,77 @@ def read_manifest_meta(path: str) -> dict:
         return dict(json.load(f).get("meta", {}))
 
 
+def read_manifest_stats(
+    path: str, version: int | None = None
+) -> dict[str, dict[str, list]]:
+    """The committed per-file zone maps ({} if the index has no
+    manifest or the manifest predates stats support). ``version``
+    time-travels like :func:`read_manifest`."""
+    import json
+    import os
+
+    if version is None:
+        cur = os.path.join(path, _CURRENT)
+        if not os.path.exists(cur):
+            return {}
+        with open(cur) as f:
+            name = f.read().strip()
+    else:
+        read_manifest(path, version=version)  # existence/retention check
+        name = f"m-{version:010d}.json"
+    with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
+        return dict(json.load(f).get("stats", {}))
+
+
+def _survives_range(st: list, lo, hi) -> bool:
+    """Whether a file with zone map ``[min, max, nulls, rows]`` could
+    hold a row with ``lo <= col <= hi`` (None = unbounded side). The
+    contract is one-sided: False is a PROOF of emptiness; True is just
+    "cannot prove". Incomparable bound types (schema drift between the
+    committed stat and the probe value) yield True — conservative."""
+    mn, mx, nulls, rows = st
+    if mn is None and mx is None:
+        # no non-null value in the file: a range predicate matches none
+        return not (nulls is not None and rows is not None and nulls >= rows)
+    try:
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
+def pruned_files(
+    path: str,
+    prune: tuple,
+    version: int | None = None,
+    files: list[str] | None = None,
+) -> list[str]:
+    """The subset of the committed file list that survives the
+    ``(col, lo, hi)`` range ``prune`` under the committed zone maps —
+    the skip decision itself, exposed so tests and planners can count
+    skips without building a DataFrame. Files with no stats for the
+    column are kept (unknown ⇒ never skipped)."""
+    if files is None:
+        m = read_manifest(path, version=version)
+        files = m[1] if m else _list_data_files(path)
+    col, lo, hi = prune
+    stats = read_manifest_stats(path, version=version)
+    return [
+        f
+        for f in files
+        if col not in stats.get(f, {})
+        or _survives_range(stats[f][col], lo, hi)
+    ]
+
+
 def read_index(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Manifest-aware index scan: exactly the committed file set, with
     ``basePath`` so the partition column (and its partition pruning)
@@ -186,13 +346,31 @@ def read_index(
     from the superseded physical files still on disk awaiting vacuum
     (``limit(0)`` over the directory scan), or, if vacuum already
     swept everything, fails with a message naming the index instead of
-    a bare reader error."""
+    a bare reader error.
+
+    ``prune=(col, lo, hi)`` is ADVISORY zone-map skipping (inclusive
+    range, None = unbounded side): files whose committed stats prove
+    no row can satisfy it are dropped from the scan before Spark ever
+    opens them. The caller MUST still apply the real filter — pruning
+    only removes IO (files without stats always survive). A prune that
+    skips every file returns a ``limit(0)`` over one committed file,
+    schema identical to the full scan. On a never-published index
+    there are no stats, so prune is a no-op."""
     import os
 
     m = read_manifest(path, version=version)
     if m is None:
         return spark.read.parquet(path)
     _, files = m
+    if files and prune is not None:
+        kept = pruned_files(path, prune, version=version, files=files)
+        if not kept:
+            return (
+                spark.read.option("basePath", path)
+                .parquet(os.path.join(path, files[0]))
+                .limit(0)
+            )
+        files = kept
     if not files:
         if _list_data_files(path):
             return spark.read.option("basePath", path).parquet(path).limit(0)
@@ -236,6 +414,7 @@ def append_commit(
     write_append,
     note: str = "append",
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
     _before_publish=None,
 ) -> list[str]:
     """Run ``write_append()`` (a Spark append into ``path``) and commit
@@ -244,8 +423,10 @@ def append_commit(
     directory listing: a listing would resurrect files an earlier
     compaction superseded but vacuum has not yet swept. ``meta``
     commits atomically with the added files (see
-    :func:`publish_manifest`); ``_before_publish`` is the same test
-    seam as compaction's — the crash window between the physical
+    :func:`publish_manifest`); ``stats_cols`` harvests zone maps for
+    the ADDED files from their footers into the same flip (existing
+    files keep their committed stats); ``_before_publish`` is the same
+    test seam as compaction's — the crash window between the physical
     append and the flip, in which the added files are uncommitted
     garbage. Returns the committed new relative paths."""
     before = set(_list_data_files(path))
@@ -253,9 +434,12 @@ def append_commit(
     added = sorted(set(_list_data_files(path)) - before)
     cur = read_manifest(path)
     base = cur[1] if cur else sorted(before)
+    stats = (
+        file_column_stats(path, added, stats_cols) if stats_cols else None
+    )
     if _before_publish is not None:
         _before_publish()
-    publish_manifest(path, base + added, note=note, meta=meta)
+    publish_manifest(path, base + added, note=note, meta=meta, stats=stats)
     return added
 
 
@@ -271,6 +455,7 @@ def replace_parts_commit(
     part_values,
     note: str = "replace parts",
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
     _before_publish=None,
 ) -> list[str]:
     """Read-modify-write commit targeting a partition-VALUE set: run
@@ -284,7 +469,10 @@ def replace_parts_commit(
     before the flip leaves the live view untouched (the appended files
     are vacuum-sweepable garbage), and ``meta`` (e.g. a streaming
     batch-id fence) commits in the SAME flip as the content it fences.
-    Raises if the replacement wrote outside the declared partitions —
+    ``stats_cols`` harvests zone maps for the replacement files;
+    superseded files' stats drop with them (publish restricts stats to
+    the live set). Raises if the replacement wrote outside the
+    declared partitions —
     a silent stray file would otherwise supersede nothing and
     double-count forever."""
     vals = {str(v) for v in part_values}
@@ -299,9 +487,14 @@ def replace_parts_commit(
     cur = read_manifest(path)
     base = cur[1] if cur else sorted(before)
     survivors = [f for f in base if _part_val(f) not in vals]
+    stats = (
+        file_column_stats(path, added, stats_cols) if stats_cols else None
+    )
     if _before_publish is not None:
         _before_publish()
-    publish_manifest(path, survivors + added, note=note, meta=meta)
+    publish_manifest(
+        path, survivors + added, note=note, meta=meta, stats=stats
+    )
     return added
 
 
@@ -382,11 +575,22 @@ def compact_index_parts(
             )
             staged.append(f"{part_col}={p}/{staged_name}")
     shutil.rmtree(tmp, ignore_errors=True)
+    # Zone maps survive compaction automatically: any column the
+    # committed stats already track is re-harvested from the staged
+    # files' footers, so the rewritten files stay skippable without the
+    # caller re-declaring stats_cols at every maintenance run.
+    tracked = sorted(
+        {c for fs in read_manifest_stats(path).values() for c in fs}
+    )
+    stats = file_column_stats(path, staged, tracked) if tracked else None
     if _before_publish is not None:
         _before_publish()
     survivors = [f for f in live if _part_of(f) not in touched]
     publish_manifest(
-        path, survivors + staged, note=f"compact {part_col}s={touched}"
+        path,
+        survivors + staged,
+        note=f"compact {part_col}s={touched}",
+        stats=stats,
     )
     after = live_part_file_counts(path)
     return {p: (counts[p], after.get(p, 0)) for p in touched}

@@ -8,7 +8,11 @@ committed view (resolved exactly the way read_index does: _current →
 manifest → file list) must equal an independent Python model of the
 content. Snapshot history is modeled too: every retained version must
 still resolve to the content the model recorded AT that version, and
-expired versions must refuse to resolve.
+expired versions must refuse to resolve. Zone maps ride along: every
+commit harvests id-stats, and after every op (and at every retained
+snapshot) a pruned probe — zone-map file skip + caller filter — must
+equal the model's filtered content exactly, so stats can never pair
+with the wrong snapshot's files under any op interleaving.
 
 Data files are written with pyarrow (no Spark in the hot loop, so
 hypothesis can afford real sequence exploration); ONE final Spark
@@ -32,6 +36,8 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     _list_data_files,
     append_commit,
     compact_index_parts,
+    file_column_stats,
+    pruned_files,
     publish_manifest,
     read_index,
     read_manifest,
@@ -51,19 +57,41 @@ def _write_rows(path: str, band: int, ids: list[int], tag: str) -> None:
     )
 
 
-def _committed_rows(path: str, version: int | None = None) -> Counter:
+def _committed_rows(
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> Counter:
     """(id, band) multiset of the committed view, resolved exactly as
     read_index resolves it — _current (or a retained version) →
-    manifest → explicit file list."""
+    manifest → explicit file list; with ``prune`` the file list passes
+    through the zone-map skip first AND the caller-side filter is
+    applied, modeling a pruned probe end-to-end."""
     m = read_manifest(path, version=version)
     files = m[1] if m else _list_data_files(path)
+    if prune is not None:
+        files = pruned_files(path, prune, version=version, files=files)
     out: Counter = Counter()
     for rel in files:
         band = int(rel.split("/", 1)[0].split("=", 1)[1])
         t = pq.read_table(os.path.join(path, rel), columns=["id"])
         for i in t.column("id").to_pylist():
+            if prune is not None:
+                lo, hi = prune[1], prune[2]
+                if (lo is not None and i < lo) or (hi is not None and i > hi):
+                    continue
             out[(i, band)] += 1
     return out
+
+
+def _model_pruned(model: Counter, lo, hi) -> Counter:
+    return Counter(
+        {
+            (i, b): c
+            for (i, b), c in model.items()
+            if (lo is None or i >= lo) and (hi is None or i <= hi)
+        }
+    )
 
 
 # One op = (kind, band-ish int, row-count-ish int)
@@ -100,7 +128,13 @@ def test_manifest_protocol_matches_model(spark, ops):
         ids = fresh_ids(1)
         _write_rows(path, b, ids, f"boot-{b}")
         model.update((i, b) for i in ids)
-    publish_manifest(path, _list_data_files(path), note="boot")
+    boot_files = _list_data_files(path)
+    publish_manifest(
+        path,
+        boot_files,
+        note="boot",
+        stats=file_column_stats(path, boot_files, ["id"]),
+    )
     history = {1: Counter(model)}
     expired: set[int] = set()
 
@@ -111,6 +145,7 @@ def test_manifest_protocol_matches_model(spark, ops):
                 path,
                 lambda: _write_rows(path, band, ids, f"app-{k}"),
                 note=f"append {k}",
+                stats_cols=["id"],
             )
             model.update((i, band) for i in ids)
         elif kind == "replace":
@@ -125,7 +160,11 @@ def test_manifest_protocol_matches_model(spark, ops):
                         _write_rows(path, b, ids, f"rep-{k}-{b}")
 
             replace_parts_commit(
-                path, write_replacement, vals, note=f"replace {k}"
+                path,
+                write_replacement,
+                vals,
+                note=f"replace {k}",
+                stats_cols=["id"],
             )
             model = Counter(
                 {(i, b): c for (i, b), c in model.items() if b not in vals}
@@ -148,6 +187,14 @@ def test_manifest_protocol_matches_model(spark, ops):
         assert _committed_rows(path) == model, (kind, k)
         history[cur] = Counter(model)
 
+        # zone-map pruning is exact after EVERY op: pruned files +
+        # caller filter ≡ model filter, for ranges straddling the live
+        # id space (compaction re-harvests, replace drops, append adds)
+        top = next_id[0]
+        for lo, hi in [(0, top // 2), (top // 2, None), (top + 10, None)]:
+            got = _committed_rows(path, prune=("id", lo, hi))
+            assert got == _model_pruned(model, lo, hi), (kind, k, lo, hi)
+
         # every retained snapshot still resolves to what the model
         # recorded at that version; expired ones refuse
         for v, snap in history.items():
@@ -160,6 +207,13 @@ def test_manifest_protocol_matches_model(spark, ops):
                 expired.add(v)
                 continue
             assert got == snap, (kind, k, v)
+            # snapshot stats pair with snapshot files: pruning at a
+            # retained version must be exact against its own content
+            top_v = max((i for (i, _b) in snap), default=0)
+            got_p = _committed_rows(
+                path, version=v, prune=("id", 0, top_v // 2)
+            )
+            assert got_p == _model_pruned(snap, 0, top_v // 2), (kind, k, v)
 
     # final: the real Spark reader agrees with the model
     pdf = read_index(spark, path).toPandas()

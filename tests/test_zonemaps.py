@@ -1,0 +1,352 @@
+"""Zone-map file skipping on manifest-committed artifacts
+(operators/index_manifest.py): per-file min/max/null stats harvested
+from parquet FOOTERS at commit time, committed in the same ``_current``
+flip as the file list, consumed by ``read_index(prune=(col, lo, hi))``.
+
+What is pinned, and why it is the 100 TB contract:
+
+- correctness is one-sided — a skip must be a PROOF of emptiness
+  (pruned+filter ≡ full+filter on every layout, clustered or not,
+  partial stats or none), while keeps are free (advisory IO saving);
+- skipping actually happens when writers cluster on the stat column
+  (``repartitionByRange`` before the write → near-disjoint per-file
+  ranges), measured via ``DataFrame.inputFiles()`` — the physical scan
+  opens only the surviving files;
+- the stats ride the snapshot: crash before the flip leaves the old
+  stats live, compaction re-harvests tracked columns for its staged
+  files automatically, replace-parts drops superseded files' stats in
+  the same commit, and time travel prunes against the RESOLVED
+  snapshot's stats, not the current ones.
+
+The stats source is the footer the writer already produced (no data
+scan at commit), mirroring Iceberg's manifest column bounds /
+Delta's file stats; at 100 TB this turns a band/cell probe that would
+open every file of the partition into one that opens the two files
+whose key range overlaps.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    _list_data_files,
+    _survives_range,
+    append_commit,
+    compact_index_parts,
+    file_column_stats,
+    pruned_files,
+    publish_manifest,
+    read_index,
+    read_manifest,
+    read_manifest_stats,
+    replace_parts_commit,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _build_clustered(spark, n_ranges: int = 4) -> str:
+    """A two-band artifact whose files are RANGE-CLUSTERED on doc_id:
+    repartitionByRange before the partitioned write gives each task a
+    contiguous doc_id slice, so every (band, file) holds a tight,
+    near-disjoint doc_id range — the layout zone maps pay for."""
+    path = tempfile.mkdtemp(prefix="csb_zonemap_") + "/idx"
+    (
+        _docs(spark)
+        .withColumn("band", F.col("doc_id") % 2)
+        .repartitionByRange(n_ranges, "doc_id")
+        .write.partitionBy("band")
+        .parquet(path)
+    )
+    files = _list_data_files(path)
+    publish_manifest(
+        path, files, note="boot", stats=file_column_stats(path, files, ["doc_id"])
+    )
+    return path
+
+
+def test_footer_stats_match_data(spark):
+    """The harvested [min, max, nulls, rows] per file must equal the
+    truth computed by reading each file's rows — the footer is trusted
+    downstream, so pin it against the data once."""
+    path = _build_clustered(spark)
+    stats = read_manifest_stats(path)
+    files = _list_data_files(path)
+    assert set(stats) == set(files)
+    for rel in files:
+        t = pq.read_table(os.path.join(path, rel), columns=["doc_id"])
+        vals = t.column("doc_id").to_pylist()
+        mn, mx, nulls, rows = stats[rel]["doc_id"]
+        assert (mn, mx) == (min(vals), max(vals))
+        assert nulls == sum(v is None for v in vals)
+        assert rows == len(vals)
+
+
+def test_pruned_read_equals_filtered_full_read(spark):
+    """One-sided correctness: for any range, pruned-scan + real filter
+    must equal full-scan + real filter. Also closed under composition
+    with hive partition pruning (band filter on top)."""
+    path = _build_clustered(spark)
+    for lo, hi in [(100, 180), (0, 0), (None, 50), (450, None), (9999, None)]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") <= hi)
+        full = sorted(
+            r.doc_id
+            for r in read_index(spark, path).filter(cond).select("doc_id").collect()
+        )
+        pruned = sorted(
+            r.doc_id
+            for r in read_index(spark, path, prune=("doc_id", lo, hi))
+            .filter(cond)
+            .select("doc_id")
+            .collect()
+        )
+        assert pruned == full, (lo, hi)
+        both = (
+            read_index(spark, path, prune=("doc_id", lo, hi))
+            .filter(cond & (F.col("band") == 1))
+            .count()
+        )
+        assert both == read_index(spark, path).filter(
+            cond & (F.col("band") == 1)
+        ).count(), (lo, hi)
+
+
+def test_clustered_write_actually_skips_files(spark):
+    """The IO claim: on the range-clustered layout a narrow probe must
+    open strictly fewer files than the full scan, and the physical scan
+    (inputFiles) must read exactly the surviving set."""
+    path = _build_clustered(spark)
+    total = _list_data_files(path)
+    kept = pruned_files(path, ("doc_id", 100, 140))
+    assert 1 <= len(kept) < len(total)
+    scan = read_index(spark, path, prune=("doc_id", 100, 140))
+    opened = sorted(os.path.relpath(f.replace("file:", ""), path) for f in scan.inputFiles())
+    assert opened == sorted(kept)
+
+
+def test_files_without_stats_are_never_skipped(spark):
+    """Unknown ⇒ kept: commit stats for only half the files; every
+    unstated file must survive any prune, and results stay exact."""
+    path = _build_clustered(spark)
+    files = _list_data_files(path)
+    half = files[: len(files) // 2]
+    v, _ = read_manifest(path)
+    # Re-publish with stats restricted to `half` only: carry-forward
+    # would keep the full map, so build a fresh artifact-less publish
+    # by writing the restriction explicitly.
+    stats = {f: s for f, s in read_manifest_stats(path).items() if f in half}
+    import json
+
+    mpath = os.path.join(path, "_manifest", f"m-{v:010d}.json")
+    with open(mpath) as fh:
+        doc = json.load(fh)
+    doc["stats"] = stats
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    kept = pruned_files(path, ("doc_id", 0, 10))
+    assert set(files) - set(half) <= set(kept)
+    got = (
+        read_index(spark, path, prune=("doc_id", 0, 10))
+        .filter(F.col("doc_id") <= 10)
+        .count()
+    )
+    want = read_index(spark, path).filter(F.col("doc_id") <= 10).count()
+    assert got == want
+
+
+def test_prune_that_skips_everything_is_schema_stable(spark):
+    """A probe beyond every file's range returns 0 rows with the SAME
+    schema as the full scan (partition column included) — callers can
+    union/join the result without special-casing."""
+    path = _build_clustered(spark)
+    empty = read_index(spark, path, prune=("doc_id", 10**9, None))
+    assert empty.count() == 0
+    assert empty.schema == read_index(spark, path).schema
+
+
+def test_append_commit_harvests_stats_in_the_same_flip(spark):
+    """Crash seam: an append that dies before the flip leaves version,
+    file list AND stats untouched; the successful retry lands files and
+    their zone maps together."""
+    path = _build_clustered(spark)
+    v0 = read_manifest(path)[0]
+    stats0 = read_manifest_stats(path)
+    new_rows = (
+        _docs(spark)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("band", F.col("doc_id") % 2)
+        .limit(40)
+    )
+
+    def write():
+        new_rows.write.mode("append").partitionBy("band").parquet(path)
+
+    with pytest.raises(RuntimeError):
+        append_commit(
+            path,
+            write,
+            stats_cols=["doc_id"],
+            _before_publish=lambda: (_ for _ in ()).throw(RuntimeError("crash")),
+        )
+    assert read_manifest(path)[0] == v0
+    assert read_manifest_stats(path) == stats0
+    added = append_commit(path, write, stats_cols=["doc_id"])
+    stats1 = read_manifest_stats(path)
+    assert all(a in stats1 and "doc_id" in stats1[a] for a in added)
+    # the appended range is skippable immediately
+    kept = pruned_files(path, ("doc_id", 10000, None))
+    assert set(kept) <= set(added) | {
+        f for f in stats1 if f not in stats0 and f not in added
+    }
+    assert (
+        read_index(spark, path, prune=("doc_id", 10000, None))
+        .filter(F.col("doc_id") >= 10000)
+        .count()
+        == 40
+    )
+
+
+def test_compaction_reharvests_tracked_columns(spark):
+    """Maintenance keeps indexes skippable without re-declaring
+    stats_cols: compaction auto-detects the tracked column set from the
+    committed stats and harvests it for its staged files."""
+    path = _build_clustered(spark)
+    extra = (
+        _docs(spark)
+        .withColumn("band", F.col("doc_id") % 2)
+        .limit(60)
+    )
+    append_commit(
+        path,
+        lambda: extra.write.mode("append").partitionBy("band").parquet(path),
+        stats_cols=["doc_id"],
+    )
+    compact_index_parts(spark, path, "band", max_files_per_part=1)
+    stats = read_manifest_stats(path)
+    live = read_manifest(path)[1]
+    assert live and all(f in stats and "doc_id" in stats[f] for f in live)
+    # correctness after compaction, with pruning
+    got = (
+        read_index(spark, path, prune=("doc_id", 100, 140))
+        .filter(F.col("doc_id").between(100, 140))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") != 2)  # base + the appended 60-row overlap
+        .count()
+    )
+    full = (
+        read_index(spark, path)
+        .filter(F.col("doc_id").between(100, 140))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    assert got == full
+
+
+def test_time_travel_prunes_against_resolved_snapshot_stats(spark):
+    """``version=`` must pair the old file list with the OLD stats: a
+    range only present in the current snapshot prunes to empty at the
+    old version but resolves rows at the current one."""
+    path = _build_clustered(spark)
+    v1 = read_manifest(path)[0]
+    shifted = (
+        _docs(spark)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("band", F.col("doc_id") % 2)
+        .limit(30)
+    )
+    append_commit(
+        path,
+        lambda: shifted.write.mode("append").partitionBy("band").parquet(path),
+        stats_cols=["doc_id"],
+    )
+    assert pruned_files(path, ("doc_id", 10000, None), version=v1) == []
+    old = read_index(spark, path, version=v1, prune=("doc_id", 10000, None))
+    assert old.count() == 0
+    now = read_index(spark, path, prune=("doc_id", 10000, None)).filter(
+        F.col("doc_id") >= 10000
+    )
+    assert now.count() == 30
+
+
+def test_replace_parts_drops_superseded_stats(spark):
+    """Replacing a partition's content must atomically swap its files'
+    stats too — the stored map never names a dead file."""
+    path = _build_clustered(spark)
+    before = read_manifest_stats(path)
+    replacement = (
+        _docs(spark)
+        .filter(F.col("doc_id") % 2 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 50000)
+        .withColumn("band", F.lit(0))
+    )
+    added = replace_parts_commit(
+        path,
+        lambda: replacement.write.mode("append")
+        .partitionBy("band")
+        .parquet(path),
+        part_values=[0],
+        stats_cols=["doc_id"],
+    )
+    after = read_manifest_stats(path)
+    dead = {f for f in before if f.startswith("band=0/")}
+    assert dead.isdisjoint(after)
+    assert all(a in after for a in added)
+    # old band-0 range is gone from the live view, pruned or not
+    assert (
+        read_index(spark, path, prune=("doc_id", None, 49999))
+        .filter((F.col("band") == 0) & (F.col("doc_id") <= 49999))
+        .count()
+        == 0
+    )
+
+
+def test_all_null_stat_column_file_is_skipped(spark):
+    """A file whose stat column is entirely NULL can be proven empty
+    for ANY range (range predicates never match NULL) — pinned because
+    it is the one skip that happens with min=max=None."""
+    path = tempfile.mkdtemp(prefix="csb_zm_null_") + "/idx"
+    base = _docs(spark).withColumn("band", F.lit(0)).limit(20)
+    base.coalesce(1).write.partitionBy("band").parquet(path)
+    nulls = base.withColumn("doc_id", F.lit(None).cast("long"))
+    nulls.coalesce(1).write.mode("append").partitionBy("band").parquet(path)
+    files = _list_data_files(path)
+    stats = file_column_stats(path, files, ["doc_id"])
+    publish_manifest(path, files, stats=stats)
+    allnull = [f for f in files if stats[f]["doc_id"][0] is None]
+    assert len(allnull) == 1
+    kept = pruned_files(path, ("doc_id", 0, None))
+    assert allnull[0] not in kept
+    got = (
+        read_index(spark, path, prune=("doc_id", 0, None))
+        .filter(F.col("doc_id") >= 0)
+        .count()
+    )
+    assert got == 20
+
+
+def test_survives_range_is_conservative_on_type_drift():
+    """Unit pins on the skip predicate: exact boundary inclusivity and
+    the incomparable-types escape hatch (schema drift ⇒ keep)."""
+    assert _survives_range([10, 20, 0, 5], 20, None)  # max == lo: keep
+    assert not _survives_range([10, 20, 0, 5], 21, None)
+    assert _survives_range([10, 20, 0, 5], None, 10)  # min == hi: keep
+    assert not _survives_range([10, 20, 0, 5], None, 9)
+    assert _survives_range(["a", "m", 0, 5], 3, 7)  # str stat vs int probe
+    assert not _survives_range([None, None, 5, 5], 0, 100)  # all-null
+    assert not _survives_range([None, None, 0, 0], 0, 100)  # 0-row file: skip
