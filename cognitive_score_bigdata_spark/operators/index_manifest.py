@@ -383,6 +383,38 @@ def read_index(
     )
 
 
+def clustered_write_commit(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    cluster_col: str,
+    n_ranges: int,
+    note: str = "clustered publish",
+) -> int:
+    """Initial publish of a manifest-committed artifact laid out for
+    zone-map skipping: ``repartitionByRange`` on ``cluster_col`` before
+    the partitioned write gives each output task a contiguous
+    cluster-key slice, so every (partition, file) holds a tight,
+    near-disjoint range — then the file list AND the harvested
+    ``cluster_col`` zone maps commit in one manifest flip. This is the
+    CLUSTER BY of a transactional table format: hive partitioning gives
+    coarse pruning on ``part_col``, the zone maps give file skipping on
+    ``cluster_col`` — two orthogonal key dimensions from one write.
+    Returns the published manifest version."""
+    (
+        df.repartitionByRange(n_ranges, cluster_col)
+        .write.partitionBy(part_col)
+        .parquet(path)
+    )
+    files = _list_data_files(path)
+    return publish_manifest(
+        path,
+        files,
+        note=note,
+        stats=file_column_stats(path, files, [cluster_col]),
+    )
+
+
 def _part_of(relpath: str) -> int:
     return int(relpath.split("/", 1)[0].rsplit("=", 1)[1])
 

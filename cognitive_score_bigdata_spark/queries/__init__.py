@@ -874,6 +874,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round12,
         round12_staging,
         round13_staging,
+        round14_staging,
         scalar_funcs,
         setops,
         sharding,

@@ -1,0 +1,71 @@
+"""Round-14 staged query (queries/round14_staging.py): oracle parity
+for the zone-map-pruned range scan, plus the structural pins the query
+exists to demonstrate — the physical scan opens ONLY the files whose
+committed doc_id range overlaps the probe, and the probe's answer is
+layout-independent (pruned artifact read ≡ base-table recompute)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    pruned_files,
+    read_index,
+    read_manifest,
+)
+from cognitive_score_bigdata_spark.queries import load_registry
+from cognitive_score_bigdata_spark.queries.round14_staging import (
+    probe_bounds,
+    scan_zonemap_range_agg,
+    zonemap_artifact,
+)
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def test_oracle_parity(spark, oracle_con):
+    spec = load_registry()["scan_zonemap_range_agg"]
+    sp = spec.fn(spark, SF_DIR).toPandas()
+    oc = oracle_con.execute(spec.oracle).df()
+    assert_frames_match(sp, oc, "scan_zonemap_range_agg")
+
+
+def test_probe_opens_only_overlapping_files(spark):
+    """IO pin: the pruned scan's inputFiles must be exactly the
+    surviving file set, strictly smaller than the committed total —
+    the artifact layout (range-clustered on doc_id) makes the middle
+    decile skippable."""
+    path, mx = zonemap_artifact(spark, SF_DIR)
+    lo, hi = probe_bounds(mx)
+    total = read_manifest(path)[1]
+    kept = pruned_files(path, ("doc_id", lo, hi))
+    assert 1 <= len(kept) < len(total), (len(kept), len(total))
+    scan = read_index(spark, path, prune=("doc_id", lo, hi))
+    opened = sorted(
+        os.path.relpath(f.replace("file:", ""), path) for f in scan.inputFiles()
+    )
+    assert opened == sorted(kept)
+
+
+def test_pruned_scan_equals_unpruned_scan(spark):
+    """Advisory-only pin: dropping the prune (full manifest read +
+    same real filter) must give the identical aggregate — skipping
+    elides IO, never rows."""
+    path, mx = zonemap_artifact(spark, SF_DIR)
+    lo, hi = probe_bounds(mx)
+    agg = lambda df: (  # noqa: E731
+        df.filter(F.col("doc_id").between(lo, hi))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+    )
+    full = {
+        r.lang: (r.n, r.s) for r in agg(read_index(spark, path)).collect()
+    }
+    pruned = {
+        r.lang: (r.n, r.s)
+        for r in agg(
+            read_index(spark, path, prune=("doc_id", lo, hi))
+        ).collect()
+    }
+    assert pruned == full

@@ -38,6 +38,7 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     _list_data_files,
     _survives_range,
     append_commit,
+    clustered_write_commit,
     compact_index_parts,
     file_column_stats,
     pruned_files,
@@ -60,16 +61,13 @@ def _build_clustered(spark, n_ranges: int = 4) -> str:
     contiguous doc_id slice, so every (band, file) holds a tight,
     near-disjoint doc_id range — the layout zone maps pay for."""
     path = tempfile.mkdtemp(prefix="csb_zonemap_") + "/idx"
-    (
-        _docs(spark)
-        .withColumn("band", F.col("doc_id") % 2)
-        .repartitionByRange(n_ranges, "doc_id")
-        .write.partitionBy("band")
-        .parquet(path)
-    )
-    files = _list_data_files(path)
-    publish_manifest(
-        path, files, note="boot", stats=file_column_stats(path, files, ["doc_id"])
+    clustered_write_commit(
+        _docs(spark).withColumn("band", F.col("doc_id") % 2),
+        path,
+        part_col="band",
+        cluster_col="doc_id",
+        n_ranges=n_ranges,
+        note="boot",
     )
     return path
 
