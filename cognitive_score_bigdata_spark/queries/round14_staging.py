@@ -1,7 +1,8 @@
-"""Round-14 staged query (the rounds-8-13 staging pattern: full hash
-oracle, mirrored at two SFs, slope-measured before it ever enters a
+"""Round-14 staged queries (the rounds-8-13 staging pattern: full hash
+oracle, mirrored at two SFs, slope-measured before they ever enter a
 driver window): zone-map-pruned range scan over a manifest-committed,
-range-clustered artifact.
+range-clustered artifact, and leakage-safe dataset splits over the
+ensemble dedup clusters.
 
 ``scan_zonemap_range_agg`` — the consumer of the r12 zone-map
 extension to the manifest protocol (SURVEY §4.1 item 7). The corpus is
@@ -23,10 +24,27 @@ the full DuckDB hash oracle below (the artifact's content is exactly
 ``documents``, so the oracle recomputes the range-agg from the base
 table — layout cannot change answers).
 
-Reference parity: engine-side scan optimization over the reference's
-corpus analytics surface (SURVEY §2-extras; the reference delegates
-scans to Postgres — `src/backend/main.py` query paths — where the
-equivalent move is a BRIN index).
+``corpus_leakage_safe_splits`` — the curation step every training
+pipeline needs AFTER dedup: train/val/test assignment where near-dup
+documents can never straddle a split boundary (splitting by per-doc
+hash leaks — a benchmark answer's near-dup lands in train while the
+original sits in test). The unit of assignment is the ENSEMBLE dedup
+cluster (``dedup_ensemble_clusters``: MinHash ∪ winnowing ∪ seeded
+semantic evidence, min-label CC), so every document in a cluster
+inherits the cluster's split by construction. The cluster→split map is
+a deterministic multiplicative hash (Knuth 2654435761 mod 2^32 mod
+10 → 8/1/1 train/val/test), exact BIGINT arithmetic in both engines
+at test id ranges (production swaps in xxhash64; the *shape* — hash
+the cluster LABEL, never the doc id — is the contract). Oracle =
+the ensemble oracle spliced verbatim as a derived table (the
+round-13 pattern: legs can't drift) + the same CASE arithmetic.
+Scale: the split adds one narrow projection over the cluster
+assignment — no new shuffle beyond what dedup already did.
+
+Reference parity: engine-side scan optimization + curation split over
+the reference's corpus analytics surface (SURVEY §2-extras; the
+reference delegates scans to Postgres — `src/backend/main.py` query
+paths — where the equivalent of the range scan is a BRIN index).
 """
 
 from __future__ import annotations
@@ -120,3 +138,65 @@ def scan_zonemap_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# Knuth's multiplicative constant; exact in BIGINT for any cluster
+# label below ~3.4e9 (labels are min doc_ids — far below at every test
+# SF; production swaps in xxhash64, same shape).
+_MIX = 2654435761
+_MOD = 2**32
+
+_SPLIT_CASE = (
+    f"CASE WHEN (cluster_id * {_MIX}) % {_MOD} % 10 < 8 THEN 'train' "
+    f"WHEN (cluster_id * {_MIX}) % {_MOD} % 10 = 8 THEN 'val' "
+    f"ELSE 'test' END"
+)
+
+
+@register(
+    "corpus_leakage_safe_splits",
+    oracle="""
+    SELECT c.doc_id, c.cluster_id, {SPLIT_CASE} AS split
+    FROM ( {ENSEMBLE_ORACLE} ) c
+    """,
+    doc="leakage-safe train/val/test assignment: the unit of splitting "
+    "is the ensemble dedup CLUSTER (MinHash ∪ winnowing ∪ seeded "
+    "semantic evidence, min-label CC), so near-dup documents can never "
+    "straddle a split — the property per-doc hashing cannot give. "
+    "Cluster→split via exact multiplicative-hash arithmetic (8/1/1); "
+    "oracle splices the ensemble oracle verbatim (legs can't drift) "
+    "plus the same CASE",
+)
+def corpus_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.queries.round13_staging import (
+        dedup_ensemble_clusters,
+    )
+
+    clusters = dedup_ensemble_clusters(spark, sf_dir)
+    return clusters.select(
+        "doc_id", "cluster_id", F.expr(_SPLIT_CASE).alias("split")
+    )
+
+
+def _splice_split_oracle() -> None:
+    """Embed the (already-spliced) ensemble oracle verbatim as the
+    cluster source — the round-13 move that makes composition oracles
+    structurally incapable of drifting from their leg rows."""
+    from dataclasses import replace
+
+    from cognitive_score_bigdata_spark.queries import REGISTRY
+    from cognitive_score_bigdata_spark.queries import (  # noqa: F401
+        round13_staging,  # registers + splices the ensemble oracle
+    )
+
+    ensemble = REGISTRY["dedup_ensemble_clusters"].oracle
+    spec = REGISTRY["corpus_leakage_safe_splits"]
+    REGISTRY["corpus_leakage_safe_splits"] = replace(
+        spec,
+        oracle=spec.oracle.replace("{ENSEMBLE_ORACLE}", ensemble).replace(
+            "{SPLIT_CASE}", _SPLIT_CASE.replace("cluster_id", "c.cluster_id")
+        ),
+    )
+
+
+_splice_split_oracle()

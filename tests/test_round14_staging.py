@@ -17,6 +17,7 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
 )
 from cognitive_score_bigdata_spark.queries import load_registry
 from cognitive_score_bigdata_spark.queries.round14_staging import (
+    corpus_leakage_safe_splits,
     probe_bounds,
     scan_zonemap_range_agg,
     zonemap_artifact,
@@ -25,10 +26,27 @@ from tests.conftest import SF_DIR, assert_frames_match
 
 
 def test_oracle_parity(spark, oracle_con):
-    spec = load_registry()["scan_zonemap_range_agg"]
-    sp = spec.fn(spark, SF_DIR).toPandas()
-    oc = oracle_con.execute(spec.oracle).df()
-    assert_frames_match(sp, oc, "scan_zonemap_range_agg")
+    for name in ["scan_zonemap_range_agg", "corpus_leakage_safe_splits"]:
+        spec = load_registry()[name]
+        sp = spec.fn(spark, SF_DIR).toPandas()
+        oc = oracle_con.execute(spec.oracle).df()
+        assert_frames_match(sp, oc, name)
+
+
+def test_splits_never_straddle_a_cluster(spark):
+    """THE leakage property: every dedup cluster maps to exactly one
+    split, so no near-dup pair (lexical, substring, or semantic
+    evidence — the ensemble's union) can land on both sides of a
+    train/eval boundary. Also sanity-pins the 8/1/1 shape: all three
+    splits populated, train the strict majority."""
+    out = corpus_leakage_safe_splits(spark, SF_DIR).toPandas()
+    spans = out.groupby("cluster_id")["split"].nunique()
+    assert (spans == 1).all()
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+    # every document is assigned exactly once
+    assert out["doc_id"].is_unique and len(out) == out["doc_id"].count()
 
 
 def test_probe_opens_only_overlapping_files(spark):
