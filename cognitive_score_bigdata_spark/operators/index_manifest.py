@@ -298,25 +298,34 @@ def _survives_range(st: list, lo, hi) -> bool:
 
 def pruned_files(
     path: str,
-    prune: tuple,
+    prune,
     version: int | None = None,
     files: list[str] | None = None,
 ) -> list[str]:
-    """The subset of the committed file list that survives the
-    ``(col, lo, hi)`` range ``prune`` under the committed zone maps —
-    the skip decision itself, exposed so tests and planners can count
-    skips without building a DataFrame. Files with no stats for the
-    column are kept (unknown ⇒ never skipped)."""
+    """The subset of the committed file list that survives ``prune``
+    under the committed zone maps — the skip decision itself, exposed
+    so tests and planners can count skips without building a DataFrame.
+
+    ``prune`` is one ``(col, lo, hi)`` inclusive range or a list of
+    them, ANDed: a file is skipped if ANY conjunct is provably empty
+    for it — the multi-dimensional case a Z-ORDERED cluster layout
+    exists for (Morton-code clustering keeps every file's min/max
+    narrow on every participating column, so each dimension's zone map
+    is independently selective). Files with no stats for a conjunct's
+    column are kept for that conjunct (unknown ⇒ never skipped)."""
     if files is None:
         m = read_manifest(path, version=version)
         files = m[1] if m else _list_data_files(path)
-    col, lo, hi = prune
+    prunes = [prune] if isinstance(prune[0], str) else list(prune)
     stats = read_manifest_stats(path, version=version)
     return [
         f
         for f in files
-        if col not in stats.get(f, {})
-        or _survives_range(stats[f][col], lo, hi)
+        if all(
+            col not in stats.get(f, {})
+            or _survives_range(stats[f][col], lo, hi)
+            for col, lo, hi in prunes
+        )
     ]
 
 
@@ -348,14 +357,15 @@ def read_index(
     swept everything, fails with a message naming the index instead of
     a bare reader error.
 
-    ``prune=(col, lo, hi)`` is ADVISORY zone-map skipping (inclusive
-    range, None = unbounded side): files whose committed stats prove
-    no row can satisfy it are dropped from the scan before Spark ever
-    opens them. The caller MUST still apply the real filter — pruning
-    only removes IO (files without stats always survive). A prune that
-    skips every file returns a ``limit(0)`` over one committed file,
-    schema identical to the full scan. On a never-published index
-    there are no stats, so prune is a no-op."""
+    ``prune=(col, lo, hi)`` — or a list of such conjuncts, ANDed — is
+    ADVISORY zone-map skipping (inclusive ranges, None = unbounded
+    side): files whose committed stats prove any conjunct empty are
+    dropped from the scan before Spark ever opens them. The caller
+    MUST still apply the real filter — pruning only removes IO (files
+    without stats always survive). A prune that skips every file
+    returns a ``limit(0)`` over one committed file, schema identical
+    to the full scan. On a never-published index there are no stats,
+    so prune is a no-op."""
     import os
 
     m = read_manifest(path, version=version)
@@ -390,16 +400,24 @@ def clustered_write_commit(
     cluster_col: str,
     n_ranges: int,
     note: str = "clustered publish",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Initial publish of a manifest-committed artifact laid out for
     zone-map skipping: ``repartitionByRange`` on ``cluster_col`` before
     the partitioned write gives each output task a contiguous
     cluster-key slice, so every (partition, file) holds a tight,
-    near-disjoint range — then the file list AND the harvested
-    ``cluster_col`` zone maps commit in one manifest flip. This is the
-    CLUSTER BY of a transactional table format: hive partitioning gives
-    coarse pruning on ``part_col``, the zone maps give file skipping on
+    near-disjoint range — then the file list AND the harvested zone
+    maps commit in one manifest flip. This is the CLUSTER BY of a
+    transactional table format: hive partitioning gives coarse pruning
+    on ``part_col``, the zone maps give file skipping on
     ``cluster_col`` — two orthogonal key dimensions from one write.
+
+    ``stats_cols`` defaults to ``[cluster_col]``; pass more columns
+    when the cluster key co-locates several dimensions at once — the
+    Z-ORDER composition: cluster on a Morton code
+    (``sources.sinks.zorder_key``), harvest stats on the ORIGINAL
+    dimensions, and every participating column's zone map stays narrow
+    per file, so :func:`read_index` can skip on any of them.
     Returns the published manifest version."""
     (
         df.repartitionByRange(n_ranges, cluster_col)
@@ -411,7 +429,7 @@ def clustered_write_commit(
         path,
         files,
         note=note,
-        stats=file_column_stats(path, files, [cluster_col]),
+        stats=file_column_stats(path, files, stats_cols or [cluster_col]),
     )
 
 

@@ -338,6 +338,62 @@ def test_all_null_stat_column_file_is_skipped(spark):
     assert got == 20
 
 
+def test_zorder_cluster_skips_on_every_dimension(spark):
+    """The multi-conjunct composition: cluster on a Morton code of
+    (user_id, ts_us), harvest zone maps on the ORIGINAL dimensions —
+    each dimension's per-file min/max stays narrow, so a prune on
+    EITHER column skips files, the two-conjunct AND skips at least as
+    many as its strongest member, and every variant stays exact."""
+    from cognitive_score_bigdata_spark.sources.sinks import zorder_key
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev = events.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).select("event_id", "user_id", "ts_us", "value")
+    lo_u, hi_u, lo_t, hi_t = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_us"), F.max("ts_us")
+    ).collect()[0]
+    zed = ev.withColumn(
+        "zv",
+        zorder_key(
+            [F.col("user_id"), F.col("ts_us")], [lo_u, lo_t], [hi_u, hi_t]
+        ),
+    ).withColumn("band", F.lit(0))
+    path = tempfile.mkdtemp(prefix="csb_zm_zorder_") + "/lake"
+    clustered_write_commit(
+        zed,
+        path,
+        part_col="band",
+        cluster_col="zv",
+        n_ranges=16,
+        stats_cols=["user_id", "ts_us"],
+    )
+    total = read_manifest(path)[1]
+    mid_t = (lo_t + hi_t) // 2
+    u_pr = ("user_id", lo_u, lo_u + 1)
+    t_pr = ("ts_us", lo_t, mid_t)
+    kept_u = pruned_files(path, u_pr)
+    kept_t = pruned_files(path, t_pr)
+    kept_both = pruned_files(path, [u_pr, t_pr])
+    assert len(kept_u) < len(total), "user_id dimension never skipped"
+    assert len(kept_t) < len(total), "ts dimension never skipped"
+    assert set(kept_both) == set(kept_u) & set(kept_t)
+    # exactness of the ANDed prune end-to-end
+    cond = (
+        F.col("user_id").between(lo_u, lo_u + 1)
+        & F.col("ts_us").between(lo_t, mid_t)
+    )
+    got = sorted(
+        r.event_id
+        for r in read_index(spark, path, prune=[u_pr, t_pr])
+        .filter(cond)
+        .select("event_id")
+        .collect()
+    )
+    want = sorted(r.event_id for r in ev.filter(cond).select("event_id").collect())
+    assert got == want
+
+
 def test_survives_range_is_conservative_on_type_drift():
     """Unit pins on the skip predicate: exact boundary inclusivity and
     the incomparable-types escape hatch (schema drift ⇒ keep)."""
