@@ -93,8 +93,16 @@ def file_column_stats(
     is dropped for that file entirely (unknown ⇒ never skipped); an
     all-null column keeps ``[None, None, nulls, rows]`` so range
     pruning can skip the file (a range predicate never matches NULL).
-    Only JSON-safe scalar bounds (int/float/str/bool) are recorded —
-    anything else (timestamps, binary) is treated as unknown."""
+    Only integer/string/boolean bounds are recorded. FLOAT/DOUBLE
+    columns are excluded entirely: parquet footers compute min/max
+    IGNORING NaN (a file holding ``[1.0, NaN]`` reports ``max=1.0``
+    with ``null_count=0`` — verified against pyarrow), while Spark and
+    DuckDB order NaN GREATER than every number, so a bound-based skip
+    could drop a file whose NaN rows match the predicate. No footer
+    field records NaN presence, so the only safe harvest is none
+    (unknown ⇒ never skipped) — Iceberg solves this with write-time
+    NaN counts, which a post-hoc footer harvest cannot have.
+    Anything else (timestamps, binary) is treated as unknown too."""
     import os
 
     import pyarrow.parquet as pq
@@ -108,6 +116,8 @@ def file_column_stats(
             if col not in names:
                 continue
             ci = names.index(col)
+            if md.schema.column(ci).physical_type in ("FLOAT", "DOUBLE"):
+                continue  # NaN-unsafe bounds (see docstring)
             mn = mx = None
             nulls = rows = 0
             ok = True

@@ -394,6 +394,53 @@ def test_zorder_cluster_skips_on_every_dimension(spark):
     assert got == want
 
 
+def test_float_columns_are_never_statted(spark):
+    """The NaN hole, closed at the harvest: parquet footers compute
+    float min/max IGNORING NaN (a file of [1.0, NaN] reports max=1.0,
+    null_count=0) while Spark/DuckDB order NaN GREATER than every
+    number — a bound-based skip could drop a file whose NaN rows match
+    `col >= 5`. No footer field records NaN presence, so FLOAT/DOUBLE
+    columns get NO stats (unknown ⇒ never skipped) and a float prune
+    keeps every file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    path = tempfile.mkdtemp(prefix="csb_zm_nan_") + "/idx"
+    d = os.path.join(path, "band=0")
+    os.makedirs(d)
+    pq_mod.write_table(
+        pa.table(
+            {
+                "v": pa.array([1.0, float("nan"), 2.0], pa.float64()),
+                "k": pa.array([1, 2, 3], pa.int64()),
+            }
+        ),
+        os.path.join(d, "a.parquet"),
+    )
+    files = _list_data_files(path)
+    stats = file_column_stats(path, files, ["v", "k"])
+    assert "v" not in stats.get(files[0], {})  # float: no bounds
+    assert "k" in stats[files[0]]  # int: harvested
+    publish_manifest(path, files, stats=stats)
+    # a prune on the float column can never skip
+    assert pruned_files(path, ("v", 5.0, None)) == files
+    # and the Spark semantics the guard protects: NaN matches >= 5.0.
+    # Spark's OWN parquet row-group pushdown has the same NaN hazard on
+    # this pyarrow-written file (pyarrow wrote max=2.0 ignoring NaN;
+    # Spark's writer would have omitted the stats) — disable it so the
+    # assertion isolates OUR layer's behavior from the engine's.
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        got = (
+            read_index(spark, path, prune=("v", 5.0, None))
+            .filter(F.col("v") >= 5.0)
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert got == 1  # the NaN row — dropped wrongly if floats were statted
+
+
 def test_survives_range_is_conservative_on_type_drift():
     """Unit pins on the skip predicate: exact boundary inclusivity and
     the incomparable-types escape hatch (schema drift ⇒ keep)."""
