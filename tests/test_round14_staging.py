@@ -66,6 +66,40 @@ def test_probe_opens_only_overlapping_files(spark):
     assert opened == sorted(kept)
 
 
+def test_splits_compose_with_packing_downstream(spark):
+    """The split's reason to exist is what runs AFTER it: per-split
+    packing into fixed-length training sequences. Pin the composition —
+    pack each split independently (the production shape: train/val/test
+    never share sequences) and check (a) token conservation: the sum of
+    packed token ranges per split equals the split's raw token count,
+    and (b) isolation: no document appears in two splits' packings."""
+    from cognitive_score_bigdata_spark.io import load_table
+    from cognitive_score_bigdata_spark.operators.sharding import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    splits = corpus_leakage_safe_splits(spark, SF_DIR).select(
+        "doc_id", "split"
+    )
+    tagged = docs.join(splits, "doc_id")
+    seen: dict[str, set] = {}
+    for split in ["train", "val", "test"]:
+        part = tagged.filter(F.col("split") == split)
+        raw_tokens = part.select(
+            F.sum(F.size(F.split(F.col("text"), " +"))).alias("t")
+        ).collect()[0].t
+        packed = pack_sequences(part, seq_len=128)
+        packed_tokens = packed.select(
+            F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("t")
+        ).collect()[0].t
+        assert packed_tokens == raw_tokens, split
+        seen[split] = {r.doc_id for r in packed.select("doc_id").distinct().collect()}
+    assert not (seen["train"] & seen["val"])
+    assert not (seen["train"] & seen["test"])
+    assert not (seen["val"] & seen["test"])
+
+
 def test_pruned_scan_equals_unpruned_scan(spark):
     """Advisory-only pin: dropping the prune (full manifest read +
     same real filter) must give the identical aggregate — skipping
