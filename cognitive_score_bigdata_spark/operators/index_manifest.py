@@ -564,6 +564,8 @@ def compact_index_parts(
     part_col: str,
     max_files_per_part: int = 1,
     parts: list[int] | None = None,
+    cluster_col: str | None = None,
+    files_per_part: int = 1,
     _before_publish=None,
 ) -> dict[int, tuple[int, int]]:
     """Small-file maintenance for an append-merged partitioned index.
@@ -582,6 +584,21 @@ def compact_index_parts(
     Content is untouched (conservation pinned in test_round10_merge);
     at 100 TB this is the nightly job that keeps probe-time file counts
     flat while merges stay append-only.
+
+    ``cluster_col`` makes the compaction SORT-AWARE (the bin-pack-with-
+    sort-order of a transactional table format): without it each
+    touched partition rewrites to one file, which is optimal for file
+    COUNT but collapses that partition's zone map to its full key range
+    — after enough unclustered appends, a compacted file is never
+    skippable. With it, the rewrite range-partitions on
+    ``(part_col, cluster_col)`` into ``files_per_part`` slices per
+    touched partition, so each staged file holds a contiguous
+    near-disjoint cluster-key slice and the committed stats (which this
+    function re-harvests automatically for every tracked column) are
+    selective again — compaction RESTORES skipping instead of
+    destroying it. ``files_per_part`` is approximate at partition
+    boundaries (a range slice straddling two partitions stages a file
+    in each).
 
     ``_before_publish`` is a test seam: called after staging, before
     the manifest flip — the crash/concurrent-reader window the
@@ -610,9 +627,15 @@ def compact_index_parts(
         return {}
     pruned = read_index(spark, path).filter(F.col(part_col).isin(touched))
     tmp = tempfile.mkdtemp(prefix="csb_idx_compact_")
+    shaped = (
+        pruned.repartitionByRange(
+            len(touched) * files_per_part, part_col, cluster_col
+        )
+        if cluster_col is not None
+        else pruned.repartition(len(touched), part_col)
+    )
     (
-        pruned.repartition(len(touched), part_col)
-        .write.mode("overwrite")
+        shaped.write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(tmp)
     )

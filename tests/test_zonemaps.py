@@ -394,6 +394,62 @@ def test_zorder_cluster_skips_on_every_dimension(spark):
     assert got == want
 
 
+def test_sorted_compaction_restores_skipping(spark):
+    """The lifecycle claim: unclustered appends degrade zone-map
+    selectivity (each appended file spans the whole key range);
+    sort-aware compaction (cluster_col=) rewrites touched partitions
+    range-partitioned on the cluster key, re-harvests stats, and the
+    same probe skips again — while conserving content exactly."""
+    path = _build_clustered(spark)
+    docs = _docs(spark).withColumn("band", F.col("doc_id") % 2)
+    # two unclustered appends: each task sees a random doc_id mix, so
+    # every appended file's [min, max] spans ~the full key space
+    for k in range(2):
+        append_commit(
+            path,
+            lambda: docs.repartition(4)
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+            note=f"unclustered append {k}",
+            stats_cols=["doc_id"],
+        )
+    probe = ("doc_id", 100, 140)
+    before_live = read_manifest(path)[1]
+    kept_before = pruned_files(path, probe)
+    # the appended files are unskippable: skip rate degraded
+    assert len(kept_before) > len(before_live) // 2
+    want = {
+        r.doc_id: r["count"]
+        for r in read_index(spark, path).groupBy("doc_id").count().collect()
+    }
+    compact_index_parts(
+        spark, path, "band", max_files_per_part=1,
+        cluster_col="doc_id", files_per_part=4,
+    )
+    after_live = read_manifest(path)[1]
+    stats = read_manifest_stats(path)
+    assert all(f in stats and "doc_id" in stats[f] for f in after_live)
+    kept_after = pruned_files(path, probe)
+    # selectivity restored: a narrow probe opens a strict minority
+    assert len(kept_after) / len(after_live) < len(kept_before) / len(
+        before_live
+    )
+    assert len(kept_after) / len(after_live) <= 0.5
+    # content conserved through the sorted rewrite
+    got = {
+        r.doc_id: r["count"]
+        for r in read_index(spark, path).groupBy("doc_id").count().collect()
+    }
+    assert got == want
+    # and the pruned+filtered read still equals the full+filtered read
+    cond = F.col("doc_id").between(100, 140)
+    assert (
+        read_index(spark, path, prune=probe).filter(cond).count()
+        == read_index(spark, path).filter(cond).count()
+    )
+
+
 def test_float_columns_are_never_statted(spark):
     """The NaN hole, closed at the harvest: parquet footers compute
     float min/max IGNORING NaN (a file of [1.0, NaN] reports max=1.0,
