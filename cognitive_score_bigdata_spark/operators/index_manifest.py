@@ -231,7 +231,15 @@ def publish_manifest(
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     name = f"m-{version:010d}.json"
-    with open(os.path.join(mdir, name), "w") as f:
+    # Exclusive create = the optimistic-concurrency check (Iceberg's
+    # manifest CAS): two writers that both resolved version N race to
+    # create m-{N+1}; the loser gets FileExistsError — a loud commit
+    # conflict — instead of silently truncating the winner's manifest
+    # and last-writer-winning the _current flip. Single-writer
+    # maintenance is still the deployment assumption; this turns a
+    # violation from corruption into an error. (Object-store
+    # translation: conditional PUT / If-None-Match.)
+    with open(os.path.join(mdir, name), "x") as f:
         json.dump(
             {
                 "version": version,

@@ -497,6 +497,33 @@ def test_float_columns_are_never_statted(spark):
     assert got == 1  # the NaN row — dropped wrongly if floats were statted
 
 
+def test_concurrent_publish_conflicts_loudly(spark):
+    """Single-writer maintenance is the deployment assumption; the
+    commit now ENFORCES it (exclusive manifest create = optimistic
+    CAS): a second writer that resolved the same base version fails
+    with FileExistsError instead of truncating the winner's manifest
+    and last-writer-winning the pointer flip — and the winner's commit
+    stays fully intact."""
+    import json
+
+    path = _build_clustered(spark)
+    v, files = read_manifest(path)
+    # the "winner": another writer has already committed v+1 (pre-create
+    # its manifest exactly as publish would)
+    winner = os.path.join(path, "_manifest", f"m-{v + 1:010d}.json")
+    winner_doc = {"version": v + 1, "files": files, "note": "winner", "meta": {}}
+    with open(winner, "w") as fh:
+        json.dump(winner_doc, fh)
+    # the "loser" resolves the stale _current (still v) and races the
+    # same m-{v+1} name — the REAL publish path must conflict loudly
+    with pytest.raises(FileExistsError):
+        publish_manifest(path, files, note="loser")
+    with open(winner) as fh:
+        assert json.load(fh) == winner_doc  # winner untouched
+    # _current was never flipped by the failed commit
+    assert read_manifest(path)[0] == v
+
+
 def test_survives_range_is_conservative_on_type_drift():
     """Unit pins on the skip predicate: exact boundary inclusivity and
     the incomparable-types escape hatch (schema drift ⇒ keep)."""
