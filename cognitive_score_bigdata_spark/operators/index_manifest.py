@@ -145,18 +145,11 @@ def file_column_stats(
     return out
 
 
-def read_manifest(
-    path: str, version: int | None = None
-) -> tuple[int, list[str]] | None:
-    """(version, live data files) of the committed manifest, or None if
-    the index has never published one (legacy plain-directory index).
-
-    ``version`` selects a RETAINED older manifest (snapshot read /
-    time travel — Iceberg's ``VERSION AS OF``): any version still
-    present under ``_manifest/`` resolves; one already expired by
-    :func:`vacuum_index` raises with the retained range named, because
-    silently falling back to ``_current`` would time-travel to the
-    wrong snapshot."""
+def _read_manifest_doc(path: str, version: int | None = None) -> dict | None:
+    """The full committed manifest DOCUMENT (one read/parse — version,
+    files, meta, stats all come from the same snapshot), or None for a
+    never-published index. All reader helpers go through this, so a
+    commit or pruned scan costs ONE manifest GET, not one per field."""
     import glob
     import json
     import os
@@ -188,7 +181,24 @@ def read_manifest(
                 else f"index at {path!r} has no manifests"
             )
     with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
-        m = json.load(f)
+        return json.load(f)
+
+
+def read_manifest(
+    path: str, version: int | None = None
+) -> tuple[int, list[str]] | None:
+    """(version, live data files) of the committed manifest, or None if
+    the index has never published one (legacy plain-directory index).
+
+    ``version`` selects a RETAINED older manifest (snapshot read /
+    time travel — Iceberg's ``VERSION AS OF``): any version still
+    present under ``_manifest/`` resolves; one already expired by
+    :func:`vacuum_index` raises with the retained range named, because
+    silently falling back to ``_current`` would time-travel to the
+    wrong snapshot."""
+    m = _read_manifest_doc(path, version=version)
+    if m is None:
+        return None
     return int(m["version"]), list(m["files"])
 
 
@@ -221,11 +231,11 @@ def publish_manifest(
     import json
     import os
 
-    cur = read_manifest(path)
-    version = (cur[0] if cur else 0) + 1
+    cur = _read_manifest_doc(path)  # ONE read: version+meta+stats together
+    version = (int(cur["version"]) if cur else 0) + 1
     if meta is None:
-        meta = read_manifest_meta(path)
-    carried = read_manifest_stats(path)
+        meta = dict(cur.get("meta", {})) if cur else {}
+    carried = dict(cur.get("stats", {})) if cur else {}
     carried.update(stats or {})
     live_stats = {f: carried[f] for f in files if f in carried}
     mdir = os.path.join(path, _MANIFEST_DIR)
@@ -238,8 +248,23 @@ def publish_manifest(
     # and last-writer-winning the _current flip. Single-writer
     # maintenance is still the deployment assumption; this turns a
     # violation from corruption into an error. (Object-store
-    # translation: conditional PUT / If-None-Match.)
-    with open(os.path.join(mdir, name), "x") as f:
+    # translation: conditional PUT / If-None-Match.) A same-named file
+    # can also be a CRASH ORPHAN — a prior commit that died between
+    # manifest write and pointer flip; the two are indistinguishable at
+    # commit time, so the error names the recovery (vacuum_index, the
+    # designated janitor, deletes manifests newer than the committed
+    # pointer) rather than silently overwriting what might be a live
+    # writer's document.
+    try:
+        fh = open(os.path.join(mdir, name), "x")
+    except FileExistsError:
+        raise FileExistsError(
+            f"commit conflict on {name} at {path!r}: another writer "
+            "committed from the same base version, or a prior commit "
+            "crashed before its pointer flip — run vacuum_index() to "
+            "clear crash orphans, then retry"
+        )
+    with fh as f:
         json.dump(
             {
                 "version": version,
@@ -260,16 +285,8 @@ def publish_manifest(
 def read_manifest_meta(path: str) -> dict:
     """The committed manifest's caller-state document ({} if the index
     has no manifest yet or the manifest predates meta support)."""
-    import json
-    import os
-
-    cur = os.path.join(path, _CURRENT)
-    if not os.path.exists(cur):
-        return {}
-    with open(cur) as f:
-        name = f.read().strip()
-    with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
-        return dict(json.load(f).get("meta", {}))
+    m = _read_manifest_doc(path)
+    return dict(m.get("meta", {})) if m else {}
 
 
 def read_manifest_stats(
@@ -278,20 +295,8 @@ def read_manifest_stats(
     """The committed per-file zone maps ({} if the index has no
     manifest or the manifest predates stats support). ``version``
     time-travels like :func:`read_manifest`."""
-    import json
-    import os
-
-    if version is None:
-        cur = os.path.join(path, _CURRENT)
-        if not os.path.exists(cur):
-            return {}
-        with open(cur) as f:
-            name = f.read().strip()
-    else:
-        read_manifest(path, version=version)  # existence/retention check
-        name = f"m-{version:010d}.json"
-    with open(os.path.join(path, _MANIFEST_DIR, name)) as f:
-        return dict(json.load(f).get("stats", {}))
+    m = _read_manifest_doc(path, version=version)
+    return dict(m.get("stats", {})) if m else {}
 
 
 def _survives_range(st: list, lo, hi) -> bool:
@@ -319,6 +324,7 @@ def pruned_files(
     prune,
     version: int | None = None,
     files: list[str] | None = None,
+    stats: dict | None = None,
 ) -> list[str]:
     """The subset of the committed file list that survives ``prune``
     under the committed zone maps — the skip decision itself, exposed
@@ -329,13 +335,20 @@ def pruned_files(
     for it — the multi-dimensional case a Z-ORDERED cluster layout
     exists for (Morton-code clustering keeps every file's min/max
     narrow on every participating column, so each dimension's zone map
-    is independently selective). Files with no stats for a conjunct's
-    column are kept for that conjunct (unknown ⇒ never skipped)."""
+    is independently selective). An EMPTY conjunct list keeps every
+    file (the empty AND is true — planners can pass their predicate
+    set unconditionally). Files with no stats for a conjunct's column
+    are kept for that conjunct (unknown ⇒ never skipped). ``stats``
+    lets a caller that already holds the manifest document avoid a
+    second read."""
     if files is None:
         m = read_manifest(path, version=version)
         files = m[1] if m else _list_data_files(path)
+    if len(prune) == 0:
+        return list(files)
     prunes = [prune] if isinstance(prune[0], str) else list(prune)
-    stats = read_manifest_stats(path, version=version)
+    if stats is None:
+        stats = read_manifest_stats(path, version=version)
     return [
         f
         for f in files
@@ -386,12 +399,18 @@ def read_index(
     so prune is a no-op."""
     import os
 
-    m = read_manifest(path, version=version)
-    if m is None:
+    doc = _read_manifest_doc(path, version=version)
+    if doc is None:
         return spark.read.parquet(path)
-    _, files = m
+    files = list(doc["files"])
     if files and prune is not None:
-        kept = pruned_files(path, prune, version=version, files=files)
+        kept = pruned_files(
+            path,
+            prune,
+            version=version,
+            files=files,
+            stats=dict(doc.get("stats", {})),  # same doc: no second read
+        )
         if not kept:
             return (
                 spark.read.option("basePath", path)
@@ -621,6 +640,14 @@ def compact_index_parts(
     m = read_manifest(path)
     live = m[1] if m else _list_data_files(path)
     counts = live_part_file_counts(path)
+    # Convergence: the sort-aware rewrite deliberately stages
+    # ~files_per_part files per partition, so the trigger must not
+    # re-touch a partition the previous run just compacted to that
+    # shape — otherwise the nightly job rewrites identical content
+    # forever. The effective threshold is the larger of the two knobs.
+    threshold = max(
+        max_files_per_part, files_per_part if cluster_col is not None else 0
+    )
     touched = (
         # Intersect an explicit override with the partitions that
         # actually have live rows (ADVICE r11): a named partition with
@@ -629,7 +656,7 @@ def compact_index_parts(
         # after the rewrite already ran.
         sorted(p for p in parts if p in counts)
         if parts is not None
-        else sorted(p for p, n in counts.items() if n > max_files_per_part)
+        else sorted(p for p, n in counts.items() if n > threshold)
     )
     if not touched:
         return {}
@@ -689,22 +716,47 @@ def compact_index_parts(
 
 def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
     """Delete physical data files referenced by NONE of the newest
-    ``keep_versions`` manifests — the retention window that lets a
-    reader holding an older manifest finish its scan before the files
-    it resolved disappear. The only deletion in the index lifecycle;
-    never called by commit paths. Returns the deleted relative paths."""
+    ``keep_versions`` COMMITTED manifests — the retention window that
+    lets a reader holding an older manifest finish its scan before the
+    files it resolved disappear. The only deletion in the index
+    lifecycle; never called by commit paths. Returns the deleted
+    relative paths.
+
+    "Committed" = at or below the version ``_current`` names. A
+    manifest NEWER than the pointer is a CRASH ORPHAN — a commit that
+    died between manifest write and pointer flip. Orphans are (a)
+    excluded from the keep set (an uncommitted file list must never
+    protect files, and with a small ``keep_versions`` it could
+    otherwise displace the LIVE manifest from the keep window — data
+    loss for the current snapshot) and (b) deleted here, which is also
+    the recovery path for the commit CAS: after a crash the stranded
+    ``m-{N+1}`` blocks the next exclusive create until vacuum clears
+    it (the commit-conflict error says so). Also sweeps crash-stranded
+    ``_current.tmp.*`` pointer files."""
     import glob
-    import json
     import os
 
-    manifests = sorted(glob.glob(os.path.join(path, _MANIFEST_DIR, "m-*.json")))
-    if not manifests:
-        return []
+    cur = _read_manifest_doc(path)
+    cur_version = int(cur["version"]) if cur else 0
+    deleted = []
+    all_manifests = sorted(
+        glob.glob(os.path.join(path, _MANIFEST_DIR, "m-*.json"))
+    )
+    committed = []
+    for mp in all_manifests:
+        if int(os.path.basename(mp)[2:-5]) > cur_version:
+            os.remove(mp)  # crash orphan: never committed, unblocks CAS
+            deleted.append(os.path.relpath(mp, path))
+        else:
+            committed.append(mp)
+    if not committed:
+        return deleted
+    import json
+
     keep: set[str] = set()
-    for mp in manifests[-keep_versions:]:
+    for mp in committed[-keep_versions:]:
         with open(mp) as f:
             keep.update(json.load(f)["files"])
-    deleted = []
     for f in _list_data_files(path):
         if f not in keep:
             os.remove(os.path.join(path, f))
@@ -712,10 +764,9 @@ def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
     # Expire metadata along with data (ADVICE r11: every commit adds a
     # manifest JSON, so _manifest/ otherwise grows unboundedly) —
     # Iceberg's expire-snapshots move. Only manifests OLDER than the
-    # newest keep_versions go (``_current`` always names the newest,
-    # which is always kept), plus any ``_current.tmp.*`` pointer file a
-    # crash stranded between write and ``os.replace``.
-    for mp in manifests[:-keep_versions]:
+    # newest keep_versions go (``_current`` always names the newest
+    # committed one, which is always kept).
+    for mp in committed[:-keep_versions]:
         os.remove(mp)
         deleted.append(os.path.relpath(mp, path))
     for tmp in glob.glob(os.path.join(path, f"{_CURRENT}.tmp.*")):

@@ -47,6 +47,7 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     read_manifest,
     read_manifest_stats,
     replace_parts_commit,
+    vacuum_index,
 )
 from tests.conftest import SF_DIR
 
@@ -522,6 +523,75 @@ def test_concurrent_publish_conflicts_loudly(spark):
         assert json.load(fh) == winner_doc  # winner untouched
     # _current was never flipped by the failed commit
     assert read_manifest(path)[0] == v
+
+
+def test_crash_orphan_recovery_via_vacuum(spark):
+    """The CAS's crash story: a commit that died between manifest write
+    and pointer flip strands m-{N+1}, which blocks every later commit's
+    exclusive create. vacuum_index is the recovery (the error message
+    names it): it deletes manifests NEWER than the committed pointer —
+    and an orphan must never PROTECT files either, even at
+    keep_versions=1, where it could otherwise displace the LIVE
+    manifest from the keep window and lose the current snapshot."""
+    path = _build_clustered(spark)
+    v, files = read_manifest(path)
+    import json
+
+    orphan = os.path.join(path, "_manifest", f"m-{v + 1:010d}.json")
+    with open(orphan, "w") as fh:
+        json.dump(
+            {"version": v + 1, "files": [], "note": "crashed", "meta": {}},
+            fh,
+        )
+    # blocked: the next commit resolves base v and races the orphan
+    with pytest.raises(FileExistsError, match="vacuum_index"):
+        publish_manifest(path, files, note="retry")
+    # recovery — and the orphan's empty file list must not have been
+    # used as the keep set (keep_versions=1 keeps the LIVE snapshot)
+    deleted = vacuum_index(path, keep_versions=1)
+    assert os.path.relpath(orphan, path) in deleted
+    assert read_manifest(path) == (v, files)  # live snapshot intact
+    for f in files:
+        assert os.path.exists(os.path.join(path, f))
+    # unblocked: the retry commits cleanly at v+1
+    assert publish_manifest(path, files, note="retry") == v + 1
+
+
+def test_sorted_compaction_converges(spark):
+    """files_per_part > max_files_per_part must not loop: the second
+    nightly run finds every partition at its target shape and touches
+    nothing (the trigger threshold is the larger of the two knobs)."""
+    path = _build_clustered(spark)
+    docs = _docs(spark).withColumn("band", F.col("doc_id") % 2)
+    append_commit(
+        path,
+        lambda: docs.repartition(4)
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path),
+        stats_cols=["doc_id"],
+    )
+    first = compact_index_parts(
+        spark, path, "band", max_files_per_part=1,
+        cluster_col="doc_id", files_per_part=4,
+    )
+    assert first  # something was over threshold and got rewritten
+    second = compact_index_parts(
+        spark, path, "band", max_files_per_part=1,
+        cluster_col="doc_id", files_per_part=4,
+    )
+    assert second == {}  # converged: nothing re-touched
+
+
+def test_empty_prune_keeps_everything(spark):
+    """The empty AND of conjuncts is true: planners can pass their
+    (possibly empty) predicate set unconditionally."""
+    path = _build_clustered(spark)
+    files = read_manifest(path)[1]
+    assert pruned_files(path, []) == files
+    assert read_index(spark, path, prune=[]).count() == read_index(
+        spark, path
+    ).count()
 
 
 def test_survives_range_is_conservative_on_type_drift():
