@@ -365,6 +365,7 @@ def read_index(
     path: str,
     version: int | None = None,
     prune: tuple | None = None,
+    part_values=None,
 ) -> DataFrame:
     """Manifest-aware index scan: exactly the committed file set, with
     ``basePath`` so the partition column (and its partition pruning)
@@ -396,13 +397,33 @@ def read_index(
     without stats always survive). A prune that skips every file
     returns a ``limit(0)`` over one committed file, schema identical
     to the full scan. On a never-published index there are no stats,
-    so prune is a no-op."""
+    so prune is a no-op.
+
+    ``part_values`` (a set of partition VALUES, compared as strings)
+    prunes at the METADATA level: non-matching files never enter the
+    scan relation at all. Catalyst's partition pruning already avoids
+    READING non-matching files' data, but the driver still lists,
+    plans, and holds every committed file in the relation — at 10⁶
+    files per artifact that planning cost is real, and the manifest
+    already knows each file's partition from its path (the Iceberg
+    plan-files move). Callers should STILL apply the partition filter
+    (same advisory contract as ``prune``)."""
     import os
 
     doc = _read_manifest_doc(path, version=version)
     if doc is None:
         return spark.read.parquet(path)
     files = list(doc["files"])
+    if files and part_values is not None:
+        vals = {str(v) for v in part_values}
+        kept = [f for f in files if _part_val(f) in vals]
+        if not kept:  # schema anchor: one committed file, zero rows
+            return (
+                spark.read.option("basePath", path)
+                .parquet(os.path.join(path, files[0]))
+                .limit(0)
+            )
+        files = kept
     if files and prune is not None:
         kept = pruned_files(
             path,

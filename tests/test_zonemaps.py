@@ -594,6 +594,41 @@ def test_empty_prune_keeps_everything(spark):
     ).count()
 
 
+def test_part_values_prune_is_metadata_level(spark):
+    """Partition pruning at PLAN time: with part_values the
+    non-matching files never enter the scan relation (inputFiles ⊆ the
+    matching partition's committed files — Catalyst would only have
+    avoided reading their data), it composes with the zone-map prune,
+    an unmatched value set is schema-stable empty, and results equal
+    the full scan + partition filter."""
+    path = _build_clustered(spark)
+    live = read_manifest(path)[1]
+    band0 = [f for f in live if f.startswith("band=0/")]
+    scan = read_index(spark, path, part_values={0})
+    opened = sorted(
+        os.path.relpath(f.replace("file:", ""), path) for f in scan.inputFiles()
+    )
+    assert opened == sorted(band0)
+    got = scan.filter(F.col("band") == 0).count()
+    assert got == read_index(spark, path).filter(F.col("band") == 0).count()
+    # composes with the zone-map prune: intersection of both file sets
+    both = read_index(spark, path, prune=("doc_id", 100, 140), part_values={0})
+    kept_zone = set(pruned_files(path, ("doc_id", 100, 140)))
+    opened_both = {
+        os.path.relpath(f.replace("file:", ""), path) for f in both.inputFiles()
+    }
+    assert opened_both == kept_zone & set(band0)
+    assert both.filter(
+        (F.col("band") == 0) & F.col("doc_id").between(100, 140)
+    ).count() == read_index(spark, path).filter(
+        (F.col("band") == 0) & F.col("doc_id").between(100, 140)
+    ).count()
+    # unmatched partition value: empty, schema identical
+    none = read_index(spark, path, part_values={99})
+    assert none.count() == 0
+    assert none.schema == read_index(spark, path).schema
+
+
 def test_survives_range_is_conservative_on_type_drift():
     """Unit pins on the skip predicate: exact boundary inclusivity and
     the incomparable-types escape hatch (schema drift ⇒ keep)."""
