@@ -87,21 +87,28 @@ def file_column_stats(
     footer the scan would fetch anyway, done once at commit time
     instead of per query).
 
-    Bounds are the writer's footer statistics — valid bounds by the
-    parquet contract (writers may truncate string bounds, but only
-    outward). A column with no usable footer stats in SOME row group
-    is dropped for that file entirely (unknown ⇒ never skipped); an
-    all-null column keeps ``[None, None, nulls, rows]`` so range
-    pruning can skip the file (a range predicate never matches NULL).
-    Only integer/string/boolean bounds are recorded. FLOAT/DOUBLE
-    columns are excluded entirely: parquet footers compute min/max
-    IGNORING NaN (a file holding ``[1.0, NaN]`` reports ``max=1.0``
-    with ``null_count=0`` — verified against pyarrow), while Spark and
-    DuckDB order NaN GREATER than every number, so a bound-based skip
-    could drop a file whose NaN rows match the predicate. No footer
-    field records NaN presence, so the only safe harvest is none
-    (unknown ⇒ never skipped) — Iceberg solves this with write-time
-    NaN counts, which a post-hoc footer harvest cannot have.
+    Bounds are the writer's footer statistics. A column with no usable
+    footer stats in SOME row group is dropped for that file entirely
+    (unknown ⇒ never skipped); an all-null column keeps
+    ``[None, None, nulls, rows]`` so range pruning can skip the file
+    (a range predicate never matches NULL). Two writer pathologies are
+    guarded, both verified against this container's pyarrow:
+
+    - FLOAT/DOUBLE columns are excluded entirely: footers compute
+      min/max IGNORING NaN (``[1.0, NaN]`` reports ``max=1.0`` with
+      ``null_count=0``) while Spark and DuckDB order NaN GREATER than
+      every number, so a bound-based skip could drop a file whose NaN
+      rows match. No footer field records NaN presence (Iceberg needs
+      write-time NaN counts for this).
+    - STRING columns record the LOWER bound only (``max`` stored as
+      None = unbounded above): pyarrow truncates long string maxima to
+      ``''`` — ``['a', 'z'*4097]`` reports ``max=''`` and
+      ``['', 'z'*4097]`` reports ``min='' max=''``, which is
+      indistinguishable from a genuine all-empty-string file, so NO
+      footer-side validation can make a string max trustworthy. An
+      under-reported MIN is safe (it can only keep extra files); an
+      under-reported MAX is not (it can skip a matching file).
+
     Anything else (timestamps, binary) is treated as unknown too."""
     import os
 
@@ -116,9 +123,12 @@ def file_column_stats(
             if col not in names:
                 continue
             ci = names.index(col)
-            if md.schema.column(ci).physical_type in ("FLOAT", "DOUBLE"):
+            phys = md.schema.column(ci).physical_type
+            if phys in ("FLOAT", "DOUBLE"):
                 continue  # NaN-unsafe bounds (see docstring)
+            is_str = phys == "BYTE_ARRAY"
             mn = mx = None
+            has_vals = False
             nulls = rows = 0
             ok = True
             for g in range(md.num_row_groups):
@@ -136,9 +146,12 @@ def file_column_stats(
                 ):
                     ok = False
                     break
+                has_vals = True
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
             if ok:
+                if is_str and has_vals:
+                    mx = None  # string max untrustworthy (see docstring)
                 fstats[col] = [mn, mx, nulls, rows]
         if fstats:
             out[rel] = fstats
@@ -166,6 +179,19 @@ def _read_manifest_doc(path: str, version: int | None = None) -> dict | None:
         with open(cur) as f:
             name = f.read().strip()
     else:
+        # Committed = at or below the pointer (the same rule vacuum
+        # applies): a manifest NEWER than _current is a crash orphan —
+        # a commit that died before its flip. Resolving it would serve
+        # a snapshot that never existed and whose files vacuum is
+        # allowed to delete mid-scan.
+        with open(cur) as f:
+            committed = int(f.read().strip()[2:-5])
+        if version > committed:
+            raise ValueError(
+                f"manifest version {version} of {path!r} was never "
+                f"committed (pointer is at {committed}; a newer "
+                "manifest file is a crash orphan awaiting vacuum)"
+            )
         name = f"m-{version:010d}.json"
         if not os.path.exists(os.path.join(path, _MANIFEST_DIR, name)):
             have = sorted(
@@ -399,30 +425,40 @@ def read_index(
     to the full scan. On a never-published index there are no stats,
     so prune is a no-op.
 
-    ``part_values`` (a set of partition VALUES, compared as strings)
-    prunes at the METADATA level: non-matching files never enter the
-    scan relation at all. Catalyst's partition pruning already avoids
-    READING non-matching files' data, but the driver still lists,
-    plans, and holds every committed file in the relation — at 10⁶
-    files per artifact that planning cost is real, and the manifest
-    already knows each file's partition from its path (the Iceberg
-    plan-files move). Callers should STILL apply the partition filter
-    (same advisory contract as ``prune``)."""
+    ``part_values`` (a set of partition VALUES, canonicalized to
+    Spark's hive-path spelling — booleans to ``true``/``false``,
+    ``None`` to ``__HIVE_DEFAULT_PARTITION__``, path-escaped segments
+    unquoted before comparison) prunes at the METADATA level:
+    non-matching files never enter the scan relation at all.
+    Catalyst's partition pruning already avoids READING non-matching
+    files' data, but the driver still lists, plans, and holds every
+    committed file in the relation — at 10⁶ files per artifact that
+    planning cost is real, and the manifest already knows each file's
+    partition from its path (the Iceberg plan-files move). Callers
+    should STILL apply the partition filter (same advisory contract as
+    ``prune``)."""
     import os
+    from urllib.parse import unquote
 
     doc = _read_manifest_doc(path, version=version)
     if doc is None:
         return spark.read.parquet(path)
     files = list(doc["files"])
+
+    def empty_scan(anchor: str) -> DataFrame:
+        # schema anchor: one committed file, zero rows — partition
+        # column and payload schema identical to the full scan
+        return (
+            spark.read.option("basePath", path)
+            .parquet(os.path.join(path, anchor))
+            .limit(0)
+        )
+
     if files and part_values is not None:
-        vals = {str(v) for v in part_values}
-        kept = [f for f in files if _part_val(f) in vals]
-        if not kept:  # schema anchor: one committed file, zero rows
-            return (
-                spark.read.option("basePath", path)
-                .parquet(os.path.join(path, files[0]))
-                .limit(0)
-            )
+        vals = {_canon_part_value(v) for v in part_values}
+        kept = [f for f in files if unquote(_part_val(f)) in vals]
+        if not kept:
+            return empty_scan(files[0])
         files = kept
     if files and prune is not None:
         kept = pruned_files(
@@ -433,11 +469,7 @@ def read_index(
             stats=dict(doc.get("stats", {})),  # same doc: no second read
         )
         if not kept:
-            return (
-                spark.read.option("basePath", path)
-                .parquet(os.path.join(path, files[0]))
-                .limit(0)
-            )
+            return empty_scan(files[0])
         files = kept
     if not files:
         if _list_data_files(path):
@@ -557,6 +589,19 @@ def _part_val(relpath: str) -> str:
     return relpath.split("/", 1)[0].rsplit("=", 1)[1]
 
 
+def _canon_part_value(v) -> str:
+    """A caller-supplied partition value in Spark's hive-path spelling,
+    so ``part_values={True, None}`` matches what the writer put on disk
+    (``band=true``, ``band=__HIVE_DEFAULT_PARTITION__``) instead of
+    silently matching nothing — unlike zone-map pruning, a partition
+    mismatch here is not conservative, it drops every file."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def replace_parts_commit(
     path: str,
     write_append,
@@ -658,9 +703,12 @@ def compact_index_parts(
     import shutil
     import tempfile
 
-    m = read_manifest(path)
-    live = m[1] if m else _list_data_files(path)
-    counts = live_part_file_counts(path)
+    doc = _read_manifest_doc(path)  # ONE resolve: files+stats together
+    live = list(doc["files"]) if doc else _list_data_files(path)
+    counts: dict[int, int] = {}
+    for f in live:
+        p = _part_of(f)
+        counts[p] = counts.get(p, 0) + 1
     # Convergence: the sort-aware rewrite deliberately stages
     # ~files_per_part files per partition, so the trigger must not
     # re-touch a partition the previous run just compacted to that
@@ -695,7 +743,7 @@ def compact_index_parts(
         .partitionBy(part_col)
         .parquet(tmp)
     )
-    version = (m[0] if m else 0) + 1
+    version = (int(doc["version"]) if doc else 0) + 1
     staged: list[str] = []
     for p in touched:
         src_dir = os.path.join(tmp, f"{part_col}={p}")
@@ -719,7 +767,11 @@ def compact_index_parts(
     # files' footers, so the rewritten files stay skippable without the
     # caller re-declaring stats_cols at every maintenance run.
     tracked = sorted(
-        {c for fs in read_manifest_stats(path).values() for c in fs}
+        {
+            c
+            for fs in (dict(doc.get("stats", {})) if doc else {}).values()
+            for c in fs
+        }
     )
     stats = file_column_stats(path, staged, tracked) if tracked else None
     if _before_publish is not None:

@@ -629,6 +629,94 @@ def test_part_values_prune_is_metadata_level(spark):
     assert none.schema == read_index(spark, path).schema
 
 
+def test_string_columns_keep_lower_bound_only(spark):
+    """The string-truncation hole, closed at the harvest: pyarrow
+    writes max='' for long string maxima (['a', 'z'*4097] → max='',
+    and ['', 'z'*4097] → min='' max='' — indistinguishable from a
+    genuine all-empty file), so the string MAX is never trusted
+    (stored None = unbounded above). An under-reported MIN only keeps
+    extra files; an under-reported MAX would skip a matching one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    path = tempfile.mkdtemp(prefix="csb_zm_str_") + "/idx"
+    d = os.path.join(path, "band=0")
+    os.makedirs(d)
+    pq_mod.write_table(
+        pa.table({"s": pa.array(["a", "z" * 4097], pa.string()),
+                  "k": pa.array([1, 2], pa.int64())}),
+        os.path.join(d, "long.parquet"),
+    )
+    pq_mod.write_table(
+        pa.table({"s": pa.array(["b", "c"], pa.string()),
+                  "k": pa.array([3, 4], pa.int64())}),
+        os.path.join(d, "short.parquet"),
+    )
+    files = _list_data_files(path)
+    stats = file_column_stats(path, files, ["s"])
+    for f in files:
+        assert stats[f]["s"][1] is None, f  # max never recorded
+    publish_manifest(path, files, stats=stats)
+    # the hazardous probe: s >= 'zz' matches the truncated file's long
+    # row; a trusted max='' would have skipped it
+    kept = pruned_files(path, ("s", "zz", None))
+    assert "band=0/long.parquet" in kept
+    got = (
+        read_index(spark, path, prune=("s", "zz", None))
+        .filter(F.col("s") >= "zz")
+        .count()
+    )
+    assert got == 1
+    # the safe side still skips: both files' min exceed hi='0'
+    assert pruned_files(path, ("s", None, "0")) == []
+
+
+def test_time_travel_rejects_crash_orphans(spark):
+    """version= must honor the same committed-at-or-below-pointer rule
+    vacuum applies: a manifest newer than _current was never committed
+    and its files are vacuum-deletable — resolving it would serve a
+    snapshot that never existed."""
+    import json
+
+    path = _build_clustered(spark)
+    v, files = read_manifest(path)
+    orphan = os.path.join(path, "_manifest", f"m-{v + 1:010d}.json")
+    with open(orphan, "w") as fh:
+        json.dump(
+            {"version": v + 1, "files": files, "note": "crashed", "meta": {}},
+            fh,
+        )
+    with pytest.raises(ValueError, match="never\\s+committed"):
+        read_manifest(path, version=v + 1)
+    with pytest.raises(ValueError, match="never\\s+committed"):
+        read_index(spark, path, version=v + 1)
+    assert read_manifest(path, version=v) == (v, files)  # committed: fine
+
+
+def test_part_values_canonicalizes_spark_spellings(spark):
+    """part_values drops files on MISMATCH (not conservative like zone
+    maps), so caller values must be canonicalized to Spark's hive-path
+    spelling: booleans → true/false, and path-escaped partition values
+    are unquoted before comparison."""
+    path = tempfile.mkdtemp(prefix="csb_zm_canon_") + "/idx"
+    df = spark.createDataFrame(
+        [(True, 1), (False, 2), (True, 3)], "flag boolean, v int"
+    )
+    df.write.partitionBy("flag").parquet(path)
+    files = _list_data_files(path)
+    publish_manifest(path, files)
+    got = read_index(spark, path, part_values={True})
+    assert sorted(r.v for r in got.collect()) == [1, 3]
+    # escaped partition value: Spark writes ':' as %3A in the path
+    path2 = tempfile.mkdtemp(prefix="csb_zm_esc_") + "/idx"
+    df2 = spark.createDataFrame([("a:b", 1), ("c", 2)], "k string, v int")
+    df2.write.partitionBy("k").parquet(path2)
+    publish_manifest(path2, _list_data_files(path2))
+    assert [
+        r.v for r in read_index(spark, path2, part_values={"a:b"}).collect()
+    ] == [1]
+
+
 def test_survives_range_is_conservative_on_type_drift():
     """Unit pins on the skip predicate: exact boundary inclusivity and
     the incomparable-types escape hatch (schema drift ⇒ keep)."""
