@@ -3,7 +3,11 @@
 
 Hypothesis drives arbitrary op sequences — append commits, replace-
 parts commits, per-partition compactions, vacuums with varying
-retention — against a real on-disk index, and after EVERY op the
+retention, and CRASHES (a commit that died between manifest write and
+pointer flip, stranding an orphan that must never resolve, must block
+the next commit loudly, and must clear through the documented
+vacuum-then-retry recovery) — against a real on-disk index, and after
+EVERY op the
 committed view (resolved exactly the way read_index does: _current →
 manifest → file list) must equal an independent Python model of the
 content. Snapshot history is modeled too: every retained version must
@@ -94,10 +98,15 @@ def _model_pruned(model: Counter, lo, hi) -> Counter:
     )
 
 
-# One op = (kind, band-ish int, row-count-ish int)
+# One op = (kind, band-ish int, row-count-ish int). "crash" models a
+# commit that died between manifest write and pointer flip: it strands
+# an orphan m-{N+1}, which must (a) never resolve as a snapshot,
+# (b) fail the NEXT commit loudly, and (c) clear through vacuum — the
+# blocked → vacuum → retry cycle the CAS documents, under arbitrary
+# interleavings with every other op.
 OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "replace", "compact", "vacuum"]),
+        st.sampled_from(["append", "replace", "compact", "vacuum", "crash"]),
         st.integers(min_value=0, max_value=2),
         st.integers(min_value=0, max_value=4),
     ),
@@ -137,15 +146,37 @@ def test_manifest_protocol_matches_model(spark, ops):
     )
     history = {1: Counter(model)}
     expired: set[int] = set()
+    orphaned = [False]
+
+    def with_recovery(op, may_noop: bool = False):
+        """A commit over a crash orphan must fail loudly; vacuum is the
+        documented recovery and the retry must land the SAME effect
+        (the failed attempt's physical files are uncommitted garbage
+        vacuum sweeps before the retry re-writes them). ``may_noop``:
+        a no-op compaction never reaches publish, so an orphan
+        legitimately survives it without a conflict."""
+        try:
+            op()
+            if orphaned[0] and not may_noop:
+                raise AssertionError("commit over an orphan did not conflict")
+        except FileExistsError:
+            assert orphaned[0], "spurious commit conflict"
+            vacuum_index(path, keep_versions=2)
+            cur = read_manifest(path)[0]
+            expired.update(v for v in history if v <= cur - 2)
+            orphaned[0] = False
+            op()
 
     for k, (kind, band, n) in enumerate(ops):
         if kind == "append":
             ids = fresh_ids(n + 1)
-            append_commit(
-                path,
-                lambda: _write_rows(path, band, ids, f"app-{k}"),
-                note=f"append {k}",
-                stats_cols=["id"],
+            with_recovery(
+                lambda: append_commit(
+                    path,
+                    lambda: _write_rows(path, band, ids, f"app-{k}"),
+                    note=f"append {k}",
+                    stats_cols=["id"],
+                )
             )
             model.update((i, band) for i in ids)
         elif kind == "replace":
@@ -159,12 +190,14 @@ def test_manifest_protocol_matches_model(spark, ops):
                     if ids:  # zero-row replacement writes nothing
                         _write_rows(path, b, ids, f"rep-{k}-{b}")
 
-            replace_parts_commit(
-                path,
-                write_replacement,
-                vals,
-                note=f"replace {k}",
-                stats_cols=["id"],
+            with_recovery(
+                lambda: replace_parts_commit(
+                    path,
+                    write_replacement,
+                    vals,
+                    note=f"replace {k}",
+                    stats_cols=["id"],
+                )
             )
             model = Counter(
                 {(i, b): c for (i, b), c in model.items() if b not in vals}
@@ -173,14 +206,47 @@ def test_manifest_protocol_matches_model(spark, ops):
                 model.update((i, b) for i in ids)
         elif kind == "compact":
             parts = None if n == 0 else [band]
-            compact_index_parts(
-                spark, path, "band", max_files_per_part=1, parts=parts
+            # a no-op compaction (nothing over threshold) never reaches
+            # publish, so an orphan legitimately survives it
+            before_v = read_manifest(path)[0]
+            with_recovery(
+                lambda: compact_index_parts(
+                    spark, path, "band", max_files_per_part=1, parts=parts
+                ),
+                may_noop=True,
             )
-        else:  # vacuum
+            if orphaned[0] and read_manifest(path)[0] != before_v:
+                raise AssertionError("compaction committed over an orphan")
+        elif kind == "vacuum":
             keep = max(1, n)
             vacuum_index(path, keep_versions=keep)
+            orphaned[0] = False  # vacuum always clears orphans
             cur = read_manifest(path)[0]
             expired |= {v for v in history if v <= cur - keep}
+        else:  # crash: a commit died between manifest write and flip
+            import json as _json
+
+            cur = read_manifest(path)[0]
+            orphan = os.path.join(
+                path, "_manifest", f"m-{cur + 1:010d}.json"
+            )
+            with open(orphan, "w") as fh:
+                _json.dump(
+                    {
+                        "version": cur + 1,
+                        "files": [],
+                        "note": "crash",
+                        "meta": {},
+                    },
+                    fh,
+                )
+            orphaned[0] = True
+            # an uncommitted snapshot must refuse to resolve
+            try:
+                _committed_rows(path, version=cur + 1)
+                raise AssertionError("orphan snapshot resolved")
+            except ValueError:
+                pass
 
         # the committed view equals the model after EVERY op
         cur, _ = read_manifest(path)
