@@ -100,6 +100,21 @@ def test_splits_compose_with_packing_downstream(spark):
     assert not (seen["val"] & seen["test"])
 
 
+def test_zonemap_scan_plan_shape(spark):
+    """Scale pins on the staged scan's physical plan: the doc_id range
+    reaches the parquet scan as PushedFilters (row-group pruning inside
+    the surviving files — the layer below our file-level skip), and the
+    aggregation is map-side partial (partial_count/partial_sum before
+    the exchange), so shuffle bytes scale with |langs|, not rows."""
+    from cognitive_score_bigdata_spark.plans.audit import plan_text
+
+    t = plan_text(scan_zonemap_range_agg(spark, SF_DIR))
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*doc_id", t), t[:2000]
+    assert "partial_sum" in t or "partial_count" in t, t[:2000]
+
+
 def test_pruned_scan_equals_unpruned_scan(spark):
     """Advisory-only pin: dropping the prune (full manifest read +
     same real filter) must give the identical aggregate — skipping
