@@ -386,12 +386,45 @@ def pruned_files(
     ]
 
 
+def pruned_files_in(
+    path: str,
+    col: str,
+    values,
+    version: int | None = None,
+    files: list[str] | None = None,
+    stats: dict | None = None,
+) -> list[str]:
+    """Point-set skipping: the committed files that could hold ANY of
+    ``values`` in ``col`` (each value checked as the degenerate range
+    [v, v] against the zone maps — an OR, where :func:`pruned_files`
+    conjuncts are an AND). The lake's most common lookup at scale:
+    "re-fetch these N quarantined doc ids" opens only the files whose
+    committed range contains one of them, instead of every file of the
+    artifact. Same conservative contract: no stats ⇒ kept, and callers
+    still apply the real ``isin`` filter. An empty value set keeps
+    nothing — there is nothing to fetch — EXCEPT files without stats,
+    which can never be proven empty."""
+    if files is None:
+        m = read_manifest(path, version=version)
+        files = m[1] if m else _list_data_files(path)
+    if stats is None:
+        stats = read_manifest_stats(path, version=version)
+    vals = list(values)
+    return [
+        f
+        for f in files
+        if col not in stats.get(f, {})
+        or any(_survives_range(stats[f][col], v, v) for v in vals)
+    ]
+
+
 def read_index(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: tuple | None = None,
     part_values=None,
+    prune_in: tuple | None = None,
 ) -> DataFrame:
     """Manifest-aware index scan: exactly the committed file set, with
     ``basePath`` so the partition column (and its partition pruning)
@@ -436,7 +469,13 @@ def read_index(
     planning cost is real, and the manifest already knows each file's
     partition from its path (the Iceberg plan-files move). Callers
     should STILL apply the partition filter (same advisory contract as
-    ``prune``)."""
+    ``prune``).
+
+    ``prune_in=(col, values)`` is point-set skipping (see
+    :func:`pruned_files_in`) — the "fetch these N ids" lookup; keeps a
+    file iff some value could fall inside its committed range. All
+    three prune forms compose (applied in sequence to the shrinking
+    file list)."""
     import os
     from urllib.parse import unquote
 
@@ -467,6 +506,19 @@ def read_index(
             version=version,
             files=files,
             stats=dict(doc.get("stats", {})),  # same doc: no second read
+        )
+        if not kept:
+            return empty_scan(files[0])
+        files = kept
+    if files and prune_in is not None:
+        col, values = prune_in
+        kept = pruned_files_in(
+            path,
+            col,
+            values,
+            version=version,
+            files=files,
+            stats=dict(doc.get("stats", {})),
         )
         if not kept:
             return empty_scan(files[0])

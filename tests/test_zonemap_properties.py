@@ -33,8 +33,34 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     _list_data_files,
     file_column_stats,
     pruned_files,
+    pruned_files_in,
     publish_manifest,
 )
+
+
+def _build_index(files, statted):
+    """Materialize the generated layout; returns (path, truth, all)."""
+    path = tempfile.mkdtemp(prefix="csb_zm_prop_") + "/idx"
+    truth: dict[str, list] = {}
+    for i, (part, rows) in enumerate(files):
+        d = os.path.join(path, f"p={part}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "a": pa.array([r[0] for r in rows], pa.int64()),
+                    "b": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            os.path.join(d, f"f{i}.parquet"),
+        )
+        truth[f"p={part}/f{i}.parquet"] = rows
+    all_files = _list_data_files(path)
+    subset = [f for i, f in enumerate(all_files) if i in statted]
+    publish_manifest(
+        path, all_files, stats=file_column_stats(path, subset, ["a", "b"])
+    )
+    return path, truth, all_files, set(subset)
 
 # one file = (partition 0-2, rows: list of (a, b) with None allowed)
 FILE = st.tuples(
@@ -84,28 +110,7 @@ def _matches(row, conjuncts) -> bool:
 )
 def test_prune_algebra_never_drops_a_matching_row(files, statted, probe):
     conjuncts, part_values = probe
-    path = tempfile.mkdtemp(prefix="csb_zm_prop_") + "/idx"
-    truth: dict[str, list] = {}  # relpath -> rows
-    for i, (part, rows) in enumerate(files):
-        d = os.path.join(path, f"p={part}")
-        os.makedirs(d, exist_ok=True)
-        fp = os.path.join(d, f"f{i}.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "a": pa.array([r[0] for r in rows], pa.int64()),
-                    "b": pa.array([r[1] for r in rows], pa.int64()),
-                }
-            ),
-            fp,
-        )
-        truth[f"p={part}/f{i}.parquet"] = rows
-    all_files = _list_data_files(path)
-    # stats for a random subset only: unstatted files must never skip
-    subset = [f for i, f in enumerate(all_files) if i in statted]
-    publish_manifest(
-        path, all_files, stats=file_column_stats(path, subset, ["a", "b"])
-    )
+    path, truth, all_files, subset = _build_index(files, statted)
 
     candidates = (
         [f for f in all_files if f.split("=", 1)[1].split("/", 1)[0]
@@ -124,3 +129,26 @@ def test_prune_algebra_never_drops_a_matching_row(files, statted, probe):
     for f in candidates:
         if f not in subset:
             assert f in kept
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    files=st.lists(FILE, min_size=1, max_size=6),
+    statted=st.sets(st.integers(min_value=0, max_value=5)),
+    col=st.sampled_from(["a", "b"]),
+    values=st.sets(
+        st.integers(min_value=-60, max_value=60), min_size=0, max_size=4
+    ),
+)
+def test_point_set_prune_never_drops_a_matching_row(
+    files, statted, col, values
+):
+    """The OR form: a file holding ANY of the probed values must
+    survive ``pruned_files_in``, and unstatted files always do."""
+    path, truth, all_files, subset = _build_index(files, statted)
+    kept = set(pruned_files_in(path, col, values))
+    idx = 0 if col == "a" else 1
+    for f in all_files:
+        holds = any(r[idx] in values for r in truth[f])
+        if holds or f not in subset:
+            assert f in kept, (f, sorted(values))

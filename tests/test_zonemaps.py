@@ -629,6 +629,42 @@ def test_part_values_prune_is_metadata_level(spark):
     assert none.schema == read_index(spark, path).schema
 
 
+def test_point_set_lookup_opens_only_containing_files(spark):
+    """prune_in, the "re-fetch these ids" lookup: on the clustered
+    layout a handful of scattered ids opens only the files whose
+    committed range contains one of them; the real isin filter on top
+    returns exactly those rows; files without stats always survive;
+    an empty id set resolves to a schema-stable empty frame."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        pruned_files_in,
+    )
+
+    path = _build_clustered(spark)
+    live = read_manifest(path)[1]
+    ids = [7, 250, 493]
+    kept = pruned_files_in(path, "doc_id", ids)
+    assert 1 <= len(kept) < len(live)
+    scan = read_index(spark, path, prune_in=("doc_id", ids))
+    opened = sorted(
+        os.path.relpath(f.replace("file:", ""), path) for f in scan.inputFiles()
+    )
+    assert opened == sorted(kept)
+    got = sorted(
+        r.doc_id
+        for r in scan.filter(F.col("doc_id").isin(ids)).select("doc_id").collect()
+    )
+    assert got == ids
+    # composes with part_values: band=1 holds only the odd ids
+    both = read_index(
+        spark, path, part_values={1}, prune_in=("doc_id", ids)
+    ).filter(F.col("doc_id").isin(ids) & (F.col("band") == 1))
+    assert sorted(r.doc_id for r in both.collect()) == [7, 493]
+    # empty id set: nothing to fetch, schema stable
+    none = read_index(spark, path, prune_in=("doc_id", []))
+    assert none.count() == 0
+    assert none.schema == read_index(spark, path).schema
+
+
 def test_string_columns_keep_lower_bound_only(spark):
     """The string-truncation hole, closed at the harvest: pyarrow
     writes max='' for long string maxima (['a', 'z'*4097] → max='',
