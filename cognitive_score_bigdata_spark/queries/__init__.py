@@ -801,7 +801,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND12_WINDOW` comes first.
+    the registry reordered so :data:`ROUND13_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -837,7 +837,11 @@ def load_registry() -> dict[str, QuerySpec]:
     rows born in the r12 session (seeded SemDeDup; composed BPE
     pipeline — they displaced 2 end refills per the plan's rule) +
     ALL 45 round-7-latest carries + 1 r8 refill — after this window
-    no latest row predates round 8.
+    no latest row predates round 8.  Round 13 fronts the 2 r13 births
+    (incremental semantic dedup; ensemble dedup clusters) + 48 of the
+    49 round-8-latest carries (agg_pandas_udaf_gmean is the documented
+    hold-over heading round 14) — after this window no latest row
+    predates round 9.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -892,15 +896,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND12_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND13_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND12_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND13_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND12_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND13_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered
