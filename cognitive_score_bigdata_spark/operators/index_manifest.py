@@ -287,8 +287,11 @@ def publish_manifest(
         raise FileExistsError(
             f"commit conflict on {name} at {path!r}: another writer "
             "committed from the same base version, or a prior commit "
-            "crashed before its pointer flip — run vacuum_index() to "
-            "clear crash orphans, then retry"
+            "crashed before its pointer flip — the two are "
+            "indistinguishable here, so AFTER confirming no writer is "
+            "mid-commit (or with vacuum_index(orphan_grace_s=...) set "
+            "beyond the longest commit), run vacuum_index() to clear "
+            "crash orphans, then retry"
         )
     with fh as f:
         json.dump(
@@ -680,18 +683,25 @@ def replace_parts_commit(
     declared partitions —
     a silent stray file would otherwise supersede nothing and
     double-count forever."""
-    vals = {str(v) for v in part_values}
+    from urllib.parse import unquote
+
+    # Same canonicalization as read_index(part_values=) (ADVICE r12):
+    # plain str(v) spells booleans 'True' and None 'None' while the
+    # writer's hive paths say 'true'/'__HIVE_DEFAULT_PARTITION__', so
+    # the stray-file guard would falsely fire and survivors would not
+    # be filtered.
+    vals = {_canon_part_value(v) for v in part_values}
     before = set(_list_data_files(path))
     write_append()
     added = sorted(set(_list_data_files(path)) - before)
-    stray = [f for f in added if _part_val(f) not in vals]
+    stray = [f for f in added if unquote(_part_val(f)) not in vals]
     if stray:
         raise ValueError(
             f"replacement wrote outside the declared partitions: {stray}"
         )
     cur = read_manifest(path)
     base = cur[1] if cur else sorted(before)
-    survivors = [f for f in base if _part_val(f) not in vals]
+    survivors = [f for f in base if unquote(_part_val(f)) not in vals]
     stats = (
         file_column_stats(path, added, stats_cols) if stats_cols else None
     )
@@ -762,12 +772,17 @@ def compact_index_parts(
         p = _part_of(f)
         counts[p] = counts.get(p, 0) + 1
     # Convergence: the sort-aware rewrite deliberately stages
-    # ~files_per_part files per partition, so the trigger must not
-    # re-touch a partition the previous run just compacted to that
-    # shape — otherwise the nightly job rewrites identical content
-    # forever. The effective threshold is the larger of the two knobs.
+    # ~files_per_part files per partition — plus possibly ONE more
+    # when a range slice straddles two partitions (the docstring's
+    # "approximate at partition boundaries") — so the trigger must not
+    # re-touch a partition the previous run just compacted to either
+    # shape, otherwise the nightly job rewrites identical content
+    # forever (ADVICE r12: the straddle case re-triggered at exactly
+    # files_per_part + 1). The effective threshold is the larger of
+    # the two knobs, with one boundary-straddle file of slack.
     threshold = max(
-        max_files_per_part, files_per_part if cluster_col is not None else 0
+        max_files_per_part,
+        (files_per_part + 1) if cluster_col is not None else 0,
     )
     touched = (
         # Intersect an explicit override with the partitions that
@@ -839,7 +854,9 @@ def compact_index_parts(
     return {p: (counts[p], after.get(p, 0)) for p in touched}
 
 
-def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum_index(
+    path: str, keep_versions: int = 2, orphan_grace_s: float = 0.0
+) -> list[str]:
     """Delete physical data files referenced by NONE of the newest
     ``keep_versions`` COMMITTED manifests — the retention window that
     lets a reader holding an older manifest finish its scan before the
@@ -857,9 +874,19 @@ def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
     the recovery path for the commit CAS: after a crash the stranded
     ``m-{N+1}`` blocks the next exclusive create until vacuum clears
     it (the commit-conflict error says so). Also sweeps crash-stranded
-    ``_current.tmp.*`` pointer files."""
+    ``_current.tmp.*`` pointer files.
+
+    ``orphan_grace_s`` (ADVICE r12): an above-pointer manifest younger
+    than this many seconds is LEFT ALONE (still excluded from the keep
+    set) — at commit time a same-named manifest could also be a
+    CONCURRENT writer between its manifest write and pointer flip, and
+    deleting it would leave that writer's ``_current`` naming a dead
+    file. The default 0.0 preserves the single-writer deployment
+    contract (delete immediately); any deployment with a second
+    possible writer should pass a grace exceeding its longest commit."""
     import glob
     import os
+    import time
 
     cur = _read_manifest_doc(path)
     cur_version = int(cur["version"]) if cur else 0
@@ -868,10 +895,16 @@ def vacuum_index(path: str, keep_versions: int = 2) -> list[str]:
         glob.glob(os.path.join(path, _MANIFEST_DIR, "m-*.json"))
     )
     committed = []
+    now = time.time()
     for mp in all_manifests:
         if int(os.path.basename(mp)[2:-5]) > cur_version:
-            os.remove(mp)  # crash orphan: never committed, unblocks CAS
-            deleted.append(os.path.relpath(mp, path))
+            # crash orphan: never committed, excluded from the keep
+            # set below either way; deletion unblocks the commit CAS
+            # but waits out the grace window (a mid-commit concurrent
+            # writer looks identical from here)
+            if now - os.path.getmtime(mp) >= orphan_grace_s:
+                os.remove(mp)
+                deleted.append(os.path.relpath(mp, path))
         else:
             committed.append(mp)
     if not committed:
