@@ -722,28 +722,39 @@ def main() -> None:
     worst = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": result["value"],
-                "value_excl_canary": excl_canary,
-                "unit": "sec",
-                "sf": result["sf"],
-                "n_queries": len(timings),
-                "families": families,
-                "queries": worst,
-                "api_parity_total": result["api_parity_total"],
-                "n_api_parity": len(api_parity),
-                "noise_probe": probes,
-                "banded_normalized": result["banded_normalized"],
-                "committed_normalized": result["committed_normalized"],
-                "canary": canary,
-                "bench_config": result["bench_config"],
-                "detail": "BENCH_LOCAL.json",
-            }
-        )
-    )
+    report = {
+        "metric": "headline_queries_total",
+        "value": result["value"],
+        "value_excl_canary": excl_canary,
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "families": families,
+        "queries": worst,
+        "api_parity_total": result["api_parity_total"],
+        "n_api_parity": len(api_parity),
+        "noise_probe": probes,
+        "banded_normalized": result["banded_normalized"],
+        "committed_normalized": result["committed_normalized"],
+        "canary": canary,
+        "bench_config": result["bench_config"],
+        "detail": "BENCH_LOCAL.json",
+    }
+    # The driver records only the last 2000 chars of stdout; a line
+    # longer than that loses its HEAD and BENCH_rN.json lands with
+    # "parsed": null (VERDICT r12 item 6 — it happened the round the
+    # families echo crossed the cap). Shrink by dropping echo-only
+    # sections (all fully present in BENCH_LOCAL.json) until the line
+    # fits; the gate fields (value, committed_normalized, bench_config)
+    # are never dropped.
+    line = json.dumps(report)
+    for optional in ("families", "canary", "queries", "noise_probe",
+                     "banded_normalized"):
+        if len(line) <= 1900:
+            break
+        report.pop(optional, None)
+        line = json.dumps(report)
+    print(line)
     spark.stop()
 
 
