@@ -279,6 +279,13 @@ HEADLINE = [
     # composition IS the cost being measured)
     "scan_zonemap_range_agg",
     "corpus_leakage_safe_splits",
+    # round-13 births: the seeded-quantizer transfer rows (hash-oracle
+    # siblings for the rows-only ANN-probe / theta families)
+    "vector_ann_ivf_topk_seeded",
+    "sketch_theta_md5_overlap",
+    # round-14 staged (r13 session): the UPDATE-shaped lake lifecycle
+    # (prune_in fetch -> replace_parts rewrite -> pruned re-fetch)
+    "scan_delete_rewrite_fetch",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -392,6 +399,14 @@ def main() -> None:
         # staging): a once-per-corpus lake-layout job; the timed row
         # measures the zone-map-pruned probe
         "scan_zonemap_range_agg",
+        # seeded-centroid IVF index (round 13): assignment table +
+        # centers are the build artifact; the timed row measures the
+        # 2-of-8-cell probe
+        "vector_ann_ivf_topk_seeded",
+        # clustered publish + GDPR-delete rewrite (round-14 staging):
+        # both once-per-corpus maintenance commits; the timed row
+        # measures the post-rewrite point-set fetch
+        "scan_delete_rewrite_fetch",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))
@@ -704,8 +719,13 @@ def main() -> None:
         # (clustered-artifact publish is once-per-corpus), +2 headline
         # rows (zone-map-pruned scan, leakage-safe splits). Timing
         # methodology unchanged.
+        # r13-seeded-transfer: +3 headline rows (seeded IVF probe, md5
+        # theta overlap, delete-rewrite fetch), +vector_ann_ivf_topk_
+        # seeded and scan_delete_rewrite_fetch in the warm list (index
+        # build / lifecycle commits are once-per-corpus). Timing
+        # methodology unchanged.
         "bench_config": {
-            "revision": "r12c-zonemap",
+            "revision": "r13-seeded-transfer",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

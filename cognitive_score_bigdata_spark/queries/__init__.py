@@ -372,6 +372,15 @@ ROUND13_WINDOW = [
     # the 2 round-13 staged rows (birth-window driver rows)
     "dedup_semantic_incremental",
     "dedup_ensemble_clusters",
+    # the 2 rows BORN in the round-13 session (displacing, per this
+    # plan's own rule, the two END carries vector_cosine_topk_fast_q200
+    # + window_trailing_30d_range — both r8-latest, they head round 14
+    # alongside agg_pandas_udaf_gmean): the seeded-quantizer transfer
+    # rows of VERDICT r12 item 3 — hash-oracle siblings for the
+    # rows-only ANN-probe and theta-set-algebra families. Both mirrored
+    # hash-green at sf0.001 AND sf0.01 on 2026-08-15.
+    "vector_ann_ivf_topk_seeded",
+    "sketch_theta_md5_overlap",
     # 48 of the 49 round-8-latest carries (all but agg_pandas_udaf_gmean)
     "agg_listagg_nations",
     "corpus_token_budget_epochs",
@@ -419,8 +428,9 @@ ROUND13_WINDOW = [
     "vector_cosine_neardup",
     "vector_cosine_topk_expr_q200",
     "vector_cosine_topk_fast",
-    "vector_cosine_topk_fast_q200",
-    "window_trailing_30d_range",
+    # (vector_cosine_topk_fast_q200 and window_trailing_30d_range were
+    # displaced by the two round-13 session births above; they head the
+    # round-14 window with agg_pandas_udaf_gmean)
 ]
 
 # Round-12 rotation plan, MATERIALIZED at round-11 end (the same
@@ -729,9 +739,14 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "vector_ann_lsh_neardup": "sign-LSH recall is probabilistic (plane "
     "draws differ per engine); exact sibling vector_cosine_neardup "
     "(driver-verified) defines the target set, recall pinned in tests",
-    "vector_ann_ivf_topk": "probe mode approximate; exact sibling "
+    "vector_ann_ivf_topk": "probe mode approximate (Lloyd-trained "
+    "quantizer is seeded/iterative, not SQL); exact sibling "
     "vector_ann_ivf_exact (driver r2, n_probe=n_cells) hash-verifies "
-    "the same build/probe machinery",
+    "build/probe at full recall, and vector_ann_ivf_topk_seeded "
+    "(r13 birth) hash-verifies the PROBE-mode pipeline end-to-end — "
+    "assignment, cell choice, n_probe candidates, ranking — via the "
+    "deterministic seeded quantizer; the two paths differ only in "
+    "where the centroid matrix comes from",
     "dedup_minhash_pairs": "fast path on xxhash64 (JVM-internal hash, "
     "no DuckDB equivalent); the IDENTICAL shingle->min->band->bucket "
     "machinery is hash-verified by sibling dedup_minhash_pairs_md5 "
@@ -780,7 +795,10 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "merge+bounds pinned in test_sketches",
     "sketch_theta_user_overlap": "Datasketches theta internals are "
     "library-specific; sibling sketch_kmv_overlap3 (driver r4) "
-    "hash-verifies the KMV/theta-style set-algebra machinery",
+    "hash-verifies the KMV/theta-style set-algebra machinery, and "
+    "sketch_theta_md5_overlap (r13 birth) hash-verifies the FULL "
+    "theta contract — min-theta combine, below-theta intersection/"
+    "union counts, scaled estimates — on md5-fixed hashes",
     "search_mmr_rerank_ivf": "IVF-probed candidate pool is approximate "
     "by design (n_probe<n_cells drops true neighbors before the "
     "greedy); exact sibling search_mmr_rerank (driver r11 birth row, "
@@ -877,6 +895,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round11_staging,
         round12,
         round12_staging,
+        round13,
         round13_staging,
         round14_staging,
         scalar_funcs,

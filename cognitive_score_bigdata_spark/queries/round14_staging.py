@@ -58,6 +58,7 @@ from cognitive_score_bigdata_spark.io import load_table
 from cognitive_score_bigdata_spark.operators.index_manifest import (
     clustered_write_commit,
     read_index,
+    replace_parts_commit,
 )
 from cognitive_score_bigdata_spark.queries import register
 from cognitive_score_bigdata_spark.session_cache import session_scoped
@@ -175,6 +176,135 @@ def corpus_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_ensemble_clusters(spark, sf_dir)
     return clusters.select(
         "doc_id", "cluster_id", F.expr(_SPLIT_CASE).alias("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_delete_rewrite_fetch — the UPDATE-shaped lake lifecycle composed
+# (VERDICT r12 item 4): fetch-by-id-set (prune_in), rewrite the affected
+# partitions (replace_parts_commit), stats re-harvested in the SAME
+# manifest flip, then the post-rewrite fetch — the GDPR-delete /
+# re-annotate shape a training lake actually runs.
+# ---------------------------------------------------------------------------
+
+DEL_MOD, DEL_REM = 100, 17  # the delete list: doc_id ≡ 17 (mod 100)
+# the re-fetch list: doc_id ≡ 17 (mod 50) within deciles 2-6 of the id
+# space — overlapping the delete list (so the oracle proves the delete)
+# and range-local (so the point-set prune actually skips files; a
+# whole-range probe set touches every file's committed range)
+PROBE_MOD, PROBE_REM = 50, 17
+PROBE_LO_TENTHS, PROBE_HI_TENTHS = 2, 6
+
+
+def probe_id_list(mx: int) -> list[int]:
+    lo = mx * PROBE_LO_TENTHS // 10
+    hi = mx * PROBE_HI_TENTHS // 10
+    return [i for i in range(PROBE_REM, mx + 1, PROBE_MOD) if lo <= i <= hi]
+
+_REWRITE_ARTIFACTS: dict = {}
+
+
+def rewrite_artifact(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """(path, max_doc_id) of the session's delete-rewritten clustered
+    artifact — built once per (session, corpus):
+
+    1. initial clustered publish (band partitions, doc_id zone maps);
+    2. FETCH: locate the delete list's files through the committed
+       stats alone (``read_index(prune_in=)`` — the "which files hold
+       these users" lookup of a deletion request, opening only files
+       whose committed range contains a victim);
+    3. REWRITE: ``replace_parts_commit`` over exactly the affected
+       partitions (every victim id is ≡ {DEL_REM} mod {DEL_MOD}, and
+       {DEL_MOD} ≡ 0 mod N_BANDS, so all victims live in ONE band —
+       the other partitions' files must survive byte-identical), the
+       replacement re-clustered on doc_id with fresh zone maps
+       harvested in the SAME flip as the file swap.
+
+    The registered query then re-fetches a probe id set that OVERLAPS
+    the delete list, so the oracle (base table minus the delete
+    predicate) proves the rewrite dropped exactly the right rows."""
+
+    def build() -> tuple[str, int]:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="csb_rewrite_art_") + "/docs"
+        clustered_write_commit(
+            docs.withColumn("band", F.col("doc_id") % N_BANDS),
+            path,
+            part_col="band",
+            cluster_col="doc_id",
+            n_ranges=N_RANGES,
+            note=f"clustered documents {sf_dir}",
+        )
+        mx = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        del_ids = list(range(DEL_REM, mx + 1, DEL_MOD))
+        # fetch: committed-stats file location + the real filter (the
+        # deletion request's audit read — which rows are we removing)
+        read_index(spark, path, prune_in=("doc_id", del_ids)).filter(
+            F.col("doc_id") % DEL_MOD == DEL_REM
+        ).count()
+        bands = sorted({i % N_BANDS for i in del_ids})
+        keep = read_index(spark, path, part_values=bands).filter(
+            ~(F.col("doc_id") % DEL_MOD == DEL_REM)
+        )
+        replace_parts_commit(
+            path,
+            lambda: keep.repartitionByRange(
+                max(N_RANGES // N_BANDS, 1), "doc_id"
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+            part_values=bands,
+            note=f"delete doc_id%{DEL_MOD}=={DEL_REM}",
+            stats_cols=["doc_id"],
+        )
+        return path, mx
+
+    return session_scoped(_REWRITE_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "scan_delete_rewrite_fetch",
+    oracle=f"""
+    WITH b AS (
+      SELECT (MAX(doc_id)*{PROBE_LO_TENTHS})//10 AS lo,
+             (MAX(doc_id)*{PROBE_HI_TENTHS})//10 AS hi
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents, b
+    WHERE doc_id % {PROBE_MOD} = {PROBE_REM}
+      AND doc_id % {DEL_MOD} <> {DEL_REM}
+      AND doc_id BETWEEN b.lo AND b.hi
+    GROUP BY lang
+    """,
+    doc="the UPDATE-shaped lake lifecycle end to end: GDPR-style "
+    "delete list located via committed zone maps (prune_in opens only "
+    "files whose range holds a victim), the ONE affected hive "
+    "partition rewritten via replace_parts_commit with fresh stats in "
+    "the same manifest flip, then a point-set re-fetch overlapping "
+    "the delete list — the oracle recomputes from the base table "
+    "minus the delete predicate, so a row that survived deletion, a "
+    "row deleted twice, or a stray rewrite outside the affected "
+    "partition would all hash-mismatch",
+)
+def scan_delete_rewrite_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, mx = rewrite_artifact(spark, sf_dir)
+    probe_ids = probe_id_list(mx)
+    return (
+        read_index(spark, path, prune_in=("doc_id", probe_ids))
+        .filter(F.col("doc_id").isin(probe_ids))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
     )
 
 

@@ -62,6 +62,13 @@ WARM_FOR = {
     # (bench warms it); the leakage-splits row warms nothing, mirroring
     # the ensemble row it composes — composition IS the timed cost
     "scan_zonemap_range_agg": ["scan_zonemap_range_agg"],
+    # r13 births: the seeded-centroid IVF index is once-per-corpus
+    # (bench warms it); the md5 theta row warms nothing — one pass over
+    # events IS the timed cost
+    "vector_ann_ivf_topk_seeded": ["vector_ann_ivf_topk_seeded"],
+    # r14 staging: clustered publish + delete rewrite are once-per-
+    # corpus commits (bench warms them); the timed row is the fetch
+    "scan_delete_rewrite_fetch": ["scan_delete_rewrite_fetch"],
 }
 
 

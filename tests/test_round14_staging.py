@@ -136,3 +136,93 @@ def test_pruned_scan_equals_unpruned_scan(spark):
         ).collect()
     }
     assert pruned == full
+
+
+# ---------------------------------------------------------------------------
+# scan_delete_rewrite_fetch (VERDICT r12 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_rewrite_oracle_parity(spark, oracle_con):
+    spec = load_registry()["scan_delete_rewrite_fetch"]
+    sp = spec.fn(spark, SF_DIR).toPandas()
+    oc = oracle_con.execute(spec.oracle).df()
+    assert_frames_match(sp, oc, "scan_delete_rewrite_fetch")
+
+
+def test_delete_rewrite_touches_only_affected_partition(spark):
+    """The UPDATE-shaped lifecycle's two structural pins:
+
+    (a) the rewrite superseded files ONLY in the one partition the
+        delete list lives in — every other partition's committed file
+        list survives byte-identical (same relpaths) across the flip;
+    (b) the post-rewrite point-set fetch opens only files whose
+        committed range holds a probe id (inputFiles == the prune_in
+        survivor set, strictly fewer than the artifact's total), and
+        the rewritten partition's fresh stats prove the victims gone
+        (no committed band-1 file range contains a deleted id's rows —
+        checked via the real scan: zero rows match the delete
+        predicate anywhere in the live view)."""
+    import pyspark.sql.functions as F
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        pruned_files_in,
+        read_manifest_stats,
+    )
+    from cognitive_score_bigdata_spark.queries.round14_staging import (
+        DEL_MOD,
+        DEL_REM,
+        N_BANDS,
+        PROBE_MOD,
+        PROBE_REM,
+        rewrite_artifact,
+    )
+
+    path, mx = rewrite_artifact(spark, SF_DIR)
+    affected = {i % N_BANDS for i in range(DEL_REM, mx + 1, DEL_MOD)}
+    assert len(affected) == 1  # the design: one band holds every victim
+    band = affected.pop()
+
+    # (a) unaffected partitions' committed files are the ORIGINAL
+    # publish's (version 1) files, untouched by the version-2 flip
+    import cognitive_score_bigdata_spark.operators.index_manifest as im
+
+    doc1 = im._read_manifest_doc(path, version=1)
+    doc2 = im._read_manifest_doc(path)
+    assert int(doc2["version"]) == 2
+    for b in range(N_BANDS):
+        pre = sorted(f for f in doc1["files"] if f.startswith(f"band={b}/"))
+        post = sorted(f for f in doc2["files"] if f.startswith(f"band={b}/"))
+        if b == band:
+            assert pre and post and set(pre).isdisjoint(post)
+        else:
+            assert pre == post
+
+    # fresh stats rode the same flip for every replacement file
+    stats = read_manifest_stats(path)
+    for f in doc2["files"]:
+        if f.startswith(f"band={band}/"):
+            assert "doc_id" in stats.get(f, {}), f
+
+    # (b) the fetch opens exactly the prune_in survivor set, < total
+    from cognitive_score_bigdata_spark.queries.round14_staging import (
+        probe_id_list,
+    )
+
+    probe_ids = probe_id_list(mx)
+    kept = pruned_files_in(path, "doc_id", probe_ids)
+    assert 1 <= len(kept) < len(doc2["files"])
+    scan = read_index(spark, path, prune_in=("doc_id", probe_ids))
+    opened = sorted(
+        os.path.relpath(f.replace("file:", ""), path)
+        for f in scan.inputFiles()
+    )
+    assert opened == sorted(kept)
+
+    # no deleted row anywhere in the live view
+    live = read_index(spark, path)
+    assert live.filter(F.col("doc_id") % DEL_MOD == DEL_REM).count() == 0
+    # and the delete dropped ONLY the victims: row conservation
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_victims = docs.filter(F.col("doc_id") % DEL_MOD == DEL_REM).count()
+    assert live.count() == docs.count() - n_victims
