@@ -177,3 +177,52 @@ def test_drop_dir_stream_end_to_end(spark, tmp_path):
     novel_ids = {r.vec_id for r in b0.collect()}
     assert novel_ids <= committed  # novels admitted
     assert not any(v >= 5_000_000 for v in committed)  # all dups rejected
+
+
+def test_stream_to_training_set_pipeline(spark, tmp_path):
+    """The composed ingestion-to-training-set path (VERDICT r12 item 5):
+    availableNow stream -> fenced admission -> ensemble dedup over the
+    ADMITTED corpus -> leakage-safe splits, as one call chain.
+
+    Pins, per stage and across them:
+    - the fence recorded every micro-batch exactly once;
+    - rejected vectors (copies of corpus AND echoes of earlier-admitted
+      novels) reach NO split — the training set never sees them;
+    - every admitted document lands in exactly one split;
+    - no dedup cluster straddles a split (the leakage property,
+      now holding over streamed-in content, not just batch corpora)."""
+    from cognitive_score_bigdata_spark.streaming.curation_pipeline import (
+        admitted_training_splits,
+        drain_admission_stream,
+    )
+
+    emb, path = _fresh(spark, tmp_path, F.col("vec_id") % 2 == 0)
+    drop = tmp_path / "drop"
+    b0 = emb.filter(F.col("vec_id") % 2 == 1).filter(F.col("vec_id") < 40)
+    b1 = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .filter(F.col("vec_id") < 40)
+        .select((F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding")
+    )
+    b2 = b0.select((F.col("vec_id") + 6_000_000).alias("vec_id"), "embedding")
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(str(drop / f"b{i}"))
+
+    drain_admission_stream(
+        spark, str(drop / "*"), path, str(tmp_path / "chk")
+    )
+    assert read_manifest_meta(path).get("batch_ids") == [0, 1, 2]
+
+    splits = admitted_training_splits(spark, SF_DIR, path).toPandas()
+    # rejected content reaches no split
+    assert (splits["doc_id"] < 5_000_000).all()
+    # admitted novel docs are in the training set; each doc exactly once
+    novel_ids = {r.vec_id for r in b0.collect()}
+    assert novel_ids <= set(splits["doc_id"])
+    assert splits["doc_id"].is_unique
+    # corpus evens (the initial index) are in too
+    assert len(splits) >= len(novel_ids)
+    # the leakage property over the streamed-in corpus
+    spans = splits.groupby("cluster_id")["split"].nunique()
+    assert (spans == 1).all()
+    assert set(splits["split"]) <= {"train", "val", "test"}
