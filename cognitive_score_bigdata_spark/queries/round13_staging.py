@@ -100,6 +100,17 @@ def semantic_probe_pairs(
             "Spark; for within-set pairs use semantic_dedup_pairs"
         )
 
+    # Cell pruning (r13, the deferred r12 watch item): pairs can only
+    # form in cells the BATCH occupies, yet the cogroup would shuffle
+    # every corpus cell's vectors regardless — at 100 TB that is the
+    # whole standing corpus moving for an O(batch) probe. The broadcast
+    # semi-join restricts the corpus side to the batch's cell set
+    # before the shuffle; semantics are untouched (empty cogroup sides
+    # already produced no pairs).
+    corpus_cand = corpus_cand.join(
+        F.broadcast(new_cand.select("cell").distinct()), "cell", "semi"
+    )
+
     def probe(key, corpus_pdf: pd.DataFrame, new_pdf: pd.DataFrame):
         if corpus_pdf.empty or new_pdf.empty:
             return pd.DataFrame({"cell": [], "new_id": [], "corpus_id": []})

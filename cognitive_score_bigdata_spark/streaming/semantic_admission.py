@@ -111,7 +111,14 @@ def admit_stream_batch(
     )
 
     cand = _assign_batch(spark, batch_df, path).localCheckpoint()
-    corpus = read_index(spark, path)
+    # metadata-level cell pruning (r13): the probe can only pair within
+    # the batch's cells, so files of other cells never enter the scan
+    # relation. The distinct-cells collect is bounded by n_cells (the
+    # seed count), a build-artifact-sized driver step — and
+    # semantic_probe_pairs additionally semi-join-prunes the corpus
+    # side, so non-probed cells neither read nor shuffle.
+    batch_cells = [r.cell for r in cand.select("cell").distinct().collect()]
+    corpus = read_index(spark, path, part_values=batch_cells)
     # vs-corpus duplicates: any batch vector pairing with a committed one
     dup_ids = (
         semantic_probe_pairs(corpus, cand, threshold)

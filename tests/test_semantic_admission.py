@@ -226,3 +226,39 @@ def test_stream_to_training_set_pipeline(spark, tmp_path):
     spans = splits.groupby("cluster_id")["split"].nunique()
     assert (spans == 1).all()
     assert set(splits["split"]) <= {"train", "val", "test"}
+
+
+def test_probe_reads_only_batch_cells(spark, tmp_path):
+    """Cell pruning (r13): a batch occupying ONE cell must scan only
+    that cell's committed files — metadata-level part_values pruning
+    plus the semi-join mean other cells neither read nor shuffle."""
+    import os as _os
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_manifest,
+    )
+    from cognitive_score_bigdata_spark.queries.round13_staging import (
+        semantic_probe_pairs,
+    )
+    from cognitive_score_bigdata_spark.streaming.semantic_admission import (
+        _assign_batch,
+    )
+
+    emb, path = _fresh(spark, tmp_path, F.col("vec_id") % 2 == 0)
+    one = emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+    )
+    cand = _assign_batch(spark, one, path).localCheckpoint()
+    cells = [r.cell for r in cand.select("cell").distinct().collect()]
+    assert len(cells) == 1
+    corpus = read_index(spark, path, part_values=cells)
+    opened = {
+        _os.path.relpath(f.replace("file:", ""), path)
+        for f in corpus.inputFiles()
+    }
+    committed = set(read_manifest(path)[1])
+    in_cell = {f for f in committed if f.startswith(f"cell={cells[0]}/")}
+    assert opened <= in_cell and opened and in_cell < committed
+    # and the pruned probe still finds the duplicate
+    pairs = semantic_probe_pairs(corpus, cand, 0.95).toPandas()
+    assert (pairs["new_id"] == 7_000_002).all() and len(pairs) >= 1
