@@ -357,6 +357,82 @@ ROUND8_WINDOW = [
 # Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
 
+# Round-14 rotation plan, MATERIALIZED at round-13 end (VERDICT r12
+# item 2). Composition: the 3 round-14 staged births — ALL
+# never-driver-checked registry rows get their birth here:
+# scan_zonemap_range_agg + corpus_leakage_safe_splits (r12-continuation
+# staging) and scan_delete_rewrite_fetch (r13 session, the UPDATE-shaped
+# lake lifecycle) — the "3 candidates for ≤2 slots" decision resolves
+# to THREE slots because the r13 session displaced two more carries
+# (see below), leaving room while still clearing every r8-latest row.
+# Then the 3 round-8-latest hold-overs (agg_pandas_udaf_gmean,
+# vector_cosine_topk_fast_q200, window_trailing_30d_range — the
+# oldest rows in the registry after round 13) + 44 of the 50
+# round-9-latest carries. The 6 r9 rows held to round 15, each the
+# least-risk member of its family (a hash-green r12/r13 sibling or an
+# in-window family twin): setop_except_all / setop_intersect_all
+# (setop_except / setop_intersect green r12), anomaly_daily_zscore
+# (anomaly_daily_mad carried in-window AND canaried every bench run),
+# sample_weighted_systematic (sample_stratified_exact_k carried),
+# scalar_array_funcs (scalar battery green r12), agg_histogram_value
+# (shares the DECIMAL-accumulator helpers with the r12-green agg
+# battery). New round-14 session births displace carries from the END.
+ROUND14_WINDOW = [
+    # the 3 round-14 staged rows (birth-window driver rows)
+    "scan_zonemap_range_agg",
+    "corpus_leakage_safe_splits",
+    "scan_delete_rewrite_fetch",
+    # the 3 round-8-latest hold-overs — clears round-8 debt
+    "agg_pandas_udaf_gmean",
+    "vector_cosine_topk_fast_q200",
+    "window_trailing_30d_range",
+    # 44 of the 50 round-9-latest carries
+    "agg_bucketed_no_shuffle",
+    "agg_collect_sorted",
+    "agg_exact_median_by_type",
+    "agg_grouping_sets",
+    "agg_latest_per_key",
+    "agg_mode_event_type_daily",
+    "agg_percentile_bands",
+    "agg_time_grain_rollup",
+    "analytics_q3_shipping",
+    "anomaly_daily_mad",
+    "corpus_bigram_topk",
+    "corpus_bpe_encode",
+    "corpus_dedup_rate_by_source",
+    "corpus_overlap_chunks",
+    "corpus_source_overlap",
+    "corpus_tfidf_topterm",
+    "curation_compliance_span_bridge",
+    "curation_quality_linear_scorer",
+    "dedup_pipeline_blocked_verify",
+    "events_dau_wau_stickiness",
+    "events_funnel_conversion",
+    "events_retention_cohort",
+    "events_session_conversion",
+    "hierarchy_rollup_to_root",
+    "join_asof_forward",
+    "join_bucketed_colocated",
+    "join_fuzzy_levenshtein",
+    "join_interval_overlap",
+    "join_posexplode",
+    "join_salted_skew",
+    "market_basket_pairs",
+    "ml_kfold_assignment",
+    "profile_table_stats",
+    "quality_benford_digits",
+    "quality_rank_normalize",
+    "sample_stratified_exact_k",
+    "scalar_string_advanced",
+    "scan_dpp_partitioned_join",
+    "scan_time_range_pruned",
+    "scd2_incremental_merge",
+    "sketch_kmv_distinct_users",
+    "text_novelty_score",
+    "timeseries_max_drawdown",
+    "vector_ann_ivfpq_topk",
+]
+
 # Round-13 rotation plan, MATERIALIZED at round-12 end: the 2
 # round-13 staged births (dedup_semantic_incremental,
 # dedup_ensemble_clusters — both FULL hash oracles, mirrored green at

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Six-run §9aa band recording: run bench.py N times (fresh process
+each — the §9aa protocol), harvest each run's raw total, probe median,
+and the per-metric normalized values from BENCH_LOCAL.json, and print
+the band block ready to paste into bench.py's COMMITTED_NORMALIZED and
+SURVEY §9aa.
+
+Run whenever the HEADLINE set changes (headline_hash invalidates the
+previous recording). Takes ~30-40 min at sf0.1.
+
+Usage: python scripts/record_band.py [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+METRICS = [
+    "vector_ann_ivfpq_topk",
+    "text_prefix_filter_join",
+    "dedup_simhash_pairs",
+    "graph_family_total",
+]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    runs = []
+    for i in range(n):
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            capture_output=True,
+            check=True,
+            cwd=HERE,
+        )
+        with open(os.path.join(HERE, "BENCH_LOCAL.json")) as fh:
+            d = json.load(fh)
+        probe = statistics.median(d["noise_probe"])
+        run = {
+            "raw": d["value"],
+            "probe": probe,
+            "normalized": round(d["value"] / probe, 1),
+            "hash": d["bench_config"]["headline_hash"],
+        }
+        for m in METRICS:
+            run[m] = d["banded_normalized"].get(m)
+        runs.append(run)
+        print(json.dumps(run), flush=True)
+
+    norm = [r["normalized"] for r in runs]
+    out = {
+        "recorded_headline_hash": runs[0]["hash"],
+        "headline_total_band": [min(norm), max(norm)],
+        "headline_total_values": norm,
+        "raw_total_band": [
+            min(r["raw"] for r in runs),
+            max(r["raw"] for r in runs),
+        ],
+        "probe_median_range": [
+            min(r["probe"] for r in runs),
+            max(r["probe"] for r in runs),
+        ],
+        "metric_bands": {
+            m: [
+                min(r[m] for r in runs if r[m] is not None),
+                max(r[m] for r in runs if r[m] is not None),
+            ]
+            for m in METRICS
+        },
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
