@@ -814,7 +814,11 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "error bound pinned in tests",
     "vector_ann_lsh_neardup": "sign-LSH recall is probabilistic (plane "
     "draws differ per engine); exact sibling vector_cosine_neardup "
-    "(driver-verified) defines the target set, recall pinned in tests",
+    "(driver-verified) defines the target set, recall pinned in tests, "
+    "and vector_ann_lsh_seeded (r13 birth) hash-verifies the LSH "
+    "pipeline end-to-end — signature, bucket join, verify — via six "
+    "fixed seed-embedding hyperplanes; the two paths differ only in "
+    "where the plane matrix comes from",
     "vector_ann_ivf_topk": "probe mode approximate (Lloyd-trained "
     "quantizer is seeded/iterative, not SQL); exact sibling "
     "vector_ann_ivf_exact (driver r2, n_probe=n_cells) hash-verifies "
@@ -974,6 +978,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round13,
         round13_staging,
         round14_staging,
+        round15_staging,
         scalar_funcs,
         setops,
         sharding,
