@@ -294,6 +294,17 @@ HEADLINE = [
     # rewrite are the already-warmed rewrite_artifact)
     "vector_ann_lsh_seeded",
     "scan_time_travel_audit",
+    # round-16 staging (r13 session, benched from day one): row-level
+    # change feed (timed row = the manifest-diff read + classifying
+    # full-outer join; the upsert artifact's publish + rewrite are
+    # once-per-corpus maintenance commits, warmed below), schema-
+    # evolved scan (timed row = the NULL-projecting live read + agg;
+    # the publish + evolved append are warmed), and SQ8 asymmetric
+    # probe (timed row = the reconstruct-and-rank scan over the code
+    # table; fit + encode are the warmed index build)
+    "scan_changes_feed",
+    "scan_schema_evolution_agg",
+    "vector_ann_sq8_topk",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -419,6 +430,18 @@ def main() -> None:
         # 6-plane signature pass is the index-build artifact; the
         # timed row measures the bucket join + verify
         "vector_ann_lsh_seeded",
+        # upsert-rewritten artifact (round-16 staging): publish +
+        # replace_parts are once-per-corpus maintenance commits; the
+        # timed row measures the change-feed read
+        "scan_changes_feed",
+        # schema-evolved artifact (round-16 staging): publish +
+        # evolved append are once-per-corpus commits; the timed row
+        # measures the NULL-projecting live scan
+        "scan_schema_evolution_agg",
+        # SQ8 fit + encode (round-16 staging): the quantizer range and
+        # code table are the index-build artifact; the timed row
+        # measures the asymmetric reconstruct-and-rank probe
+        "vector_ann_sq8_topk",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))

@@ -234,6 +234,7 @@ def publish_manifest(
     note: str = "",
     meta: dict | None = None,
     stats: dict[str, dict[str, list]] | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """Commit ``files`` as the new live set. The manifest file is
     written complete before the ``_current`` flip, and the flip is
@@ -253,7 +254,17 @@ def publish_manifest(
     its current committed stats unless this commit provides new ones;
     stats of files leaving the live set are dropped with them — the
     stored map never names a dead file, so time travel resolves each
-    snapshot's own stats."""
+    snapshot's own stats.
+
+    ``schema_json`` (a Spark ``StructType.json()`` string) records the
+    TABLE schema in the manifest — the schema-evolution move of a
+    transactional table format (Delta's metaData action): files written
+    before a column existed stay on disk untouched, and readers project
+    the missing column as NULL because :func:`read_index` applies the
+    committed schema to the scan. Carried forward unchanged when a
+    commit omits it, so one evolving append upgrades every later
+    snapshot's read schema while time travel to an older manifest still
+    resolves that snapshot's OWN schema."""
     import json
     import os
 
@@ -261,6 +272,8 @@ def publish_manifest(
     version = (int(cur["version"]) if cur else 0) + 1
     if meta is None:
         meta = dict(cur.get("meta", {})) if cur else {}
+    if schema_json is None and cur is not None:
+        schema_json = cur.get("schema")
     carried = dict(cur.get("stats", {})) if cur else {}
     carried.update(stats or {})
     live_stats = {f: carried[f] for f in files if f in carried}
@@ -293,17 +306,17 @@ def publish_manifest(
             "beyond the longest commit), run vacuum_index() to clear "
             "crash orphans, then retry"
         )
+    doc = {
+        "version": version,
+        "files": sorted(files),
+        "note": note,
+        "meta": meta,
+        "stats": live_stats,
+    }
+    if schema_json is not None:
+        doc["schema"] = schema_json
     with fh as f:
-        json.dump(
-            {
-                "version": version,
-                "files": sorted(files),
-                "note": note,
-                "meta": meta,
-                "stats": live_stats,
-            },
-            f,
-        )
+        json.dump(doc, f)
     tmp = os.path.join(path, f"{_CURRENT}.tmp.{version}")
     with open(tmp, "w") as f:
         f.write(name)
@@ -478,7 +491,15 @@ def read_index(
     :func:`pruned_files_in`) — the "fetch these N ids" lookup; keeps a
     file iff some value could fall inside its committed range. All
     three prune forms compose (applied in sequence to the shrinking
-    file list)."""
+    file list).
+
+    A manifest carrying a committed ``schema`` (see
+    :func:`publish_manifest`) is applied to the scan: files written
+    before a schema-evolving append project the missing columns as
+    NULL (parquet matches by name), so old data never needs a rewrite
+    when a column is added — and a time-traveled ``version`` resolves
+    that snapshot's OWN schema, never a newer one."""
+    import json as _json
     import os
     from urllib.parse import unquote
 
@@ -487,14 +508,18 @@ def read_index(
         return spark.read.parquet(path)
     files = list(doc["files"])
 
+    def reader():
+        r = spark.read
+        if doc.get("schema"):
+            from pyspark.sql.types import StructType
+
+            r = r.schema(StructType.fromJson(_json.loads(doc["schema"])))
+        return r.option("basePath", path)
+
     def empty_scan(anchor: str) -> DataFrame:
         # schema anchor: one committed file, zero rows — partition
         # column and payload schema identical to the full scan
-        return (
-            spark.read.option("basePath", path)
-            .parquet(os.path.join(path, anchor))
-            .limit(0)
-        )
+        return reader().parquet(os.path.join(path, anchor)).limit(0)
 
     if files and part_values is not None:
         vals = {_canon_part_value(v) for v in part_values}
@@ -528,14 +553,12 @@ def read_index(
         files = kept
     if not files:
         if _list_data_files(path):
-            return spark.read.option("basePath", path).parquet(path).limit(0)
+            return reader().parquet(path).limit(0)
         raise ValueError(
             f"index at {path!r} has a committed manifest with no live "
             "files and no physical files to recover a schema from"
         )
-    return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f) for f in files]
-    )
+    return reader().parquet(*[os.path.join(path, f) for f in files])
 
 
 def clustered_write_commit(
@@ -610,6 +633,7 @@ def append_commit(
     note: str = "append",
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    schema_json: str | None = None,
     _before_publish=None,
 ) -> list[str]:
     """Run ``write_append()`` (a Spark append into ``path``) and commit
@@ -620,7 +644,10 @@ def append_commit(
     commits atomically with the added files (see
     :func:`publish_manifest`); ``stats_cols`` harvests zone maps for
     the ADDED files from their footers into the same flip (existing
-    files keep their committed stats); ``_before_publish`` is the same
+    files keep their committed stats); ``schema_json`` commits an
+    EVOLVED table schema with the files that introduced it (see
+    :func:`publish_manifest` — omitted, the current schema carries
+    forward); ``_before_publish`` is the same
     test seam as compaction's — the crash window between the physical
     append and the flip, in which the added files are uncommitted
     garbage. Returns the committed new relative paths."""
@@ -634,7 +661,14 @@ def append_commit(
     )
     if _before_publish is not None:
         _before_publish()
-    publish_manifest(path, base + added, note=note, meta=meta, stats=stats)
+    publish_manifest(
+        path,
+        base + added,
+        note=note,
+        meta=meta,
+        stats=stats,
+        schema_json=schema_json,
+    )
     return added
 
 
@@ -664,6 +698,7 @@ def replace_parts_commit(
     note: str = "replace parts",
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    schema_json: str | None = None,
     _before_publish=None,
 ) -> list[str]:
     """Read-modify-write commit targeting a partition-VALUE set: run
@@ -679,8 +714,10 @@ def replace_parts_commit(
     batch-id fence) commits in the SAME flip as the content it fences.
     ``stats_cols`` harvests zone maps for the replacement files;
     superseded files' stats drop with them (publish restricts stats to
-    the live set). Raises if the replacement wrote outside the
-    declared partitions —
+    the live set). ``schema_json`` commits an evolved table schema
+    with the rewrite (the backfill-a-new-column shape; see
+    :func:`publish_manifest`). Raises if the replacement wrote outside
+    the declared partitions —
     a silent stray file would otherwise supersede nothing and
     double-count forever."""
     from urllib.parse import unquote
@@ -708,7 +745,12 @@ def replace_parts_commit(
     if _before_publish is not None:
         _before_publish()
     publish_manifest(
-        path, survivors + added, note=note, meta=meta, stats=stats
+        path,
+        survivors + added,
+        note=note,
+        meta=meta,
+        stats=stats,
+        schema_json=schema_json,
     )
     return added
 
@@ -931,3 +973,163 @@ def vacuum_index(
         os.remove(tmp)
         deleted.append(os.path.relpath(tmp, path))
     return deleted
+
+
+def snapshot_diff(
+    path: str, from_version: int, to_version: int
+) -> tuple[list[str], list[str]]:
+    """``(removed, added)`` relative data-file lists between two
+    RETAINED snapshots — the manifest-level diff every incremental
+    consumer starts from. Both versions resolve under the committed-at-
+    or-below-pointer rule (see :func:`read_manifest`), so a crash
+    orphan can never appear as a snapshot edge. A file present in both
+    manifests is untouched by definition (commits never modify a data
+    file in place — the protocol is append + supersede), so the diff
+    names EVERY file whose content could differ between the snapshots,
+    and nothing else."""
+    if from_version >= to_version:
+        raise ValueError(
+            f"snapshot_diff needs from_version < to_version, got "
+            f"{from_version} >= {to_version}"
+        )
+    a = _read_manifest_doc(path, version=from_version)
+    b = _read_manifest_doc(path, version=to_version)
+    fa, fb = set(a["files"]), set(b["files"])
+    return sorted(fa - fb), sorted(fb - fa)
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two retained snapshots — the
+    change-data-feed of a transactional table format (Delta CDF /
+    Iceberg changelog shape) derived post-hoc from plain manifests, no
+    write-side logging required. Returns the ``to_version`` snapshot's
+    columns plus ``_change_type`` in ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` (pre rows carry the old
+    image, post rows the new).
+
+    IO is proportional to the CHANGE, never the table: only the
+    :func:`snapshot_diff` files are read — a file in both manifests is
+    untouched and never enters either scan — and the classifying join
+    shuffles only the rewritten partitions' rows. The key insight over
+    a file-level diff: :func:`replace_parts_commit` and
+    :func:`compact_index_parts` rewrite WHOLE partitions, carrying
+    unchanged rows into new files, so the feed full-outer-joins the
+    superseded rows against the replacement rows on ``key_cols`` and
+    SUPPRESSES rows whose payload is unchanged — a pure compaction
+    between the two versions yields an EMPTY feed (pinned in tests).
+
+    ``key_cols`` must uniquely identify a row within the diff'd files
+    on each side (the usual primary-key contract of any CDF).
+    ``compare_cols`` defaults to every non-key column of the
+    ``to_version`` schema; a column absent on the pre side (schema
+    evolution between the versions) compares as NULL, so a backfilled
+    value surfaces as an update — the same answer a write-side CDF
+    gives. Each side is read under its OWN snapshot's committed schema."""
+    import os
+
+    removed, added = snapshot_diff(path, from_version, to_version)
+
+    def side(files: list[str], version: int) -> DataFrame | None:
+        if not files:
+            return None
+        doc = _read_manifest_doc(path, version=version)
+        r = spark.read
+        if doc.get("schema"):
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            r = r.schema(StructType.fromJson(_json.loads(doc["schema"])))
+        return r.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+
+    pre, post = side(removed, from_version), side(added, to_version)
+    if pre is None and post is None:
+        # metadata-only commit (e.g. a meta/fence update): empty feed
+        # with the live schema
+        anchor = read_index(spark, path, version=to_version).limit(0)
+        return anchor.withColumn("_change_type", F.lit("insert")).limit(0)
+    if pre is None:
+        return post.withColumn("_change_type", F.lit("insert"))
+    if post is None:
+        return pre.withColumn("_change_type", F.lit("delete"))
+
+    # align the pre side to the post (to_version) schema: a column the
+    # old files lack projects as NULL, extra pre-only columns are
+    # dropped (a column removal reads as an update on its peers only)
+    out_cols = post.columns
+    pre = pre.select(
+        *[
+            F.col(c) if c in pre.columns
+            else F.lit(None).cast(post.schema[c].dataType).alias(c)
+            for c in out_cols
+        ]
+    )
+    cmp_cols = (
+        [c for c in out_cols if c not in key_cols]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    a = pre.select(
+        *key_cols,
+        *[F.col(c).alias(f"__pre_{c}") for c in out_cols if c not in key_cols],
+        F.lit(True).alias("__in_pre"),
+    )
+    b = post.select(
+        *key_cols,
+        *[F.col(c).alias(f"__post_{c}") for c in out_cols if c not in key_cols],
+        F.lit(True).alias("__in_post"),
+    )
+    j = a.join(b, on=key_cols, how="full_outer")
+    unchanged = F.lit(True)
+    for c in cmp_cols:
+        unchanged = unchanged & F.col(f"__pre_{c}").eqNullSafe(
+            F.col(f"__post_{c}")
+        )
+
+    def image(side_prefix: str, change: str):
+        return F.struct(
+            *[
+                F.col(f"__{side_prefix}_{c}").alias(c)
+                for c in out_cols
+                if c not in key_cols
+            ],
+            F.lit(change).alias("_change_type"),
+        )
+
+    # ONE pass over the joined rows: each row yields its change images
+    # as an array that explode() flattens — a union of four filtered
+    # branches would instead plan the classifying join (and the diff
+    # files' scans) once PER branch, 4× the IO this operator exists to
+    # bound.
+    images = (
+        F.when(F.col("__in_post").isNull(), F.array(image("pre", "delete")))
+        .when(F.col("__in_pre").isNull(), F.array(image("post", "insert")))
+        .when(
+            ~unchanged,
+            F.array(
+                image("pre", "update_preimage"),
+                image("post", "update_postimage"),
+            ),
+        )
+        # copied unchanged: suppressed (explode of a NULL array emits
+        # no row, and the null literal needs no struct-type spelling)
+    )
+    exploded = j.select(*key_cols, F.explode(images).alias("__img"))
+    return exploded.select(
+        *key_cols,
+        *[
+            F.col(f"__img.{c}").alias(c)
+            for c in out_cols
+            if c not in key_cols
+        ],
+        F.col("__img._change_type").alias("_change_type"),
+    )

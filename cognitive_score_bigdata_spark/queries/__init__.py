@@ -979,6 +979,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round13_staging,
         round14_staging,
         round15_staging,
+        round16_staging,
         scalar_funcs,
         setops,
         sharding,

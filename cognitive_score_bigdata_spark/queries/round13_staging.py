@@ -106,7 +106,11 @@ def semantic_probe_pairs(
     # whole standing corpus moving for an O(batch) probe. The broadcast
     # semi-join restricts the corpus side to the batch's cell set
     # before the shuffle; semantics are untouched (empty cogroup sides
-    # already produced no pairs).
+    # already produced no pairs). The batch assignment now has TWO
+    # consumers (the cell set and the cogroup side), so materialize it
+    # once — same lazy-checkpoint move as the sign-LSH buckets —
+    # instead of running the batch's norm_assign Arrow pass twice.
+    new_cand = new_cand.localCheckpoint(eager=False)
     corpus_cand = corpus_cand.join(
         F.broadcast(new_cand.select("cell").distinct()), "cell", "semi"
     )

@@ -1,0 +1,361 @@
+"""Round-16 staged queries (the rounds-8-15 staging pattern: full hash
+oracle, mirrored at two SFs, slope-measured before they ever enter a
+driver window): the row-level change feed between snapshots, reading
+under an evolved schema, and int8 scalar-quantized vector search.
+
+``scan_changes_feed`` — the change-data-feed closure of the lake
+lifecycle (§9ah/§9aj gave the DELETE shape file-level treatment; this
+is the general row-level operator): an UPSERT-shaped
+``replace_parts_commit`` (delete ∪ update ∪ insert in one partition
+rewrite) followed by ``read_changes(v1, v2)``, which full-outer-joins
+the manifest diff's superseded rows against its replacement rows on
+the key and classifies every row as insert / delete /
+update_preimage / update_postimage — SUPPRESSING the rows the
+partition rewrite merely copied (the distinction between a file-level
+diff and a row-level CDF; a pure compaction yields an EMPTY feed,
+pinned in tests). IO is proportional to the CHANGE: only diff files
+are read, only rewritten partitions' rows shuffle. The oracle derives
+all four change classes from the base table and the upsert's
+deterministic predicates, so a suppressed-but-changed row, an
+unsuppressed copy, or a wrong image all hash-mismatch.
+
+``scan_schema_evolution_agg`` — schema evolution on the manifest
+protocol (§4.1): an append commits a batch carrying a NEW column
+(``tokens``) together with the evolved table schema in the SAME
+manifest flip; ``read_index`` applies the committed schema, so files
+written before the column existed project it as NULL without any
+rewrite — Delta's metaData-action move. Old rows aggregate with the
+column absent, new rows with it present; time travel to v1 still
+resolves v1's own schema (pinned in tests). The oracle recomputes the
+live view as base ∪ evolved-batch with NULL backfill.
+
+``vector_ann_sq8_topk`` — int8 scalar quantization
+(``operators/sq.py``): per-dimension [min, max] fit, one-byte codes,
+asymmetric cosine over bucket-midpoint reconstructions. Unlike
+k-means/PQ codebooks the quantizer is closed-form, so — uniquely among
+the compressed ANN tiers — the ENTIRE pipeline (fit, encode, decode,
+rank) earns a full DuckDB hash oracle: codes are bit-identical
+cross-engine (integer floor of an identical IEEE double expression
+tree, verified code-for-code in tests), ranking margins pinned like
+every ANN row. 4× less scan IO than float32 at a reconstruction error
+bounded by span/255 per dimension.
+
+Reference parity: lake lifecycle + ANN-family extensions over the
+reference's corpus analytics surface (SURVEY §2-extras; the reference
+delegates storage lifecycle to Postgres/DynamoDB — `src/backend/
+db_loader.py` — with no snapshot or vector tier).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.operators.index_manifest import (
+    append_commit,
+    clustered_write_commit,
+    read_changes,
+    read_index,
+    read_manifest,
+    replace_parts_commit,
+)
+from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+N_BANDS = 4
+N_RANGES = 8
+
+# The upsert's three predicates, all ≡ 1 (mod N_BANDS) so every touched
+# row lives in ONE hive partition (band 1) and the rewrite supersedes
+# exactly that partition's files; the insert offset is ≡ 0 (mod
+# N_BANDS) so inserted rows stay in the same partition.
+CDF_DEL_MOD, CDF_DEL_REM = 100, 17  # delete these rows
+CDF_UPD_MOD, CDF_UPD_REM = 100, 21  # bump their n_chars by 1000
+CDF_INS_MOD, CDF_INS_REM = 100, 33  # clone these to doc_id + 1_000_000
+CDF_INS_OFFSET = 1_000_000
+CDF_UPD_DELTA = 1000
+
+_CDF_ARTIFACTS: dict = {}
+
+
+def changes_artifact(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, int]:
+    """(path, v_before, v_after) of the session's upsert-rewritten
+    clustered artifact — built once per (session, corpus):
+
+    1. v1: clustered publish of ``documents`` (band = doc_id %
+       N_BANDS hive partitions, doc_id-clustered files + zone maps);
+    2. v2: ONE ``replace_parts_commit`` over band 1 carrying the full
+       MERGE shape — deletes dropped, updates rewritten with the new
+       n_chars, inserts appended, every other band-1 row copied
+       UNCHANGED into the replacement files (what the change feed must
+       suppress)."""
+
+    def build() -> tuple[str, int, int]:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="csb_cdf_art_") + "/docs"
+        v1 = clustered_write_commit(
+            docs.withColumn("band", F.col("doc_id") % N_BANDS),
+            path,
+            part_col="band",
+            cluster_col="doc_id",
+            n_ranges=N_RANGES,
+            note=f"clustered documents {sf_dir}",
+        )
+        band = CDF_DEL_REM % N_BANDS
+        b1 = read_index(spark, path, part_values=[band]).filter(
+            F.col("band") == band
+        )
+        kept = b1.filter(
+            ~(F.col("doc_id") % CDF_DEL_MOD == CDF_DEL_REM)
+        ).withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % CDF_UPD_MOD == CDF_UPD_REM,
+                F.col("n_chars") + CDF_UPD_DELTA,
+            ).otherwise(F.col("n_chars")),
+        )
+        inserted = b1.filter(
+            F.col("doc_id") % CDF_INS_MOD == CDF_INS_REM
+        ).withColumn("doc_id", F.col("doc_id") + CDF_INS_OFFSET)
+        replacement = kept.unionByName(inserted)
+        replace_parts_commit(
+            path,
+            lambda: replacement.repartitionByRange(
+                max(N_RANGES // N_BANDS, 1), "doc_id"
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+            part_values=[band],
+            note="upsert band 1 (delete/update/insert)",
+            stats_cols=["doc_id"],
+        )
+        v2 = read_manifest(path)[0]
+        return path, v1, v2
+
+    return session_scoped(_CDF_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "scan_changes_feed",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           'delete' AS _change_type
+    FROM documents WHERE doc_id % {CDF_DEL_MOD} = {CDF_DEL_REM}
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 'update_preimage'
+    FROM documents WHERE doc_id % {CDF_UPD_MOD} = {CDF_UPD_REM}
+    UNION ALL
+    SELECT doc_id, lang, n_chars + {CDF_UPD_DELTA}, 'update_postimage'
+    FROM documents WHERE doc_id % {CDF_UPD_MOD} = {CDF_UPD_REM}
+    UNION ALL
+    SELECT doc_id + {CDF_INS_OFFSET}, lang, n_chars, 'insert'
+    FROM documents WHERE doc_id % {CDF_INS_MOD} = {CDF_INS_REM}
+    """,
+    doc="row-level change feed between two snapshots (Delta CDF / "
+    "Iceberg changelog shape, derived post-hoc from plain manifests): "
+    "an UPSERT-shaped partition rewrite (delete ∪ update ∪ insert in "
+    "one replace_parts_commit) classified by read_changes — only the "
+    "manifest-diff files are read, and rows the rewrite merely COPIED "
+    "are suppressed (the row-level-CDF property a file diff lacks). "
+    "The oracle derives all four change classes from the base table, "
+    "so a leaked copy, a missed change, or a wrong image "
+    "hash-mismatches",
+)
+def scan_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, v1, v2 = changes_artifact(spark, sf_dir)
+    feed = read_changes(spark, path, v1, v2, key_cols=["doc_id"])
+    return feed.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "_change_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_schema_evolution_agg
+# ---------------------------------------------------------------------------
+
+EVO_MOD, EVO_REM = 10, 3  # the evolved batch: clones of these rows
+EVO_OFFSET = 2_000_000  # ≡ 0 (mod N_BANDS): clones keep their band
+EVO_TOKENS_DIV = 5  # tokens = n_chars DIV 5 on the new rows
+
+_EVO_ARTIFACTS: dict = {}
+
+
+def evolution_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session's schema-evolved artifact: v1 = clustered
+    publish of ``documents`` (no ``tokens`` column exists), v2 =
+    ``append_commit`` of a new batch CARRYING ``tokens``, with the
+    evolved schema committed in the same manifest flip — old files are
+    never rewritten; readers project their missing column as NULL."""
+
+    def build() -> str:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="csb_evo_art_") + "/docs"
+        clustered_write_commit(
+            docs.withColumn("band", F.col("doc_id") % N_BANDS),
+            path,
+            part_col="band",
+            cluster_col="doc_id",
+            n_ranges=N_RANGES,
+            note=f"clustered documents {sf_dir}",
+        )
+        batch = (
+            docs.filter(F.col("doc_id") % EVO_MOD == EVO_REM)
+            .withColumn("doc_id", F.col("doc_id") + EVO_OFFSET)
+            .withColumn(
+                "tokens", F.expr(f"n_chars DIV {EVO_TOKENS_DIV}")
+            )
+            .withColumn("band", F.col("doc_id") % N_BANDS)
+        )
+        append_commit(
+            path,
+            lambda: batch.write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+            note="evolved append: + tokens column",
+            stats_cols=["doc_id", "tokens"],
+            schema_json=batch.schema.json(),
+        )
+        return path
+
+    return session_scoped(_EVO_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "scan_schema_evolution_agg",
+    oracle=f"""
+    WITH live AS (
+      SELECT lang, n_chars, CAST(NULL AS BIGINT) AS tokens
+      FROM documents
+      UNION ALL
+      SELECT lang, n_chars, n_chars // {EVO_TOKENS_DIV}
+      FROM documents WHERE doc_id % {EVO_MOD} = {EVO_REM}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(tokens) AS BIGINT) AS n_with_tokens,
+           CAST(SUM(COALESCE(tokens, 0)) AS BIGINT) AS sum_tokens
+    FROM live GROUP BY lang
+    """,
+    doc="schema evolution on the manifest protocol: an append commits "
+    "a new `tokens` column together with the evolved table schema in "
+    "one manifest flip; read_index applies the committed schema, so "
+    "pre-evolution files project the column as NULL with ZERO rewrite "
+    "— the aggregate mixes old rows (tokens absent) and new rows "
+    "(tokens present) in one scan. Time travel to v1 still resolves "
+    "v1's own schema (pinned). Oracle = base ∪ evolved batch with "
+    "NULL backfill",
+)
+def scan_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = evolution_artifact(spark, sf_dir)
+    return (
+        read_index(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count("tokens").cast("bigint").alias("n_with_tokens"),
+            F.sum(F.coalesce(F.col("tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector_ann_sq8_topk
+# ---------------------------------------------------------------------------
+
+SQ8_K = 10
+SQ8_N_QUERIES = 5  # vec_id < 5, the ANN-family query set
+
+_SQ8_ARTIFACTS: dict = {}
+
+
+def sq8_artifact(spark: SparkSession, sf_dir: str):
+    """(codes DataFrame, mins, maxes) — the session's SQ8 index over
+    the embeddings table: the fitted per-dimension range (a bounded
+    driver artifact, like the IVF centroid matrix) plus the persisted
+    one-byte-per-dimension code table the probe scans INSTEAD of the
+    float corpus."""
+    from cognitive_score_bigdata_spark.operators.sq import (
+        sq8_encode,
+        sq8_fit,
+    )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        mins, maxes = sq8_fit(emb)
+        codes = sq8_encode(emb, mins, maxes).persist()
+        codes.count()  # materialize: the probe measures scan, not encode
+        return codes, mins, maxes
+
+    return session_scoped(_SQ8_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "vector_ann_sq8_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+      FROM (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+      GROUP BY i
+    ),
+    codes AS (
+      SELECT e.vec_id, d.i, d.mn, d.mx,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(e.embedding[d.i] AS DOUBLE) - d.mn) * 255.0
+               / (d.mx - d.mn)) AS INT))) AS c
+      FROM embeddings e CROSS JOIN dims d
+    ),
+    recon AS (
+      SELECT vec_id,
+             list(mn + (c + 0.5) * (mx - mn) / 255.0 ORDER BY i) AS r
+      FROM codes GROUP BY vec_id
+    )
+    SELECT query_id, neighbor_id, rnk FROM (
+      SELECT q.vec_id AS query_id, rc.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), rc.r) DESC,
+               rc.vec_id ASC
+             ) AS BIGINT) AS rnk
+      FROM embeddings q JOIN recon rc
+        ON q.vec_id < {SQ8_N_QUERIES} AND rc.vec_id <> q.vec_id
+    ) WHERE rnk <= {SQ8_K}
+    """,
+    doc="int8 scalar-quantized vector search: per-dimension [min, max] "
+    "fit, one-byte codes (bit-identical cross-engine — integer floor "
+    "of an identical IEEE expression tree), asymmetric cosine of the "
+    "float query against bucket-midpoint reconstructions, top-10 rank "
+    "— the ONLY compressed ANN tier whose quantizer is closed-form, "
+    "so fit/encode/decode/rank all hash-check against the DuckDB "
+    "mirror; 4× less scan IO than float32 at reconstruction error "
+    "≤ span/255 per dimension",
+)
+def vector_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.sq import sq8_topk
+
+    codes, mins, maxes = sq8_artifact(spark, sf_dir)
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < SQ8_N_QUERIES
+    )
+    return sq8_topk(codes, queries, mins, maxes, k=SQ8_K).select(
+        "query_id", "neighbor_id", "rnk"
+    )

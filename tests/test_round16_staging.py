@@ -1,0 +1,314 @@
+"""Round-16 staged queries (queries/round16_staging.py): oracle parity
+plus the pins each query exists to demonstrate — the change feed reads
+ONLY the manifest-diff files and suppresses rewrite-copied rows (a
+pure compaction yields an EMPTY feed), schema evolution projects old
+files' missing column as NULL with the committed schema carried
+forward and time travel resolving each snapshot's own schema, and the
+SQ8 pipeline's codes are bit-identical cross-engine with every ranking
+margin non-degenerate."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyspark.sql.functions as F
+
+import cognitive_score_bigdata_spark.operators.index_manifest as im
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import load_registry
+from cognitive_score_bigdata_spark.queries.round16_staging import (
+    CDF_DEL_MOD,
+    CDF_DEL_REM,
+    CDF_INS_MOD,
+    CDF_INS_REM,
+    CDF_UPD_MOD,
+    CDF_UPD_REM,
+    changes_artifact,
+    evolution_artifact,
+    sq8_artifact,
+)
+from tests.conftest import SF_DIR, assert_frames_match
+
+NEW_QUERIES = [
+    "scan_changes_feed",
+    "scan_schema_evolution_agg",
+    "vector_ann_sq8_topk",
+]
+
+
+def test_oracle_parity(spark, oracle_con):
+    for name in NEW_QUERIES:
+        spec = load_registry()[name]
+        sp = spec.fn(spark, SF_DIR).toPandas()
+        oc = oracle_con.execute(spec.oracle).df()
+        assert_frames_match(sp, oc, name)
+
+
+# --- scan_changes_feed -------------------------------------------------------
+
+
+def _rel_input_files(df, path):
+    return {
+        os.path.relpath(f.replace("file:", ""), path) for f in df.inputFiles()
+    }
+
+
+def test_changes_feed_io_and_suppression(spark):
+    """The CDF contract: (a) the feed scans ONLY the snapshot-diff
+    files — untouched partitions' files never enter either side; (b)
+    rows the partition rewrite merely copied are suppressed, so the
+    feed is exactly |deletes| + 2·|updates| + |inserts| rows; (c)
+    conservation between the snapshots holds."""
+    path, v1, v2 = changes_artifact(spark, SF_DIR)
+    removed, added = im.snapshot_diff(path, v1, v2)
+    assert removed and added
+    assert {f.split("/")[0] for f in removed + added} == {"band=1"}
+
+    feed = im.read_changes(spark, path, v1, v2, key_cols=["doc_id"])
+    assert _rel_input_files(feed, path) <= set(removed) | set(added)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_del = docs.filter(F.col("doc_id") % CDF_DEL_MOD == CDF_DEL_REM).count()
+    n_upd = docs.filter(F.col("doc_id") % CDF_UPD_MOD == CDF_UPD_REM).count()
+    n_ins = docs.filter(F.col("doc_id") % CDF_INS_MOD == CDF_INS_REM).count()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        "delete": n_del,
+        "update_preimage": n_upd,
+        "update_postimage": n_upd,
+        "insert": n_ins,
+    }
+    # conservation across the snapshots
+    n_v1 = im.read_index(spark, path, version=v1).count()
+    n_v2 = im.read_index(spark, path, version=v2).count()
+    assert n_v2 == n_v1 - n_del + n_ins
+
+
+def test_changes_feed_compaction_and_metadata_commits_are_empty(spark):
+    """A pure compaction rewrites files but changes no row — its feed
+    must be EMPTY (the row-level-CDF property a file diff lacks). A
+    metadata-only commit (same file list, new note/meta) likewise."""
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "band", F.col("doc_id") % 2
+    )
+    path = tempfile.mkdtemp(prefix="csb_cdf_compact_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.filter(F.col("doc_id") % 4 < 2)
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path),
+    )
+    im.append_commit(
+        path,
+        lambda: docs.filter(F.col("doc_id") % 4 >= 2)
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path),
+    )
+    touched = im.compact_index_parts(spark, path, "band", max_files_per_part=1)
+    assert touched  # the compaction actually rewrote something
+    v = im.read_manifest(path)[0]
+    feed = im.read_changes(spark, path, v - 1, v, key_cols=["doc_id"])
+    assert feed.count() == 0
+
+    cur = im._read_manifest_doc(path)
+    im.publish_manifest(
+        path, list(cur["files"]), note="metadata only", meta={"fence": 7}
+    )
+    meta_feed = im.read_changes(spark, path, v, v + 1, key_cols=["doc_id"])
+    assert meta_feed.count() == 0
+    assert "_change_type" in meta_feed.columns  # schema-stable empty
+
+
+def test_changes_feed_schema_evolution_backfill_reads_as_update(spark):
+    """A backfill that rewrites a partition adding a NEW column (with
+    the evolved schema committed in the same flip): the pre side —
+    read under ITS snapshot's schema — compares the missing column as
+    NULL, so backfilled rows surface as update_preimage (tokens NULL)
+    / update_postimage (tokens set), rows with no other change
+    included. The same answer a write-side CDF gives."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix="csb_cdf_evo_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+    )
+    backfilled = docs.filter(F.col("band") == 0).withColumn(
+        "tokens", F.expr("n_chars DIV 5")
+    )
+    im.replace_parts_commit(
+        path,
+        lambda: backfilled.write.mode("append")
+        .partitionBy("band")
+        .parquet(path),
+        part_values=[0],
+        schema_json=backfilled.schema.json(),
+    )
+    feed = im.read_changes(spark, path, 1, 2, key_cols=["doc_id"])
+    n_band0 = docs.filter(F.col("band") == 0).count()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        "update_preimage": n_band0,
+        "update_postimage": n_band0,
+    }
+    pre = feed.filter(F.col("_change_type") == "update_preimage")
+    post = feed.filter(F.col("_change_type") == "update_postimage")
+    assert pre.filter(F.col("tokens").isNotNull()).count() == 0
+    assert post.filter(F.col("tokens").isNull()).count() == 0
+
+
+# --- scan_schema_evolution_agg ----------------------------------------------
+
+
+def test_schema_evolution_projection_and_time_travel(spark):
+    """Old files project the evolved column as NULL (no rewrite —
+    their committed file list is byte-identical across the append);
+    time travel to v1 resolves v1's OWN schema, without `tokens`."""
+    path = evolution_artifact(spark, SF_DIR)
+    v1_files = set(im._read_manifest_doc(path, version=1)["files"])
+    v2_files = set(im._read_manifest_doc(path, version=2)["files"])
+    assert v1_files <= v2_files  # pure append: nothing rewritten
+
+    live = im.read_index(spark, path)
+    assert "tokens" in live.columns
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert live.filter(F.col("tokens").isNull()).count() == n_docs
+
+    v1 = im.read_index(spark, path, version=1)
+    assert "tokens" not in v1.columns
+    assert v1.count() == n_docs
+
+
+def test_schema_carries_forward_and_survives_compaction(spark):
+    """A later commit that omits schema_json keeps the evolved schema
+    (the carry-forward rule), and compaction — which reads through
+    read_index and so materializes the NULL projection — preserves
+    both content and the evolved read schema."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix="csb_evo_fwd_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+    )
+    evolved = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        "lang",
+        "n_chars",
+        F.expr("n_chars DIV 5").alias("tokens"),
+        F.col("band"),
+    )
+    im.append_commit(
+        path,
+        lambda: evolved.write.mode("append").partitionBy("band").parquet(path),
+        schema_json=evolved.schema.json(),
+    )
+    # third commit WITHOUT schema_json: schema must carry forward
+    extra = evolved.withColumn("doc_id", F.col("doc_id") + 500_000)
+    im.append_commit(
+        path,
+        lambda: extra.write.mode("append").partitionBy("band").parquet(path),
+    )
+    live = im.read_index(spark, path)
+    assert "tokens" in live.columns
+    want = docs.count() + 2 * evolved.count()
+    assert live.count() == want
+    n_null = live.filter(F.col("tokens").isNull()).count()
+    assert n_null == docs.count()
+
+    im.compact_index_parts(spark, path, "band", max_files_per_part=1)
+    after = im.read_index(spark, path)
+    assert "tokens" in after.columns
+    assert after.count() == want
+    # compaction materialized the NULL projection physically; content
+    # is conserved column-for-column
+    assert after.filter(F.col("tokens").isNull()).count() == n_null
+
+
+# --- vector_ann_sq8_topk -----------------------------------------------------
+
+
+def test_sq8_codes_bit_identical_cross_engine(spark, oracle_con):
+    """The quantizer's codes — integer floor of an identical IEEE
+    double expression tree — are BIT-identical between Spark and
+    DuckDB, code for code (the property that makes SQ8 the one
+    compressed tier with a full hash oracle)."""
+    codes, mins, maxes = sq8_artifact(spark, SF_DIR)
+    sp = {
+        int(r.neighbor_id): list(r.codes)
+        for r in codes.collect()
+    }
+    oc = oracle_con.execute(
+        """
+        WITH dims AS (
+          SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+          FROM (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+          GROUP BY i
+        )
+        SELECT e.vec_id,
+               list(LEAST(255, GREATEST(0, CAST(FLOOR(
+                 (CAST(e.embedding[d.i] AS DOUBLE) - d.mn) * 255.0
+                 / (d.mx - d.mn)) AS INT))) ORDER BY d.i) AS codes
+        FROM embeddings e CROSS JOIN dims d
+        GROUP BY e.vec_id
+        """
+    ).df()
+    duck = {int(r.vec_id): list(r.codes) for _, r in oc.iterrows()}
+    assert sp == duck
+    assert all(0 <= c <= 255 for cs in sp.values() for c in cs)
+
+
+def test_sq8_margins_and_reconstruction_bound(spark):
+    """Ranking margins non-degenerate (no two consecutive candidate
+    scores within float noise for any query) and the decode error
+    bound holds: |x - decode(encode(x))| <= 0.5 * span/255 per
+    dimension (the bucket-midpoint guarantee), span > 0 everywhere."""
+    from cognitive_score_bigdata_spark.queries.round16_staging import (
+        SQ8_N_QUERIES,
+    )
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb.vec_id.to_numpy()
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mn, mx = M.min(axis=0), M.max(axis=0)
+    span = mx - mn
+    assert (span > 0).all()
+    codes = np.clip(np.floor((M - mn) * 255.0 / span), 0, 255)
+    R = mn + (codes + 0.5) * span / 255.0
+    assert (np.abs(M - R) <= 0.5 * span / 255.0 + 1e-12).all()
+
+    qmask = ids < SQ8_N_QUERIES
+    Q = M[qmask]
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    cos = qn @ rn.T
+    worst = 1.0
+    for qi, qid in enumerate(ids[qmask]):
+        scores = np.sort(cos[qi][ids != qid])[::-1][:20]
+        worst = min(worst, np.min(np.abs(np.diff(scores))))
+    assert worst > 1e-9, worst
