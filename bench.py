@@ -305,6 +305,10 @@ HEADLINE = [
     "scan_changes_feed",
     "scan_schema_evolution_agg",
     "vector_ann_sq8_topk",
+    # CDF-driven incremental MV maintenance (timed row = v1 rollup +
+    # feed deltas + merge — the table is never rescanned; the upsert
+    # artifact is the already-warmed changes artifact)
+    "agg_mv_apply_changes",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

@@ -357,6 +357,86 @@ ROUND8_WINDOW = [
 # Per the plan's displacement rule, new round-10 queries displace
 # refills from the END of the list, never the r5 carries.
 
+# Round-15 rotation plan, MATERIALIZED at round-13 end (one round
+# ahead: the round-13 session birthed six never-driver-checked rows
+# across its two staging files, so their window exists from birth; the
+# round-14 session amends per the standing displacement rule).
+# Composition: the 6 never-driver-checked births — vector_ann_lsh_seeded
+# + scan_time_travel_audit (round15_staging, r13 session) and
+# scan_changes_feed + agg_mv_apply_changes + scan_schema_evolution_agg
+# + vector_ann_sq8_topk (round16_staging, r13 session continuation; all
+# four FULL hash oracles, mirrored green at sf0.001 AND sf0.01 at
+# staging time, benched + banded + sloped from day one) — then the 6
+# round-9-latest hold-overs ROUND14 documented (clears round-9 debt),
+# then 38 of the 50 round-10-latest carries. The 12 r10 rows held to
+# round 16, each the least-risk member of its family:
+# flagship_dashboard / flagship_stats (entry() smoke-checked by the
+# driver EVERY round + bench canary), join_inner_broadcast / join_asof
+# (join battery green r12; join_asof_forward carried in ROUND14),
+# analytics_q5/q7/q8/q9 (TPC-H battery benched every run; q3 carried
+# in ROUND14, q10-q22 carried HERE), agg_distinct / agg_filtered_count
+# (exact-agg machinery shared with the r12-green agg battery),
+# sample_seeded (rows-only F9 parity row; hash-green sibling
+# sample_weighted_systematic is IN this window), dedup_cluster_docs
+# (rows-only; exact sibling dedup_cluster_exact hash-green, family
+# carried in ROUND13). New round-14/15 session births displace
+# carries from the END.
+ROUND15_WINDOW = [
+    # the 6 never-driver-checked births (birth-window driver rows)
+    "vector_ann_lsh_seeded",
+    "scan_time_travel_audit",
+    "scan_changes_feed",
+    "agg_mv_apply_changes",
+    "scan_schema_evolution_agg",
+    "vector_ann_sq8_topk",
+    # the 6 round-9-latest hold-overs — clears round-9 debt
+    "agg_histogram_value",
+    "anomaly_daily_zscore",
+    "sample_weighted_systematic",
+    "scalar_array_funcs",
+    "setop_except_all",
+    "setop_intersect_all",
+    # 38 of the 50 round-10-latest carries
+    "agg_corr_value_hour",
+    "agg_equidepth_deciles",
+    "agg_gini_value",
+    "agg_group_q1",
+    "agg_median",
+    "agg_pivot_event_types",
+    "agg_trend_slope_by_type",
+    "agg_variance_manual",
+    "agg_weighted_median_by_source",
+    "analytics_q10_returns",
+    "analytics_q11_share",
+    "analytics_q12_priority_mix",
+    "analytics_q13_custdist",
+    "analytics_q14_promo",
+    "analytics_q15_top_supplier",
+    "analytics_q17_small_qty",
+    "analytics_q18_large_orders",
+    "analytics_q19_disjunctive",
+    "analytics_q22_dormant",
+    "analytics_q4_exists_priority",
+    "analytics_q6_selective",
+    "corpus_filter_funnel",
+    "corpus_vocab_topk",
+    "curation_scorer_length_bias",
+    "curation_scorer_oov_audit",
+    "dedup_index_merge_pairs_md5",
+    "events_pareto_user_deciles",
+    "events_weekday_profile",
+    "join_lookup_latest_state",
+    "quality_entity_share_audit",
+    "quality_independence_residuals",
+    "scalar_interval",
+    "scalar_json",
+    "text_exact_dedup",
+    "text_ngram_jaccard",
+    "timeseries_ohlc_hourly",
+    "timeseries_twap_per_user",
+    "window_session_30m",
+]
+
 # Round-14 rotation plan, MATERIALIZED at round-13 end (VERDICT r12
 # item 2). Composition: the 3 round-14 staged births — ALL
 # never-driver-checked registry rows get their birth here:

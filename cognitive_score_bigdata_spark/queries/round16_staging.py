@@ -19,6 +19,13 @@ all four change classes from the base table and the upsert's
 deterministic predicates, so a suppressed-but-changed row, an
 unsuppressed copy, or a wrong image all hash-mismatch.
 
+``agg_mv_apply_changes`` — what the feed is FOR: incremental
+materialized-view maintenance. The v2 per-language rollup is derived
+from the v1 rollup plus the feed's signed deltas — the table is never
+rescanned (maintenance cost ∝ change), and the oracle recomputes the
+rollup from the upserted state from scratch, so "incremental ≡ full"
+IS the hash check.
+
 ``scan_schema_evolution_agg`` — schema evolution on the manifest
 protocol (§4.1): an append commits a batch carrying a NEW column
 (``tokens``) together with the evolved table schema in the SAME
@@ -176,6 +183,69 @@ def scan_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         "_change_type",
     )
+
+
+@register(
+    "agg_mv_apply_changes",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT lang,
+             CASE WHEN doc_id % {CDF_UPD_MOD} = {CDF_UPD_REM}
+                  THEN n_chars + {CDF_UPD_DELTA} ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % {CDF_DEL_MOD} <> {CDF_DEL_REM}
+      UNION ALL
+      SELECT lang, n_chars FROM documents
+      WHERE doc_id % {CDF_INS_MOD} = {CDF_INS_REM}
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM v2 GROUP BY lang
+    """,
+    doc="incremental materialized-view maintenance driven by the "
+    "change feed: the v2 per-language rollup is derived from the v1 "
+    "rollup PLUS the feed's signed deltas (delete −1/−chars, insert "
+    "+1/+chars, update ±chars with count cancelling) — the v2 table "
+    "is NEVER rescanned, maintenance cost ∝ change, not table. The "
+    "oracle recomputes the rollup from the upserted state from "
+    "scratch, so incremental ≡ full is the hash check itself",
+)
+def agg_mv_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, v1, v2 = changes_artifact(spark, sf_dir)
+    mv1 = (
+        read_index(spark, path, version=v1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+    feed = read_changes(spark, path, v1, v2, key_cols=["doc_id"])
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
+    )
+    deltas = (
+        feed.withColumn("__s", sign)
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1)
+                .when(F.col("_change_type") == "delete", -1)
+                .otherwise(0)
+            ).alias("d_docs"),
+            F.sum(F.col("__s") * F.col("n_chars")).alias("d_chars"),
+        )
+    )
+    merged = mv1.join(deltas, "lang", "full_outer").select(
+        "lang",
+        (F.coalesce(F.col("n_docs"), F.lit(0))
+         + F.coalesce(F.col("d_docs"), F.lit(0))).alias("n_docs"),
+        (F.coalesce(F.col("sum_chars"), F.lit(0))
+         + F.coalesce(F.col("d_chars"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_chars"),
+    )
+    return merged.filter(F.col("n_docs") > 0)
 
 
 # ---------------------------------------------------------------------------

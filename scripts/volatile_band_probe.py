@@ -69,6 +69,14 @@ WARM_FOR = {
     # r14 staging: clustered publish + delete rewrite are once-per-
     # corpus commits (bench warms them); the timed row is the fetch
     "scan_delete_rewrite_fetch": ["scan_delete_rewrite_fetch"],
+    # r16 staging: publish + upsert rewrite / evolved append / SQ8
+    # fit+encode are once-per-corpus commits or index builds (bench
+    # warms them); the timed rows are the feed read, the evolved live
+    # scan, and the asymmetric probe
+    "scan_changes_feed": ["scan_changes_feed"],
+    "scan_schema_evolution_agg": ["scan_schema_evolution_agg"],
+    "vector_ann_sq8_topk": ["vector_ann_sq8_topk"],
+    "agg_mv_apply_changes": ["scan_changes_feed"],
 }
 
 

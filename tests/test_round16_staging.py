@@ -33,6 +33,7 @@ from tests.conftest import SF_DIR, assert_frames_match
 
 NEW_QUERIES = [
     "scan_changes_feed",
+    "agg_mv_apply_changes",
     "scan_schema_evolution_agg",
     "vector_ann_sq8_topk",
 ]
@@ -170,6 +171,86 @@ def test_changes_feed_schema_evolution_backfill_reads_as_update(spark):
     post = feed.filter(F.col("_change_type") == "update_postimage")
     assert pre.filter(F.col("tokens").isNotNull()).count() == 0
     assert post.filter(F.col("tokens").isNull()).count() == 0
+
+
+def test_changes_feed_multi_commit_and_net_semantics(spark):
+    """The feed composes across commits: applying v1→v2 then v2→v3
+    feeds to a keyed store equals the direct v3 read, and the
+    NON-ADJACENT v1→v3 feed has NET semantics — a row deleted in v2
+    and reinserted identically in v3 appears in neither side of the
+    span diff (pre-image == post-image → suppressed)."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix="csb_cdf_multi_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+    )
+    # v2: delete doc_id % 10 == 1 from band 1 (all such ids are odd)
+    keep = im.read_index(spark, path, part_values=[1]).filter(
+        (F.col("band") == 1) & ~(F.col("doc_id") % 10 == 1)
+    )
+    im.replace_parts_commit(
+        path,
+        lambda: keep.write.mode("append").partitionBy("band").parquet(path),
+        part_values=[1],
+    )
+    # v3: reinsert the deleted rows byte-identically
+    full = docs.filter(F.col("band") == 1)
+    im.replace_parts_commit(
+        path,
+        lambda: full.write.mode("append").partitionBy("band").parquet(path),
+        part_values=[1],
+    )
+
+    def keyset(df):
+        return {r.doc_id for r in df.select("doc_id").collect()}
+
+    f12 = im.read_changes(spark, path, 1, 2, key_cols=["doc_id"])
+    f23 = im.read_changes(spark, path, 2, 3, key_cols=["doc_id"])
+    victims = keyset(docs.filter((F.col("band") == 1)
+                                 & (F.col("doc_id") % 10 == 1)))
+    assert {r["_change_type"] for r in f12.select("_change_type")
+            .distinct().collect()} == {"delete"}
+    assert keyset(f12) == victims
+    assert {r["_change_type"] for r in f23.select("_change_type")
+            .distinct().collect()} == {"insert"}
+    assert keyset(f23) == victims
+
+    # sequential application reaches the direct v3 state
+    v1 = keyset(im.read_index(spark, path, version=1))
+    applied = (v1 - keyset(f12)) | keyset(f23)
+    assert applied == keyset(im.read_index(spark, path, version=3))
+
+    # net semantics across the span: delete + identical reinsert = no row
+    f13 = im.read_changes(spark, path, 1, 3, key_cols=["doc_id"])
+    assert f13.count() == 0
+
+
+def test_mv_apply_changes_equals_direct_recompute(spark):
+    """The incremental identity, Spark-side: the feed-maintained
+    rollup equals the direct aggregate over the v2 snapshot — the
+    property that lets a 100 TB view update at the cost of its delta."""
+    path, _v1, v2 = changes_artifact(spark, SF_DIR)
+    spec = load_registry()["agg_mv_apply_changes"]
+    inc = {
+        r.lang: (r.n_docs, r.sum_chars)
+        for r in spec.fn(spark, SF_DIR).collect()
+    }
+    direct = {
+        r.lang: (r.n_docs, r.sum_chars)
+        for r in im.read_index(spark, path, version=v2)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .collect()
+    }
+    assert inc == direct
 
 
 # --- scan_schema_evolution_agg ----------------------------------------------
