@@ -18,12 +18,22 @@ snapshot) a pruned probe — zone-map file skip + caller filter — must
 equal the model's filtered content exactly, so stats can never pair
 with the wrong snapshot's files under any op interleaving.
 
+The change feed is model-checked too: replacements COPY part of each
+replaced band unchanged (what a partition rewrite actually does), and
+after every op the Python mirror of read_changes' classification —
+snapshot-diff rows full-outer-matched on the key — applied to the FROM
+snapshot must reproduce the TO snapshot for the newest retained pair
+and the longest retained span (suppression, net semantics across
+spans, and empty feeds for compaction/metadata commits all fall out
+of that single invariant).
+
 Data files are written with pyarrow (no Spark in the hot loop, so
 hypothesis can afford real sequence exploration); ONE final Spark
 read_index parity check per example confirms the Spark reader agrees
-with the model's file-level resolution. Compaction — the only op that
-needs an engine — runs through the real compact_index_parts with the
-session Spark."""
+with the model's file-level resolution, and one final Spark
+read_changes parity confirms the operator agrees with the Python feed
+mirror. Compaction — the only op that needs an engine — runs through
+the real compact_index_parts with the session Spark."""
 
 from __future__ import annotations
 
@@ -43,9 +53,11 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     file_column_stats,
     pruned_files,
     publish_manifest,
+    read_changes,
     read_index,
     read_manifest,
     replace_parts_commit,
+    snapshot_diff,
     vacuum_index,
 )
 
@@ -86,6 +98,48 @@ def _committed_rows(
                     continue
             out[(i, band)] += 1
     return out
+
+
+def _python_feed(path: str, v_from: int, v_to: int):
+    """Pure-Python mirror of read_changes' classification (pyarrow
+    reads, no Spark — model-checkable in the hot loop): the snapshot
+    diff's superseded rows full-outer-matched against its replacement
+    rows on ``id``, yielding (deletes, inserts, updates) as
+    {id: band} / [(id, band_pre, band_post)]. Copied-unchanged rows
+    must vanish here exactly as they do in the operator."""
+    removed, added = snapshot_diff(path, v_from, v_to)
+
+    def rows(files):
+        out = {}
+        for rel in files:
+            band = int(rel.split("/", 1)[0].split("=", 1)[1])
+            t = pq.read_table(os.path.join(path, rel), columns=["id"])
+            for i in t.column("id").to_pylist():
+                assert i not in out, "CDF key contract violated in model"
+                out[i] = band
+        return out
+
+    pre, post = rows(removed), rows(added)
+    deletes = {i: b for i, b in pre.items() if i not in post}
+    inserts = {i: b for i, b in post.items() if i not in pre}
+    updates = [
+        (i, pre[i], post[i])
+        for i in pre
+        if i in post and pre[i] != post[i]
+    ]
+    return deletes, inserts, updates
+
+
+def _apply_feed(snap: Counter, deletes, inserts, updates) -> Counter:
+    out = Counter(snap)
+    for i, b in deletes.items():
+        out[(i, b)] -= 1
+    for i, b in inserts.items():
+        out[(i, b)] += 1
+    for i, b_pre, b_post in updates:
+        out[(i, b_pre)] -= 1
+        out[(i, b_post)] += 1
+    return Counter({k: c for k, c in out.items() if c > 0})
 
 
 def _model_pruned(model: Counter, lo, hi) -> Counter:
@@ -180,13 +234,23 @@ def test_manifest_protocol_matches_model(spark, ops):
             )
             model.update((i, band) for i in ids)
         elif kind == "replace":
-            # replace bands {band, band2} — band2 may equal band
+            # replace bands {band, band2} — band2 may equal band. Half
+            # the fresh-row budget COPIES existing rows unchanged into
+            # the replacement files (what a partition rewrite actually
+            # does), so the CDF invariant below exercises suppression
+            # under arbitrary interleavings, not just in the
+            # deterministic round-16 pins.
             band2 = (band + n) % len(BANDS)
             vals = sorted({band, band2})
+            copied = {
+                b: sorted(i for (i, bb) in model if bb == b)[: n // 2]
+                for b in vals
+            }
             ids_per = {b: fresh_ids(n) for b in vals}
 
             def write_replacement():
-                for b, ids in ids_per.items():
+                for b in vals:
+                    ids = copied[b] + ids_per[b]
                     if ids:  # zero-row replacement writes nothing
                         _write_rows(path, b, ids, f"rep-{k}-{b}")
 
@@ -202,8 +266,8 @@ def test_manifest_protocol_matches_model(spark, ops):
             model = Counter(
                 {(i, b): c for (i, b), c in model.items() if b not in vals}
             )
-            for b, ids in ids_per.items():
-                model.update((i, b) for i in ids)
+            for b in vals:
+                model.update((i, b) for i in copied[b] + ids_per[b])
         elif kind == "compact":
             parts = None if n == 0 else [band]
             # a no-op compaction (nothing over threshold) never reaches
@@ -261,6 +325,29 @@ def test_manifest_protocol_matches_model(spark, ops):
             got = _committed_rows(path, prune=("id", lo, hi))
             assert got == _model_pruned(model, lo, hi), (kind, k, lo, hi)
 
+        # CDF invariant after EVERY op: for the newest retained pair
+        # and the longest retained span, applying the change feed's
+        # classification to the FROM snapshot reproduces the TO
+        # snapshot — deletes/inserts/updates exact, copied-unchanged
+        # rows suppressed, compactions and metadata commits net to
+        # empty feeds, under arbitrary op interleavings. (Pure-Python
+        # feed mirror; one Spark read_changes parity at test end.)
+        retained = [v for v in sorted(history) if v not in expired]
+        spans = []
+        if len(retained) >= 2:
+            spans.append((retained[-2], retained[-1]))
+        if len(retained) >= 3:
+            spans.append((retained[0], retained[-1]))
+        for va, vb in spans:
+            try:
+                d, ins, upd = _python_feed(path, va, vb)
+            except ValueError:
+                expired.add(va)  # vacuumed since; lazily recorded
+                continue
+            assert _apply_feed(history[va], d, ins, upd) == history[vb], (
+                kind, k, va, vb,
+            )
+
         # every retained snapshot still resolves to what the model
         # recorded at that version; expired ones refuse
         for v, snap in history.items():
@@ -285,3 +372,31 @@ def test_manifest_protocol_matches_model(spark, ops):
     pdf = read_index(spark, path).toPandas()
     got = Counter(zip(pdf["id"], pdf["band"]))
     assert got == model
+
+    # final: the real Spark read_changes agrees with the Python feed
+    # mirror over the longest retained span
+    retained = []
+    for v in sorted(history):
+        if v in expired:
+            continue
+        try:
+            read_manifest(path, version=v)
+            retained.append(v)
+        except ValueError:
+            continue
+    if len(retained) >= 2:
+        va, vb = retained[0], retained[-1]
+        d, ins, upd = _python_feed(path, va, vb)
+        fp = read_changes(spark, path, va, vb, key_cols=["id"]).toPandas()
+        got_feed = Counter(
+            zip(fp["id"], fp["band"], fp["_change_type"])
+        )
+        want: Counter = Counter()
+        for i, b in d.items():
+            want[(i, b, "delete")] += 1
+        for i, b in ins.items():
+            want[(i, b, "insert")] += 1
+        for i, bp, bq in upd:
+            want[(i, bp, "update_preimage")] += 1
+            want[(i, bq, "update_postimage")] += 1
+        assert got_feed == want
