@@ -309,6 +309,10 @@ HEADLINE = [
     # feed deltas + merge — the table is never rescanned; the upsert
     # artifact is the already-warmed changes artifact)
     "agg_mv_apply_changes",
+    # composed IVF_SQ8 tier (timed row = the 2-of-8-cell probe over
+    # one-byte codes; both build artifacts — the seeded IVF index and
+    # the SQ8 code table — are already warmed above)
+    "vector_ann_ivfsq_topk",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to

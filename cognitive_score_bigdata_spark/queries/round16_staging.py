@@ -374,6 +374,214 @@ def sq8_artifact(spark: SparkSession, sf_dir: str):
     return session_scoped(_SQ8_ARTIFACTS, spark, (sf_dir,), build)
 
 
+_IVFSQ_ORACLE = """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding AS center
+      FROM embeddings
+      WHERE vec_id % {SEED_MOD} = {SEED_REM} AND vec_id < {SEED_MAX}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.center)
+                          DESC, s.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, s.center)
+                          DESC, s.cell ASC
+               ) AS rc
+        FROM embeddings q CROSS JOIN seeds s
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rc <= {N_PROBE}
+    ),
+    dims AS (
+      SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+      FROM (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+      GROUP BY i
+    ),
+    codes AS (
+      SELECT e.vec_id, d.i, d.mn, d.mx,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(e.embedding[d.i] AS DOUBLE) - d.mn) * 255.0
+               / (d.mx - d.mn)) AS INT))) AS c
+      FROM embeddings e CROSS JOIN dims d
+    ),
+    recon AS (
+      SELECT vec_id,
+             list(mn + (c + 0.5) * (mx - mn) / 255.0 ORDER BY i) AS r
+      FROM codes GROUP BY vec_id
+    )
+    SELECT query_id, neighbor_id, rnk FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(qe.embedding AS DOUBLE[]), rc.r) DESC,
+               a.vec_id ASC
+             ) AS BIGINT) AS rnk
+      FROM probe p
+      JOIN assign a ON a.cell = p.cell
+      JOIN recon rc ON rc.vec_id = a.vec_id
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rnk <= {K}
+"""
+
+
+@register(
+    "vector_ann_ivfsq_topk",
+    oracle=None,  # spliced below with the seed constants
+    doc="IVF_SQ8 — the production two-tier ANN shape (Milvus IVF_SQ8 / "
+    "FAISS IVF,SQ8): the seeded 8-cell coarse quantizer prunes "
+    "candidates to n_probe=2 cells, and inside the probed cells the "
+    "scan reads ONE-BYTE SQ8 codes instead of float vectors — at "
+    "100 TB the probe touches n_probe/n_cells of the corpus at a "
+    "quarter of the bytes. Every stage (cell assignment, probe-cell "
+    "choice, code decode, ranking) recomputes in the DuckDB mirror, "
+    "hash-for-hash — the first COMPOSED compressed tier with a full "
+    "oracle (PQ needs k-means codebooks; SQ8's quantizer is "
+    "closed-form)",
+)
+def vector_ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cognitive_score_bigdata_spark.operators.sq import _lit_arr
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_K,
+        ANN_N_PROBE,
+        ANN_N_QUERIES,
+        _seeded_ivf_index,
+    )
+
+    index = _seeded_ivf_index(spark, sf_dir)
+    codes, mins, maxes = sq8_artifact(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # probe-cell choice: identical to ivf_probe's (unit-space euclidean
+    # against the unit seed centers is monotone in cosine; margin
+    # pinned in tests like the seeded-IVF row)
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        _as_double,
+        l2_norm,
+    )
+
+    unit_q = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: x / l2_norm(F.col("embedding")),
+    )
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), unit_q.alias("__q")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(index.centers_df))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.col("center"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "__rc",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("__d"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rc") <= ANN_N_PROBE)
+        .select("query_id", "__q", "cell")
+    )
+
+    mn_c, mx_c = _lit_arr(mins), _lit_arr(maxes)
+    recon = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(mn_c, i + 1)
+        + (c.cast("double") + F.lit(0.5))
+        * (F.element_at(mx_c, i + 1) - F.element_at(mn_c, i + 1))
+        / F.lit(255.0),
+    )
+    cells = index.cand.select("neighbor_id", "cell")
+    coded = codes.withColumn("__r", recon).drop("codes")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(qc)
+        .join(cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(coded, "neighbor_id")
+        .withColumn(
+            "cos",
+            dot(F.col("__q"), F.col("__r"))
+            / F.sqrt(dot(F.col("__r"), F.col("__r"))),
+        )
+        .select("query_id", "neighbor_id", "cos")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _splice_ivfsq_oracle() -> None:
+    from dataclasses import replace
+
+    from cognitive_score_bigdata_spark.queries import REGISTRY
+    from cognitive_score_bigdata_spark.queries.round12 import (
+        SEED_MAX,
+        SEED_MOD,
+        SEED_REM,
+    )
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_K,
+        ANN_N_PROBE,
+        ANN_N_QUERIES,
+    )
+
+    spec = REGISTRY["vector_ann_ivfsq_topk"]
+    REGISTRY["vector_ann_ivfsq_topk"] = replace(
+        spec,
+        oracle=_IVFSQ_ORACLE.format(
+            SEED_MOD=SEED_MOD,
+            SEED_REM=SEED_REM,
+            SEED_MAX=SEED_MAX,
+            N_QUERIES=ANN_N_QUERIES,
+            N_PROBE=ANN_N_PROBE,
+            K=ANN_K,
+        ),
+    )
+
+
+_splice_ivfsq_oracle()
+
+
 @register(
     "vector_ann_sq8_topk",
     oracle=f"""

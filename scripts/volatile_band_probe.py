@@ -77,6 +77,10 @@ WARM_FOR = {
     "scan_schema_evolution_agg": ["scan_schema_evolution_agg"],
     "vector_ann_sq8_topk": ["vector_ann_sq8_topk"],
     "agg_mv_apply_changes": ["scan_changes_feed"],
+    "vector_ann_ivfsq_topk": [
+        "vector_ann_ivf_topk_seeded",
+        "vector_ann_sq8_topk",
+    ],
 }
 
 

@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "agg_mv_apply_changes",
     "scan_schema_evolution_agg",
     "vector_ann_sq8_topk",
+    "vector_ann_ivfsq_topk",
 ]
 
 
@@ -324,6 +325,35 @@ def test_schema_carries_forward_and_survives_compaction(spark):
     assert after.filter(F.col("tokens").isNull()).count() == n_null
 
 
+def test_schema_evolution_zonemap_interplay(spark):
+    """Zone maps on the EVOLVED column are conservative across the
+    schema boundary: pre-evolution files carry no stats for `tokens`
+    (their rows project NULL — a range predicate never matches them,
+    but the pruner cannot know that without stats, so it must KEEP
+    them), while evolved files with provably-empty ranges are
+    skipped. The composed read stays exact."""
+    path = evolution_artifact(spark, SF_DIR)
+    doc = im._read_manifest_doc(path)
+    v1_files = set(im._read_manifest_doc(path, version=1)["files"])
+    stats = doc.get("stats", {})
+    # every pre-evolution file lacks tokens stats; every evolved file
+    # has them (stats_cols harvested on the append)
+    for f in doc["files"]:
+        if f in v1_files:
+            assert "tokens" not in stats.get(f, {})
+        else:
+            assert "tokens" in stats[f]
+    hi = max(st["tokens"][1] for f, st in stats.items() if "tokens" in st)
+    survivors = im.pruned_files(path, ("tokens", hi + 1, None))
+    # old files survive (unknown => never skipped); all evolved files
+    # are provably empty above the global max and drop out
+    assert set(survivors) == v1_files
+    probe = im.read_index(
+        spark, path, prune=("tokens", hi + 1, None)
+    ).filter(F.col("tokens") > hi)
+    assert probe.count() == 0  # exactness: pruning elided IO only
+
+
 # --- vector_ann_sq8_topk -----------------------------------------------------
 
 
@@ -357,6 +387,79 @@ def test_sq8_codes_bit_identical_cross_engine(spark, oracle_con):
     duck = {int(r.vec_id): list(r.codes) for _, r in oc.iterrows()}
     assert sp == duck
     assert all(0 <= c <= 255 for cs in sp.values() for c in cs)
+
+
+def test_ivfsq_margins_and_numpy_truth(spark):
+    """The composed IVF_SQ8 tier's three cross-engine float decisions
+    are margin-protected (cell assignment, probe boundary at n_probe,
+    consecutive reconstructed-cosine gaps inside probed candidates),
+    and the emitted top-k equals a full numpy recompute of the
+    pipeline."""
+    from cognitive_score_bigdata_spark.queries.round12 import (
+        SEED_MAX,
+        SEED_MOD,
+        SEED_REM,
+    )
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_K,
+        ANN_N_PROBE,
+        ANN_N_QUERIES,
+    )
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb.vec_id.to_numpy()
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    smask = (ids % SEED_MOD == SEED_REM) & (ids < SEED_MAX)
+    S = M[smask]
+    u = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    su = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    cos_cells = u @ su.T
+    # assignment margin: best vs second-best cell per vector
+    srt = np.sort(cos_cells, axis=1)
+    assert (srt[:, -1] - srt[:, -2]).min() > 1e-6
+    assign = cos_cells.argmax(axis=1)
+    # probe-boundary margin at n_probe for the query set
+    qmask = ids < ANN_N_QUERIES
+    qcells = cos_cells[qmask]
+    qsrt = np.sort(qcells, axis=1)[:, ::-1]
+    assert (qsrt[:, ANN_N_PROBE - 1] - qsrt[:, ANN_N_PROBE]).min() > 1e-6
+
+    mn, mx = M.min(axis=0), M.max(axis=0)
+    span = mx - mn
+    codes = np.clip(np.floor((M - mn) * 255.0 / span), 0, 255)
+    R = mn + (codes + 0.5) * span / 255.0
+    rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    qn = M[qmask] / np.linalg.norm(M[qmask], axis=1, keepdims=True)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in load_registry()["vector_ann_ivfsq_topk"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    want = set()
+    for qi, qid in enumerate(ids[qmask]):
+        probed = set(np.argsort(-qcells[qi], kind="stable")[:ANN_N_PROBE])
+        cand = [
+            j
+            for j in range(len(ids))
+            if assign[j] in probed and ids[j] != qid
+        ]
+        scores = qn[qi] @ rn[cand].T
+        order = sorted(
+            zip(scores, [ids[j] for j in cand]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        gaps = np.abs(np.diff([s for s, _ in order[: ANN_K + 10]]))
+        assert gaps.min() > 1e-9
+        for rk, (_s, nid) in enumerate(order[:ANN_K], start=1):
+            want.add((int(qid), int(nid), rk))
+    assert got == want
 
 
 def test_sq8_margins_and_reconstruction_bound(spark):
