@@ -339,26 +339,29 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "0e0e1a081689",
-    "recorded": "2026-08-16 r13-continuation six-run protocol (192-query set)",
-    # s per probe-s: total / median(noise_probe) of each run. The
-    # previous 183-query recording for reference: normalized
-    # 324.5-445.5 (median 394.5), raw 190.8-202.9, probe 0.441-0.588 —
-    # 192/183 = +4.9% queries for a +2.5% median normalized total, so
-    # the set grew per-query cheaper. This recording's probe medians
-    # (0.535-0.646) sat mid-range, giving a tighter normalized band
-    # than r12's wide-high one.
-    "headline_total_band": [338.9, 423.1],
-    "headline_total_values": [423.1, 406.9, 401.5, 352.2, 338.9, 408.6],
-    "raw_total_band": [218.273, 254.55],
-    "probe_median_range": [0.535, 0.646],
+    "recorded_headline_hash": "4f4719c494dd",
+    "recorded": "2026-08-16 r13-continuation six-run protocol (193-query set)",
+    # s per probe-s: total / median(noise_probe) of each run. The set
+    # changed twice this session (+4 CDF/evolution/SQ8/MV rows to 192,
+    # then +vector_ann_ivfsq_topk to 193); each change re-recorded the
+    # band in the same session (the intermediate 192-query recording:
+    # normalized 338.9-423.1, raw 218.3-254.6, probe 0.535-0.646 —
+    # kept in SURVEY §9aa-r13 for the audit trail). For reference, the
+    # r12 183-query recording: normalized 324.5-445.5 (median 394.5),
+    # raw 190.8-202.9. 193/183 = +5.5% queries for a -5% median
+    # normalized total (377.6 vs 394.5) — the set grew per-query
+    # cheaper.
+    "headline_total_band": [344.9, 439.2],
+    "headline_total_values": [395.6, 344.9, 439.2, 367.4, 387.7, 347.4],
+    "raw_total_band": [210.525, 279.763],
+    "probe_median_range": [0.543, 0.663],
     # per-metric normalized bands from the same six runs (keys match
     # banded_normalized's)
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [3.7, 7.5],
-        "text_prefix_filter_join": [12.98, 16.18],
-        "dedup_simhash_pairs": [4.78, 6.24],
-        "graph_family_total": [35.55, 44.04],
+        "vector_ann_ivfpq_topk": [3.94, 6.01],
+        "text_prefix_filter_join": [12.52, 16.2],
+        "dedup_simhash_pairs": [4.51, 6.85],
+        "graph_family_total": [35.12, 47.73],
     },
 }
 
