@@ -313,6 +313,10 @@ HEADLINE = [
     # one-byte codes; both build artifacts — the seeded IVF index and
     # the SQ8 code table — are already warmed above)
     "vector_ann_ivfsq_topk",
+    # MERGE INTO (timed row = the post-merge live scan + agg; the
+    # publish + merge_commit are once-per-corpus maintenance commits,
+    # warmed below)
+    "scan_merge_upsert_agg",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -339,29 +343,29 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "4f4719c494dd",
-    "recorded": "2026-08-16 r13-continuation six-run protocol (193-query set)",
+    "recorded_headline_hash": "be28ea3ee4b7",
+    "recorded": "2026-08-16 r13-continuation six-run protocol (194-query set)",
     # s per probe-s: total / median(noise_probe) of each run. The set
-    # changed twice this session (+4 CDF/evolution/SQ8/MV rows to 192,
-    # then +vector_ann_ivfsq_topk to 193); each change re-recorded the
-    # band in the same session (the intermediate 192-query recording:
-    # normalized 338.9-423.1, raw 218.3-254.6, probe 0.535-0.646 —
-    # kept in SURVEY §9aa-r13 for the audit trail). For reference, the
-    # r12 183-query recording: normalized 324.5-445.5 (median 394.5),
-    # raw 190.8-202.9. 193/183 = +5.5% queries for a -5% median
-    # normalized total (377.6 vs 394.5) — the set grew per-query
-    # cheaper.
-    "headline_total_band": [344.9, 439.2],
-    "headline_total_values": [395.6, 344.9, 439.2, 367.4, 387.7, 347.4],
-    "raw_total_band": [210.525, 279.763],
-    "probe_median_range": [0.543, 0.663],
+    # changed three times this session (+4 CDF/evolution/SQ8/MV rows
+    # to 192, +vector_ann_ivfsq_topk to 193, +scan_merge_upsert_agg to
+    # 194); each work batch that changed the set re-recorded the band
+    # in the same session (intermediates kept in SURVEY §9aa-r13 for
+    # the audit trail: 192-query normalized 338.9-423.1, 193-query
+    # 344.9-439.2). For reference, the r12 183-query recording:
+    # normalized 324.5-445.5 (median 394.5), raw 190.8-202.9.
+    # 194/183 = +6% queries for a -2% median normalized total
+    # (379.8 vs 394.5) — the set grew per-query cheaper.
+    "headline_total_band": [341.6, 446.4],
+    "headline_total_values": [344.5, 395.1, 341.6, 443.0, 364.5, 446.4],
+    "raw_total_band": [217.995, 254.871],
+    "probe_median_range": [0.532, 0.662],
     # per-metric normalized bands from the same six runs (keys match
     # banded_normalized's)
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [3.94, 6.01],
-        "text_prefix_filter_join": [12.52, 16.2],
-        "dedup_simhash_pairs": [4.51, 6.85],
-        "graph_family_total": [35.12, 47.73],
+        "vector_ann_ivfpq_topk": [3.77, 5.42],
+        "text_prefix_filter_join": [13.44, 16.81],
+        "dedup_simhash_pairs": [4.78, 7.05],
+        "graph_family_total": [34.35, 42.89],
     },
 }
 
@@ -452,6 +456,10 @@ def main() -> None:
         # code table are the index-build artifact; the timed row
         # measures the asymmetric reconstruct-and-rank probe
         "vector_ann_sq8_topk",
+        # clustered publish + MERGE commit (round-16 staging): both
+        # once-per-corpus maintenance commits; the timed row measures
+        # the post-merge live scan
+        "scan_merge_upsert_agg",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))

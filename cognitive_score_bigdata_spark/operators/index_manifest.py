@@ -755,6 +755,92 @@ def replace_parts_commit(
     return added
 
 
+def merge_commit(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+    note: str = "merge",
+    stats_cols: list[str] | None = None,
+    delete_col: str | None = None,
+    n_ranges_per_part: int = 2,
+    cluster_col: str | None = None,
+) -> list:
+    """MERGE INTO for a manifest-committed artifact — the general keyed
+    upsert of a transactional table format, built on
+    :func:`replace_parts_commit`'s two-phase swap:
+
+    - a target row whose key matches a source row is REPLACED by the
+      source row (update; the row moves partitions if the source's
+      ``part_col`` differs),
+    - an unmatched source row is INSERTED into its own ``part_col``
+      partition,
+    - with ``delete_col``, a source row carrying true there DELETES its
+      match instead (and inserts nothing) — the GDPR/re-annotation
+      tombstone shape,
+    - every other target row is untouched.
+
+    Affected partitions are located FROM THE DATA, not declared: the
+    partitions the source writes into ∪ the partitions currently
+    holding a matched key (a distributed semi-join + distinct over the
+    partition column — no driver-side key list; the scan that finds
+    matches is the same pruned manifest read every other consumer
+    uses). Only those partitions rewrite; everything else's committed
+    files survive byte-identical, which is what keeps a 100 TB MERGE
+    proportional to the touched keys' partitions rather than the
+    table. The rewrite re-clusters on ``cluster_col`` (default: the
+    first key column) so zone maps stay selective, and ``stats_cols``
+    (default: the cluster column) re-harvests in the SAME flip.
+
+    ``source`` must carry the target's columns (plus ``delete_col`` if
+    used) and at most one row per key; keys are compared null-unsafely
+    (a NULL key never matches — reject them upstream). Returns the
+    affected partition VALUES (canonical spelling), mainly for tests
+    and observability."""
+    cluster_col = cluster_col or key_cols[0]
+    stats_cols = stats_cols or [cluster_col]
+    src = source.localCheckpoint(eager=False)  # consumed 3-4 times below
+    live = read_index(spark, path)
+    src_keys = src.select(*key_cols)
+    matched_parts = (
+        live.join(src_keys, key_cols, "semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    )  # bounded by the partition count, not the data
+    src_parts = (
+        src.filter(~F.col(delete_col)) if delete_col is not None else src
+    ).select(part_col).distinct().collect()
+    parts = sorted({r[0] for r in matched_parts} | {r[0] for r in src_parts})
+    if not parts:
+        return []
+    survivors = live.filter(F.col(part_col).isin(parts)).join(
+        src_keys, key_cols, "anti"
+    )
+    incoming = (
+        src.filter(~F.col(delete_col)).drop(delete_col)
+        if delete_col is not None
+        else src
+    )
+    replacement = survivors.unionByName(
+        incoming.select(*survivors.columns)
+    )
+    replace_parts_commit(
+        path,
+        lambda: replacement.repartitionByRange(
+            max(len(parts) * n_ranges_per_part, 1), part_col, cluster_col
+        )
+        .write.mode("append")
+        .partitionBy(part_col)
+        .parquet(path),
+        part_values=parts,
+        note=note,
+        stats_cols=stats_cols,
+    )
+    return parts
+
+
 def compact_index_parts(
     spark: SparkSession,
     path: str,
@@ -1133,3 +1219,51 @@ def read_changes(
         ],
         F.col("__img._change_type").alias("_change_type"),
     )
+
+
+def drain_changes(
+    spark: SparkSession,
+    path: str,
+    state_path: str,
+    key_cols: list[str],
+    apply_fn,
+) -> tuple[int, int] | None:
+    """Checkpointed incremental consumer of the change feed — the
+    "keep a downstream store in sync" loop: resolve the consumer's
+    last-drained version from its OWN checkpoint file (consumer state
+    never lives in the producer's manifest — many consumers, one
+    producer), compute :func:`read_changes` up to the current
+    committed version, hand the feed to ``apply_fn(feed_df, v_from,
+    v_to)``, and only then advance the checkpoint (atomic same-dir
+    replace, the ``_current`` move). Crash BEFORE the checkpoint
+    write ⇒ the next drain redelivers the same span — at-least-once,
+    so ``apply_fn`` must be idempotent (keyed upserts/deletes are;
+    blind increments are not). A consumer that has never drained
+    starts from the OLDEST retained version — it must bootstrap from a
+    snapshot read first and record that version itself via
+    ``state_path``. Returns the (v_from, v_to) span drained, or None
+    when already current."""
+    import os
+
+    cur = read_manifest(path)
+    if cur is None:
+        return None
+    v_now = cur[0]
+    last = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            last = int(fh.read().strip())
+    if last is None:
+        raise ValueError(
+            f"consumer checkpoint {state_path!r} does not exist: bootstrap "
+            "from a snapshot read (read_index(version=v)) and write v first"
+        )
+    if last >= v_now:
+        return None
+    feed = read_changes(spark, path, last, v_now, key_cols=key_cols)
+    apply_fn(feed, last, v_now)
+    tmp = f"{state_path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(v_now))
+    os.replace(tmp, state_path)
+    return last, v_now

@@ -382,12 +382,14 @@ ROUND8_WINDOW = [
 # carried in ROUND13). New round-14/15 session births displace
 # carries from the END.
 ROUND15_WINDOW = [
-    # the 7 never-driver-checked births (birth-window driver rows).
-    # SESSION AMENDMENT (2026-08-16, the standing displacement rule):
-    # vector_ann_ivfsq_topk — the composed IVF_SQ8 tier, hash-green at
-    # sf0.001+sf0.01 at staging time — displaced the END carry
-    # window_session_30m (r10-latest; it joins the 12 held r10 rows
-    # heading round 16).
+    # the 8 never-driver-checked births (birth-window driver rows).
+    # SESSION AMENDMENTS (2026-08-16, the standing displacement rule):
+    # vector_ann_ivfsq_topk — the composed IVF_SQ8 tier — and
+    # scan_merge_upsert_agg — MERGE INTO as a first-class manifest
+    # operator — both hash-green at sf0.001+sf0.01 at staging time,
+    # displaced the END carries window_session_30m and
+    # timeseries_twap_per_user (r10-latest; they join the held r10
+    # rows heading round 16).
     "vector_ann_lsh_seeded",
     "scan_time_travel_audit",
     "scan_changes_feed",
@@ -395,6 +397,7 @@ ROUND15_WINDOW = [
     "scan_schema_evolution_agg",
     "vector_ann_sq8_topk",
     "vector_ann_ivfsq_topk",
+    "scan_merge_upsert_agg",
     # the 6 round-9-latest hold-overs — clears round-9 debt
     "agg_histogram_value",
     "anomaly_daily_zscore",
@@ -439,9 +442,9 @@ ROUND15_WINDOW = [
     "text_exact_dedup",
     "text_ngram_jaccard",
     "timeseries_ohlc_hourly",
-    "timeseries_twap_per_user",
-    # (window_session_30m was displaced by the session's 7th birth
-    # vector_ann_ivfsq_topk; it heads round 16 with the 12 held rows)
+    # (window_session_30m and timeseries_twap_per_user were displaced
+    # by the session's 7th/8th births vector_ann_ivfsq_topk and
+    # scan_merge_upsert_agg; they head round 16 with the held rows)
 ]
 
 # Round-14 rotation plan, MATERIALIZED at round-13 end (VERDICT r12

@@ -249,6 +249,104 @@ def agg_mv_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scan_merge_upsert_agg — MERGE INTO as a first-class operator
+# ---------------------------------------------------------------------------
+
+MRG_UPD_MOD, MRG_UPD_REM = 10, 7  # matched rows: n_chars += 5000
+MRG_INS_MOD, MRG_INS_REM = 20, 9  # unmatched source rows: doc_id + 3M
+MRG_INS_OFFSET = 3_000_000  # ≡ 0 (mod N_BANDS): inserts keep their band
+MRG_UPD_DELTA = 5000
+
+_MERGE_ARTIFACTS: dict = {}
+
+
+def merge_artifact(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """(path, v_before, v_after) of the session's merged artifact: v1 =
+    clustered publish of ``documents``; v2 = ONE ``merge_commit`` whose
+    source carries updates (doc_id ≡ {MRG_UPD_REM} mod {MRG_UPD_MOD},
+    n_chars bumped) and inserts (clones at doc_id + {MRG_INS_OFFSET}
+    of doc_id ≡ {MRG_INS_REM} mod {MRG_INS_MOD}). The operator locates
+    the affected partitions from the data (updates span bands 1 and 3,
+    inserts land in band 1) and rewrites exactly those."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        merge_commit,
+    )
+
+    def build() -> tuple[str, int, int]:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="csb_merge_art_") + "/docs"
+        v1 = clustered_write_commit(
+            docs.withColumn("band", F.col("doc_id") % N_BANDS),
+            path,
+            part_col="band",
+            cluster_col="doc_id",
+            n_ranges=N_RANGES,
+            note=f"clustered documents {sf_dir}",
+        )
+        banded = docs.withColumn("band", F.col("doc_id") % N_BANDS)
+        updates = banded.filter(
+            F.col("doc_id") % MRG_UPD_MOD == MRG_UPD_REM
+        ).withColumn("n_chars", F.col("n_chars") + MRG_UPD_DELTA)
+        inserts = (
+            banded.filter(F.col("doc_id") % MRG_INS_MOD == MRG_INS_REM)
+            .withColumn("doc_id", F.col("doc_id") + MRG_INS_OFFSET)
+            .withColumn("band", F.col("doc_id") % N_BANDS)
+        )
+        merge_commit(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            key_cols=["doc_id"],
+            part_col="band",
+            note="merge: re-annotate + new crawl",
+        )
+        v2 = read_manifest(path)[0]
+        return path, v1, v2
+
+    return session_scoped(_MERGE_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "scan_merge_upsert_agg",
+    oracle=f"""
+    WITH live AS (
+      SELECT lang,
+             CASE WHEN doc_id % {MRG_UPD_MOD} = {MRG_UPD_REM}
+                  THEN n_chars + {MRG_UPD_DELTA} ELSE n_chars END AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT lang, n_chars FROM documents
+      WHERE doc_id % {MRG_INS_MOD} = {MRG_INS_REM}
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM live GROUP BY lang
+    """,
+    doc="MERGE INTO as a first-class manifest operator (merge_commit): "
+    "keyed upsert where matched target rows are replaced and unmatched "
+    "source rows inserted, affected partitions located FROM THE DATA "
+    "(semi-join + distinct, no declaration) and only those rewritten — "
+    "at 100 TB the MERGE costs the touched keys' partitions, never the "
+    "table. Oracle recomputes the post-merge state from the base "
+    "table; a lost update, double insert, or stray rewrite "
+    "hash-mismatches",
+)
+def scan_merge_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, _v1, _v2 = merge_artifact(spark, sf_dir)
+    return (
+        read_index(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # scan_schema_evolution_agg
 # ---------------------------------------------------------------------------
 

@@ -81,6 +81,7 @@ WARM_FOR = {
         "vector_ann_ivf_topk_seeded",
         "vector_ann_sq8_topk",
     ],
+    "scan_merge_upsert_agg": ["scan_merge_upsert_agg"],
 }
 
 

@@ -37,6 +37,7 @@ NEW_QUERIES = [
     "scan_schema_evolution_agg",
     "vector_ann_sq8_topk",
     "vector_ann_ivfsq_topk",
+    "scan_merge_upsert_agg",
 ]
 
 
@@ -255,6 +256,130 @@ def test_mv_apply_changes_equals_direct_recompute(spark):
 
 
 # --- scan_schema_evolution_agg ----------------------------------------------
+
+
+def test_merge_commit_structural_pins(spark):
+    """MERGE's locality contract: the operator locates the affected
+    partitions from the data (updates span bands 1 and 3, inserts land
+    in band 1 — {MRG_INS_OFFSET} ≡ 0 mod N_BANDS), rewrites exactly
+    those, and every untouched band's committed file list survives
+    byte-identical. The CDF between the pre/post-merge snapshots
+    classifies the merge exactly: update pre+post per matched key,
+    insert per unmatched source row, nothing else (copied rows
+    suppressed)."""
+    from cognitive_score_bigdata_spark.queries.round16_staging import (
+        MRG_INS_MOD,
+        MRG_INS_REM,
+        MRG_UPD_MOD,
+        MRG_UPD_REM,
+        N_BANDS,
+        merge_artifact,
+    )
+
+    path, v1, v2 = merge_artifact(spark, SF_DIR)
+    pre = set(im._read_manifest_doc(path, version=v1)["files"])
+    post = set(im._read_manifest_doc(path, version=v2)["files"])
+    touched_bands = {f.split("/")[0] for f in (pre - post) | (post - pre)}
+    docs = load_table(spark, SF_DIR, "documents")
+    upd_bands = {
+        f"band={r.b}"
+        for r in docs.filter(F.col("doc_id") % MRG_UPD_MOD == MRG_UPD_REM)
+        .select((F.col("doc_id") % N_BANDS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert touched_bands == upd_bands  # inserts' band ⊆ update bands here
+    untouched = {
+        f for f in pre if f.split("/")[0] not in touched_bands
+    }
+    assert untouched and untouched <= post  # byte-identical survivors
+
+    feed = im.read_changes(spark, path, v1, v2, key_cols=["doc_id"])
+    n_upd = docs.filter(F.col("doc_id") % MRG_UPD_MOD == MRG_UPD_REM).count()
+    n_ins = docs.filter(F.col("doc_id") % MRG_INS_MOD == MRG_INS_REM).count()
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        "update_preimage": n_upd,
+        "update_postimage": n_upd,
+        "insert": n_ins,
+    }
+
+
+def test_merge_commit_delete_tombstones(spark):
+    """merge_commit's delete_col path: source rows flagged as
+    tombstones DELETE their match and insert nothing; the live view
+    equals base minus the tombstoned keys, and the feed reads pure
+    deletes."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix="csb_merge_del_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+    )
+    victims = docs.filter(F.col("doc_id") % 7 == 3)
+    src = victims.withColumn("__del", F.lit(True))
+    parts = im.merge_commit(
+        spark, path, src, key_cols=["doc_id"], part_col="band",
+        delete_col="__del",
+    )
+    assert set(parts) == {0, 1}  # victims span both bands
+    live = im.read_index(spark, path)
+    assert live.count() == docs.count() - victims.count()
+    assert live.filter(F.col("doc_id") % 7 == 3).count() == 0
+    feed = im.read_changes(spark, path, 1, 2, key_cols=["doc_id"])
+    assert {r["_change_type"] for r in feed.select("_change_type")
+            .distinct().collect()} == {"delete"}
+    assert feed.count() == victims.count()
+
+
+def test_drain_changes_checkpointed_consumer(spark):
+    """The consumer loop: bootstrap at v1, drain delivers (v1, v2) and
+    advances the checkpoint, a second drain is a no-op (None), and a
+    crash-before-checkpoint (simulated by rolling the state file back)
+    REDELIVERS the same span — the at-least-once contract an
+    idempotent keyed apply absorbs."""
+    import os
+
+    from cognitive_score_bigdata_spark.queries.round16_staging import (
+        changes_artifact,
+    )
+
+    path, v1, v2 = changes_artifact(spark, SF_DIR)
+    state = tempfile.mkdtemp(prefix="csb_drain_") + "/consumer.v"
+    try:
+        im.drain_changes(spark, path, state, ["doc_id"], lambda f, a, b: None)
+        raise AssertionError("unbootstrapped consumer drained")
+    except ValueError:
+        pass
+    with open(state, "w") as fh:
+        fh.write(str(v1))
+    seen = []
+
+    def apply_fn(feed, a, b):
+        seen.append((a, b, feed.count()))
+
+    assert im.drain_changes(spark, path, state, ["doc_id"], apply_fn) == (
+        v1, v2,
+    )
+    assert im.drain_changes(spark, path, state, ["doc_id"], apply_fn) is None
+    with open(state) as fh:
+        assert int(fh.read()) == v2
+    # crash before checkpoint = state file still at v1: redelivery
+    with open(state, "w") as fh:
+        fh.write(str(v1))
+    assert im.drain_changes(spark, path, state, ["doc_id"], apply_fn) == (
+        v1, v2,
+    )
+    assert seen[0] == seen[1] and len(seen) == 2 and seen[0][2] > 0
+    os.remove(state)
 
 
 def test_schema_evolution_projection_and_time_travel(spark):
