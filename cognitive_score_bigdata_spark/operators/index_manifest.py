@@ -766,6 +766,7 @@ def merge_commit(
     delete_col: str | None = None,
     n_ranges_per_part: int = 2,
     cluster_col: str | None = None,
+    locate_cap: int = 100_000,
 ) -> list:
     """MERGE INTO for a manifest-committed artifact — the general keyed
     upsert of a transactional table format, built on
@@ -784,14 +785,21 @@ def merge_commit(
     Affected partitions are located FROM THE DATA, not declared: the
     partitions the source writes into ∪ the partitions currently
     holding a matched key (a distributed semi-join + distinct over the
-    partition column — no driver-side key list; the scan that finds
-    matches is the same pruned manifest read every other consumer
-    uses). Only those partitions rewrite; everything else's committed
-    files survive byte-identical, which is what keeps a 100 TB MERGE
-    proportional to the touched keys' partitions rather than the
-    table. The rewrite re-clusters on ``cluster_col`` (default: the
-    first key column) so zone maps stay selective, and ``stats_cols``
-    (default: the cluster column) re-harvests in the SAME flip.
+    partition column). When the source is small (≤ ``locate_cap`` rows
+    and a single key column — the typical re-annotation batch), the
+    location scan goes through the committed zone maps instead
+    (``prune_in`` over the collected source keys): only files whose
+    committed key range holds a source key are ever opened, so
+    locating a 10k-key merge against a 10⁶-file artifact costs a
+    manifest read plus the overlapping files, not a table scan. Only
+    the located partitions rewrite — the survivor read is
+    metadata-pruned to them (``part_values=``) — and everything
+    else's committed files survive byte-identical, which is what
+    keeps a 100 TB MERGE proportional to the touched keys' partitions
+    rather than the table. The rewrite re-clusters on ``cluster_col``
+    (default: the first key column) so zone maps stay selective, and
+    ``stats_cols`` (default: the cluster column) re-harvests in the
+    SAME flip.
 
     ``source`` must carry the target's columns (plus ``delete_col`` if
     used) and at most one row per key; keys are compared null-unsafely
@@ -801,10 +809,13 @@ def merge_commit(
     cluster_col = cluster_col or key_cols[0]
     stats_cols = stats_cols or [cluster_col]
     src = source.localCheckpoint(eager=False)  # consumed 3-4 times below
-    live = read_index(spark, path)
     src_keys = src.select(*key_cols)
+    locate = read_index(spark, path)
+    if len(key_cols) == 1 and src_keys.count() <= locate_cap:
+        keys = [r[0] for r in src_keys.collect()]  # bounded by locate_cap
+        locate = read_index(spark, path, prune_in=(key_cols[0], keys))
     matched_parts = (
-        live.join(src_keys, key_cols, "semi")
+        locate.join(src_keys, key_cols, "semi")
         .select(part_col)
         .distinct()
         .collect()
@@ -815,9 +826,9 @@ def merge_commit(
     parts = sorted({r[0] for r in matched_parts} | {r[0] for r in src_parts})
     if not parts:
         return []
-    survivors = live.filter(F.col(part_col).isin(parts)).join(
-        src_keys, key_cols, "anti"
-    )
+    survivors = read_index(spark, path, part_values=parts).filter(
+        F.col(part_col).isin(parts)
+    ).join(src_keys, key_cols, "anti")
     incoming = (
         src.filter(~F.col(delete_col)).drop(delete_col)
         if delete_col is not None

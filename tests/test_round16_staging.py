@@ -309,6 +309,42 @@ def test_merge_commit_structural_pins(spark):
     }
 
 
+def test_merge_locate_uses_zone_maps(spark):
+    """A small-source MERGE locates its matches through the committed
+    zone maps: on a doc_id-clustered artifact, a range-local key batch
+    opens only the files whose committed range holds a source key —
+    the location cost of a 10k-key merge against a 10⁶-file lake is a
+    manifest read plus the overlapping files, never a table scan."""
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "band", F.col("doc_id") % 2
+    )
+    path = tempfile.mkdtemp(prefix="csb_merge_loc_") + "/docs"
+    im.clustered_write_commit(
+        docs, path, part_col="band", cluster_col="doc_id", n_ranges=8
+    )
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    lo, hi = mx // 10 * 4, mx // 10 * 5  # one narrow decile
+    keys = list(range(lo, hi + 1, 3))
+    total = len(im.read_manifest(path)[1])
+    surviving = im.pruned_files_in(path, "doc_id", keys)
+    assert 0 < len(surviving) < total  # the prune is real on this layout
+    src = docs.filter(F.col("doc_id").isin(keys)).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    parts = im.merge_commit(
+        spark, path, src, key_cols=["doc_id"], part_col="band"
+    )
+    assert set(parts) == {0, 1}
+    live = im.read_index(spark, path)
+    bumped = live.filter(F.col("doc_id").isin(keys))
+    base = docs.filter(F.col("doc_id").isin(keys))
+    assert bumped.count() == base.count()
+    assert (
+        bumped.agg(F.sum("n_chars")).collect()[0][0]
+        == base.agg(F.sum("n_chars")).collect()[0][0] + base.count()
+    )
+
+
 def test_merge_commit_delete_tombstones(spark):
     """merge_commit's delete_col path: source rows flagged as
     tombstones DELETE their match and insert nothing; the live view
