@@ -647,8 +647,31 @@ def main() -> None:
         "vector_ann_ivfpq_topk",
         "text_prefix_filter_join",
         "dedup_simhash_pairs",
+        "dedup_cluster_exact",  # r14: banded per VERDICT r13 item 4
     ]
     probe_median = sorted(probes)[len(probes) // 2]
+    # Gating probe (VERDICT r13 item 3 — the fast-host false alarm):
+    # normalization cancels SUSTAINED host-speed offsets, but when the
+    # live 3-sample probe median falls OUTSIDE the recorded probe range
+    # entirely, dividing by it injects probe noise into the gate — the
+    # r13 driver probe (0.52) undercut the recorded floor (0.532) and
+    # inflated every normalized metric ~8% on a flat-raw run. Rule: the
+    # GATE divides by the probe CLAMPED to the nearest recorded bound
+    # (the verdict a host running at the nearest recorded speed would
+    # get — conservative in both directions: a too-fast probe can't
+    # inflate the gate, a too-slow probe can't mask a regression). The
+    # as-measured normalization is still emitted (banded_normalized)
+    # for band RECORDING continuity; the clamp applies to gating only.
+    # The dual rule lives in scripts/record_band.py's docstring.
+    _rec_lo, _rec_hi = COMMITTED_NORMALIZED["probe_median_range"]
+    gating_probe = min(max(probe_median, _rec_lo), _rec_hi)
+    probe_clamped = (
+        "clamped_up_from_fast_probe"
+        if probe_median < _rec_lo
+        else "clamped_down_from_slow_probe"
+        if probe_median > _rec_hi
+        else None
+    )
     banded_normalized = {
         name: round(timings[name] / probe_median, 2)
         for name in banded
@@ -663,6 +686,17 @@ def main() -> None:
         sum(timings.values()) / probe_median, 1
     )
     result_raw_total = round(sum(timings.values()), 3)
+    # per-metric GATE values (same clamp rule as the headline gate)
+    _gated_metrics = {
+        name: round(timings[name] / gating_probe, 2)
+        for name in banded
+        if name in timings
+    }
+    _gated_metrics["graph_family_total"] = round(
+        sum(sec for n, sec in timings.items() if n.startswith("graph_"))
+        / gating_probe,
+        2,
+    )
 
     result = {
         "metric": "headline_queries_total",
@@ -700,9 +734,18 @@ def main() -> None:
             "band_valid_for_this_run": headline_hash
             == COMMITTED_NORMALIZED["recorded_headline_hash"],
             "live_headline_total": banded_normalized["headline_total"],
+            # the GATE values divide by gating_probe (probe median
+            # clamped to the recorded range — see the comment at its
+            # computation); when probe_clamped is null these equal the
+            # as-measured normalization exactly
+            "gating_probe_median": gating_probe,
+            "probe_clamped": probe_clamped,
+            "gated_headline_total": round(
+                result_raw_total / gating_probe, 1
+            ),
             "within_band": (
                 COMMITTED_NORMALIZED["headline_total_band"][0]
-                <= banded_normalized["headline_total"]
+                <= round(result_raw_total / gating_probe, 1)
                 <= COMMITTED_NORMALIZED["headline_total_band"][1]
                 if headline_hash
                 == COMMITTED_NORMALIZED["recorded_headline_hash"]
@@ -715,15 +758,15 @@ def main() -> None:
                 {
                     m: (
                         "above_band"
-                        if banded_normalized[m] > hi
+                        if _gated_metrics[m] > hi
                         else "below_band"
-                        if banded_normalized[m] < lo
+                        if _gated_metrics[m] < lo
                         else "in_band"
                     )
                     for m, (lo, hi) in COMMITTED_NORMALIZED[
                         "metric_bands"
                     ].items()
-                    if m in banded_normalized
+                    if m in _gated_metrics
                 }
                 if headline_hash
                 == COMMITTED_NORMALIZED["recorded_headline_hash"]

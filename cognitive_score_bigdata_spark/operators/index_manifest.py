@@ -779,7 +779,9 @@ def merge_commit(
       partition,
     - with ``delete_col``, a source row carrying true there DELETES its
       match instead (and inserts nothing) — the GDPR/re-annotation
-      tombstone shape,
+      tombstone shape; a NULL flag is coalesced to false (update), so a
+      source built with ``unionByName(allowMissingColumns=True)`` never
+      deletes implicitly,
     - every other target row is untouched.
 
     Affected partitions are located FROM THE DATA, not declared: the
@@ -802,7 +804,8 @@ def merge_commit(
     SAME flip.
 
     ``source`` must carry the target's columns (plus ``delete_col`` if
-    used) and at most one row per key; keys are compared null-unsafely
+    used) and at most one row per key (duplicate keys raise); keys are
+    compared null-unsafely
     (a NULL key never matches — reject them upstream). Returns the
     affected partition VALUES (canonical spelling), mainly for tests
     and observability."""
@@ -811,15 +814,43 @@ def merge_commit(
     src = source.localCheckpoint(eager=False)  # consumed 3-4 times below
     src_keys = src.select(*key_cols)
     locate = read_index(spark, path)
+    dup_checked = False
     if len(key_cols) == 1 and src_keys.count() <= locate_cap:
         keys = [r[0] for r in src_keys.collect()]  # bounded by locate_cap
+        if len(keys) != len(set(keys)):
+            raise ValueError(
+                "merge_commit: source has duplicate keys "
+                f"({len(keys) - len(set(keys))} extra rows) — the contract "
+                "is at most one row per key"
+            )
+        dup_checked = True
         locate = read_index(spark, path, prune_in=(key_cols[0], keys))
+    if not dup_checked:
+        dup = (
+            src_keys.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .take(1)
+        )  # one bounded aggregate over the (small) source batch
+        if dup:
+            raise ValueError(
+                "merge_commit: source has duplicate keys "
+                f"(e.g. {tuple(dup[0][c] for c in key_cols)}) — the "
+                "contract is at most one row per key"
+            )
     matched_parts = (
         locate.join(src_keys, key_cols, "semi")
         .select(part_col)
         .distinct()
         .collect()
     )  # bounded by the partition count, not the data
+    if delete_col is not None:
+        # NULL tombstone flags (e.g. from unionByName(allowMissingColumns=
+        # True)) mean "not a delete" — coalesce so a NULL-flag row updates
+        # its match instead of silently deleting it.
+        src = src.withColumn(
+            delete_col, F.coalesce(F.col(delete_col), F.lit(False))
+        )
     src_parts = (
         src.filter(~F.col(delete_col)) if delete_col is not None else src
     ).select(part_col).distinct().collect()

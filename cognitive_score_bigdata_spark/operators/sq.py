@@ -53,7 +53,23 @@ def sq8_fit(
         .collect()
     )
     rows.sort(key=lambda r: r.i)
-    return [float(r.mn) for r in rows], [float(r.mx) for r in rows]
+    mins = [float(r.mn) for r in rows]
+    maxes = [float(r.mx) for r in rows]
+    _check_spans(mins, maxes)
+    return mins, maxes
+
+
+def _check_spans(mins: list[float], maxes: list[float]) -> None:
+    """A dimension with span <= 0 (constant column, or swapped bounds)
+    would divide by zero in encode and flow NaN/Inf-derived garbage
+    codes downstream silently — fail fast instead."""
+    bad = [i for i, (mn, mx) in enumerate(zip(mins, maxes)) if not mx > mn]
+    if bad:
+        raise ValueError(
+            f"SQ8: degenerate dimension span (mx <= mn) at dims {bad[:8]}"
+            f"{'...' if len(bad) > 8 else ''} — constant dimensions must be "
+            "dropped or jittered before quantization"
+        )
 
 
 def _lit_arr(vals: list[float]):
@@ -73,9 +89,9 @@ def sq8_encode(
     expression against the broadcast range literals; the codes are
     bit-identical in any IEEE-double engine evaluating the same
     expression tree, which is what makes the SQ8 pipeline
-    hash-checkable end to end. Degenerate dimensions (mx == mn) are the
-    caller's to reject — the test corpus pins span > 0 on every
-    dimension."""
+    hash-checkable end to end. Degenerate dimensions (mx <= mn) raise
+    up front — they would divide by zero per element."""
+    _check_spans(mins, maxes)
     mn_c, mx_c = _lit_arr(mins), _lit_arr(maxes)
     codes = F.transform(
         F.col(vec_col),

@@ -1029,7 +1029,10 @@ def load_registry() -> dict[str, QuerySpec]:
     (incremental semantic dedup; ensemble dedup clusters) + 48 of the
     49 round-8-latest carries (agg_pandas_udaf_gmean is the documented
     hold-over heading round 14) — after this window no latest row
-    predates round 9.
+    predates round 9.  Round 14 fronts the 3 r14 staged births
+    (zone-map range agg; leakage-safe splits; delete-rewrite fetch) +
+    the 3 round-8-latest hold-overs + 44 round-9-latest carries —
+    after this window no latest row predates round 10.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -1087,15 +1090,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND13_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND14_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND13_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND14_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND13_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND14_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

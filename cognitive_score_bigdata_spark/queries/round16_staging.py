@@ -85,6 +85,21 @@ CDF_INS_MOD, CDF_INS_REM = 100, 33  # clone these to doc_id + 1_000_000
 CDF_INS_OFFSET = 1_000_000
 CDF_UPD_DELTA = 1000
 
+
+def _assert_offset_headroom(docs, offset: int) -> None:
+    """The synthetic-insert clones live at ``doc_id + offset``; if the
+    table's real ids ever reach the offset the clones collide with
+    real rows and silently corrupt the oracle comparison (keys must be
+    unique for read_changes / merge). One 1-row aggregate pins the
+    precondition instead of trusting the pinned SFs."""
+    top = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    if top is not None and top >= offset:
+        raise ValueError(
+            f"synthetic-insert offset {offset} <= max(doc_id)={top}: "
+            "clone ids would collide with real rows at this scale"
+        )
+
+
 _CDF_ARTIFACTS: dict = {}
 
 
@@ -104,6 +119,7 @@ def changes_artifact(
 
     def build() -> tuple[str, int, int]:
         docs = load_table(spark, sf_dir, "documents")
+        _assert_offset_headroom(docs, CDF_INS_OFFSET)
         path = tempfile.mkdtemp(prefix="csb_cdf_art_") + "/docs"
         v1 = clustered_write_commit(
             docs.withColumn("band", F.col("doc_id") % N_BANDS),
@@ -274,6 +290,7 @@ def merge_artifact(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
 
     def build() -> tuple[str, int, int]:
         docs = load_table(spark, sf_dir, "documents")
+        _assert_offset_headroom(docs, MRG_INS_OFFSET)
         path = tempfile.mkdtemp(prefix="csb_merge_art_") + "/docs"
         v1 = clustered_write_commit(
             docs.withColumn("band", F.col("doc_id") % N_BANDS),
@@ -366,6 +383,7 @@ def evolution_artifact(spark: SparkSession, sf_dir: str) -> str:
 
     def build() -> str:
         docs = load_table(spark, sf_dir, "documents")
+        _assert_offset_headroom(docs, EVO_OFFSET)
         path = tempfile.mkdtemp(prefix="csb_evo_art_") + "/docs"
         clustered_write_commit(
             docs.withColumn("band", F.col("doc_id") % N_BANDS),

@@ -8,6 +8,22 @@ SURVEY §9aa.
 Run whenever the HEADLINE set changes (headline_hash invalidates the
 previous recording). Takes ~30-40 min at sf0.1.
 
+GATING RULE (VERDICT r13 item 3 — both probe directions): bench.py's
+`within_band` / `metric_vs_band` verdicts divide by the live probe
+median CLAMPED to this recording's `probe_median_range`. Rationale:
+probe-normalization exists to cancel SUSTAINED host-speed offsets
+between the recording host and the live host; when the live 3-sample
+probe median falls outside the range every recording run produced, the
+probe itself is the outlier and dividing by it injects probe noise
+into the gate — r13's driver probe (0.52) undercut the recorded floor
+(0.532) and inflated every normalized metric ~8% on a flat-raw run
+(`within_band: false` with raw mid-band). Clamping to the nearest
+recorded bound is conservative in both directions: a too-fast probe
+cannot inflate the gate (fast-host false alarm), a too-slow probe
+cannot mask a regression (slow-host false pass). The as-measured
+normalization is still emitted separately (banded_normalized) so
+future recordings stay comparable.
+
 Usage: python scripts/record_band.py [n_runs]
 """
 
@@ -25,6 +41,9 @@ METRICS = [
     "text_prefix_filter_join",
     "dedup_simhash_pairs",
     "graph_family_total",
+    # r14 (VERDICT r13 item 4): banded after its unexplained 3.10→4.65s
+    # r13 move — the only >3s query without a committed per-query band
+    "dedup_cluster_exact",
 ]
 
 

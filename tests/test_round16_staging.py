@@ -657,3 +657,83 @@ def test_sq8_margins_and_reconstruction_bound(spark):
         scores = np.sort(cos[qi][ids != qid])[::-1][:20]
         worst = min(worst, np.min(np.abs(np.diff(scores))))
     assert worst > 1e-9, worst
+
+
+def test_merge_commit_null_flag_is_update(spark):
+    """A NULL tombstone flag (the unionByName(allowMissingColumns=True)
+    shape) must mean UPDATE, never an implicit delete: the matched row
+    survives with the source's values."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix="csb_merge_null_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+    )
+    upd = docs.filter(F.col("doc_id") % 11 == 4).withColumn(
+        "n_chars", F.col("n_chars") + 100
+    )
+    # NULL flag on every row — as unionByName with a flag-less leg makes
+    src = upd.withColumn("__del", F.lit(None).cast("boolean"))
+    im.merge_commit(
+        spark, path, src, key_cols=["doc_id"], part_col="band",
+        delete_col="__del",
+    )
+    live = im.read_index(spark, path)
+    assert live.count() == docs.count()  # nothing deleted
+    got = live.filter(F.col("doc_id") % 11 == 4)
+    assert got.count() == upd.count()
+    assert (
+        got.agg(F.sum("n_chars")).collect()[0][0]
+        == docs.filter(F.col("doc_id") % 11 == 4)
+        .agg(F.sum("n_chars") + 100 * F.count("*")).collect()[0][0]
+    )
+
+
+def test_merge_commit_duplicate_source_keys_raise(spark):
+    """The 'at most one row per key' source contract is enforced on
+    both location paths (zone-map collected keys; distributed
+    aggregate)."""
+    import pytest
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix="csb_merge_dup_") + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+    )
+    one = docs.filter(F.col("doc_id") % 13 == 2)
+    dup_src = one.unionByName(one.withColumn("n_chars", F.col("n_chars") + 1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        im.merge_commit(
+            spark, path, dup_src, key_cols=["doc_id"], part_col="band"
+        )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        im.merge_commit(
+            spark, path, dup_src, key_cols=["doc_id"], part_col="band",
+            locate_cap=0,  # force the distributed dup check
+        )
+    assert len(im.read_manifest(path)[1]) > 0  # nothing committed
+
+
+def test_sq8_degenerate_span_raises(spark):
+    """A constant dimension (span 0) must fail fast in fit AND encode —
+    the alternative is silent NaN/Inf-derived garbage codes."""
+    import pytest
+
+    from cognitive_score_bigdata_spark.operators import sq
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(4)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="degenerate dimension"):
+        sq.sq8_fit(vecs)
+    with pytest.raises(ValueError, match="degenerate dimension"):
+        sq.sq8_encode(vecs, [0.0, 7.0], [3.0, 7.0])
