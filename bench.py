@@ -317,6 +317,14 @@ HEADLINE = [
     # publish + merge_commit are once-per-corpus maintenance commits,
     # warmed below)
     "scan_merge_upsert_agg",
+    # round-17 staging (r14 session, benched from day one): the
+    # composed stream→admission→ensemble→splits pipeline (timed row =
+    # the admitted-corpus ensemble + splits; the admission fixture —
+    # index build + availableNow drain — is the once-per-corpus
+    # artifact, warmed below). dedup_incremental_newbatch stays in
+    # HEADLINE under its existing name (r14: md5 persisted-index
+    # oracle upgrade; the banded-index build is warmed as before).
+    "curation_stream_training_set",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -460,6 +468,11 @@ def main() -> None:
         # once-per-corpus maintenance commits; the timed row measures
         # the post-merge live scan
         "scan_merge_upsert_agg",
+        # admission fixture (round-17 staging): seed-index build +
+        # availableNow drain through the fenced gate are once-per-
+        # corpus; the timed row measures the admitted-corpus ensemble
+        # + splits composition
+        "curation_stream_training_set",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))

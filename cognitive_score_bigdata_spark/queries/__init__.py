@@ -382,14 +382,25 @@ ROUND8_WINDOW = [
 # carried in ROUND13). New round-14/15 session births displace
 # carries from the END.
 ROUND15_WINDOW = [
-    # the 8 never-driver-checked births (birth-window driver rows).
-    # SESSION AMENDMENTS (2026-08-16, the standing displacement rule):
-    # vector_ann_ivfsq_topk — the composed IVF_SQ8 tier — and
-    # scan_merge_upsert_agg — MERGE INTO as a first-class manifest
-    # operator — both hash-green at sf0.001+sf0.01 at staging time,
-    # displaced the END carries window_session_30m and
+    # the 10 never-driver-checked births (birth-window driver rows).
+    # SESSION AMENDMENTS (2026-08-16 r13 session, the standing
+    # displacement rule): vector_ann_ivfsq_topk — the composed IVF_SQ8
+    # tier — and scan_merge_upsert_agg — MERGE INTO as a first-class
+    # manifest operator — both hash-green at sf0.001+sf0.01 at staging
+    # time, displaced the END carries window_session_30m and
     # timeseries_twap_per_user (r10-latest; they join the held r10
     # rows heading round 16).
+    # SESSION AMENDMENTS (2026-08-16 r14 session, same rule): the two
+    # r14 births — dedup_incremental_newbatch (md5 persisted-index
+    # in-place oracle upgrade, VERDICT r13 item 6: the row has an
+    # oracle the driver has never checked, so it re-enters as a birth)
+    # and curation_stream_training_set (the composed stream→admission→
+    # ensemble→splits pipeline, VERDICT r13 item 7) — both hash-green
+    # at sf0.001+sf0.01 at staging time, displaced the END carries
+    # text_ngram_jaccard and timeseries_ohlc_hourly (r10-latest; they
+    # head round 16 with the held rows).
+    "dedup_incremental_newbatch",
+    "curation_stream_training_set",
     "vector_ann_lsh_seeded",
     "scan_time_travel_audit",
     "scan_changes_feed",
@@ -440,11 +451,12 @@ ROUND15_WINDOW = [
     "scalar_interval",
     "scalar_json",
     "text_exact_dedup",
-    "text_ngram_jaccard",
-    "timeseries_ohlc_hourly",
     # (window_session_30m and timeseries_twap_per_user were displaced
-    # by the session's 7th/8th births vector_ann_ivfsq_topk and
-    # scan_merge_upsert_agg; they head round 16 with the held rows)
+    # by the r13 session's 7th/8th births vector_ann_ivfsq_topk and
+    # scan_merge_upsert_agg; text_ngram_jaccard and
+    # timeseries_ohlc_hourly by the r14 session's births
+    # dedup_incremental_newbatch and curation_stream_training_set —
+    # all four head round 16 with the held rows)
 ]
 
 # Round-14 rotation plan, MATERIALIZED at round-13 end (VERDICT r12
@@ -928,9 +940,6 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "dependent round count (not a pure function SQL can unroll); "
     "label parity vs union-find pinned in tests, fixed-iteration "
     "sibling graph_minlabel_components is driver-verified (r4)",
-    "dedup_incremental_newbatch": "xxhash64 LSH banding (see "
-    "dedup_minhash_pairs); banding math verified via the md5 sibling, "
-    "index round-trip + planted-copy recovery pinned in tests",
     "vector_ann_pq_topk": "ADC scores are approximations; the "
     "codebook/encode/LUT machinery is hash-verified by sibling "
     "vector_ann_ivfpq_exact (driver r4), recall pinned in test_pq",
@@ -1073,6 +1082,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round14_staging,
         round15_staging,
         round16_staging,
+        round17_staging,
         scalar_funcs,
         setops,
         sharding,

@@ -156,51 +156,8 @@ def dedup_cluster_docs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs, docs, "doc_id")
 
 
-# The index is a batch-build artifact, written once per corpus lifetime
-# (like the IVF inverted file and the serving model); rebuilding it per
-# probe call was 2-3 s of bench noise that misstates the incremental
-# path's actual cost. Keyed by (session, corpus dir).
-_MH_INDEX_CACHE: dict[tuple, str] = {}
-
-
-def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
-    from cognitive_score_bigdata_spark.operators.dedup import (
-        save_minhash_index,
-    )
-
-    def build() -> str:
-        corpus = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        )
-        path = tempfile.mkdtemp(prefix="csb_mh_index_") + "/idx"
-        save_minhash_index(corpus, path)
-        return path
-
-    return session_scoped(_MH_INDEX_CACHE, spark, (sf_dir,), build)
-
-
-@register(
-    "dedup_incremental_newbatch",
-    oracle=None,  # LSH banding isn't SQL; exact-copy recovery and
-    # index round-trip are pinned in test_dedup_similarity
-    doc="incremental near-dup: every 5th document re-ingested under a "
-    "new id and probed against the PERSISTED corpus minhash index "
-    "(banded signature table, partitioned by band) — corpus signatures "
-    "computed once per lifetime (session-cached build artifact, like "
-    "the IVF inverted file), new batch broadcast into the bucket join, "
-    "no corpus-side recompute",
-)
-def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cognitive_score_bigdata_spark.operators.dedup import (
-        dedup_incremental,
-        load_minhash_index,
-    )
-
-    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new_docs = corpus.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
-    )
-    index = load_minhash_index(spark, _minhash_index_path(spark, sf_dir))
-    return dedup_incremental(new_docs, index)
+# dedup_incremental_newbatch moved to queries/round17_staging.py (r14):
+# upgraded in place to the md5 signature family with a persisted banded
+# index and a FULL DuckDB oracle (VERDICT r13 item 6). The xxhash64
+# fast-path machinery (save/load_minhash_index, dedup_incremental)
+# stays in operators/dedup.py, pinned by test_dedup_similarity.

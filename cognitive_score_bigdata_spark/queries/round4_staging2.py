@@ -1558,11 +1558,13 @@ def md5_minhash_signatures(d) -> "DataFrame":
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-def md5_minhash_band_candidates(sig, a_col: str = "doc_a", b_col: str = "doc_b"):
-    """(a_col, b_col) distinct id pairs sharing at least one full band
-    of the signature table from :func:`md5_minhash_signatures`."""
-    rows_per_band = MH_ROWS
-    banded = sig.select(
+def md5_minhash_banded(sig) -> "DataFrame":
+    """(doc_id, band, bkey): the banded LSH key table of a signature
+    table from :func:`md5_minhash_signatures` — one row per (doc,
+    band), bkey = the band's MH_ROWS mins dash-joined (byte-identical
+    to the oracle's _MH_BANDKEY CASE). Factored out (r14) so the
+    incremental probe can persist/index it, not just self-join it."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -1572,10 +1574,8 @@ def md5_minhash_band_candidates(sig, a_col: str = "doc_a", b_col: str = "doc_b")
                         F.concat_ws(
                             "-",
                             *[
-                                F.col(f"m{rows_per_band * k + j}").cast(
-                                    "string"
-                                )
-                                for j in range(rows_per_band)
+                                F.col(f"m{MH_ROWS * k + j}").cast("string")
+                                for j in range(MH_ROWS)
                             ],
                         ).alias("bkey"),
                     )
@@ -1586,6 +1586,12 @@ def md5_minhash_band_candidates(sig, a_col: str = "doc_a", b_col: str = "doc_b")
     ).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
+
+
+def md5_minhash_band_candidates(sig, a_col: str = "doc_a", b_col: str = "doc_b"):
+    """(a_col, b_col) distinct id pairs sharing at least one full band
+    of the signature table from :func:`md5_minhash_signatures`."""
+    banded = md5_minhash_banded(sig)
     a = banded.select(F.col("doc_id").alias(a_col), "band", "bkey")
     b = banded.select(F.col("doc_id").alias(b_col), "band", "bkey")
     return (

@@ -82,6 +82,12 @@ WARM_FOR = {
         "vector_ann_sq8_topk",
     ],
     "scan_merge_upsert_agg": ["scan_merge_upsert_agg"],
+    # r17 staging: the admission fixture (seed index + fenced drain)
+    # is once-per-corpus (bench warms it); the timed row is the
+    # admitted-corpus ensemble + splits. The md5 banded index build is
+    # the incremental row's warmed artifact, as the xxhash64 one was.
+    "curation_stream_training_set": ["curation_stream_training_set"],
+    "dedup_incremental_newbatch": ["dedup_incremental_newbatch"],
 }
 
 

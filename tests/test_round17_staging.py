@@ -1,0 +1,127 @@
+"""Round-17 staged queries (queries/round17_staging.py): oracle parity
+plus the pins each row exists to demonstrate — the md5 incremental
+probe recovers every planted clone at est 1.0 against the PERSISTED
+banded index without corpus-side recompute, and the composed
+stream→admission→ensemble→splits pipeline records the fence, rejects
+every echo, and yields a leakage-safe admitted training set."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from cognitive_score_bigdata_spark.io import TESTDATA_TABLES, load_table
+from cognitive_score_bigdata_spark.queries import load_registry
+from cognitive_score_bigdata_spark.queries.round17_staging import (
+    ADMIT_INIT_MOD,
+    ECHO1_SHIFT,
+    INCR_MOD,
+    INCR_SHIFT,
+    _admitted_index_path,
+    _md5_index_path,
+)
+from tests.conftest import SF_DIR, assert_frames_match
+
+NAMES = ["dedup_incremental_newbatch", "curation_stream_training_set"]
+
+
+def test_oracle_parity(spark):
+    reg = load_registry()
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name in NAMES:
+        spec = reg[name]
+        assert spec.oracle is not None
+        sp = spec.fn(spark, SF_DIR).toPandas()
+        oc = con.execute(spec.oracle).df()
+        assert_frames_match(sp, oc, name)
+
+
+def test_incremental_recovers_planted_clones(spark):
+    """Every re-ingested clone must pair with its source at exactly
+    est_jaccard 1.0 (identical text → identical signature → identical
+    band keys), and every reported pair clears the 0.8 threshold."""
+    reg = load_registry()
+    got = reg["dedup_incremental_newbatch"].fn(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents")
+    planted = {
+        r.doc_id + INCR_SHIFT
+        for r in docs.filter(F.col("doc_id") % INCR_MOD == 0)
+        .select("doc_id")
+        .collect()
+    }
+    exact = got[got["est_jaccard"] == 1.0]
+    self_pairs = set(
+        exact[exact["new_id"] == exact["corpus_id"] + INCR_SHIFT]["new_id"]
+    )
+    assert planted <= self_pairs
+    assert (got["est_jaccard"] >= 0.8).all()
+
+
+def test_incremental_index_is_persisted_and_band_partitioned(spark):
+    """The standing-index contract: the probe joins a PERSISTED banded
+    table (hive-partitioned by band), not a recomputed one — a band
+    filter must open only that band's files."""
+    path = _md5_index_path(spark, SF_DIR)
+    banded = spark.read.parquet(path + "/banded")
+    one = banded.filter(F.col("band") == 2)
+    # inputFiles() reports the pre-pruning relation; the executed scan
+    # (input_file_name over the filtered plan) shows what was read
+    opened = {
+        r[0]
+        for r in one.select(F.input_file_name()).distinct().collect()
+    }
+    assert opened and all("band=2" in f for f in opened)
+    assert len(set(banded.select("band").distinct().toPandas()["band"])) == 4
+
+
+def test_curation_fixture_postconditions(spark):
+    """The drain recorded exactly batches [0, 1, 2]; no echo was
+    admitted; the committed corpus is the initial evens plus (a subset
+    of) the novel batch."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+        read_manifest_meta,
+    )
+
+    path = _admitted_index_path(spark, SF_DIR)
+    assert read_manifest_meta(path).get("batch_ids") == [0, 1, 2]
+    ids = {
+        r.neighbor_id
+        for r in read_index(spark, path).select("neighbor_id").collect()
+    }
+    assert max(ids) < ECHO1_SHIFT
+    assert all(i % ADMIT_INIT_MOD in (0, 1) for i in ids)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    evens = {
+        r.vec_id
+        for r in emb.filter(
+            F.col("vec_id") % ADMIT_INIT_MOD == 0
+        ).collect()
+    }
+    assert evens <= ids  # the initial corpus is never evicted
+
+
+def test_curation_splits_are_leakage_safe(spark):
+    """Every admitted document lands in exactly one split, rejected
+    content reaches no split, and no dedup cluster straddles splits."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+    )
+
+    reg = load_registry()
+    splits = reg["curation_stream_training_set"].fn(spark, SF_DIR).toPandas()
+    assert splits["doc_id"].is_unique
+    assert set(splits["split"]) <= {"train", "val", "test"}
+    path = _admitted_index_path(spark, SF_DIR)
+    admitted = {
+        r.neighbor_id
+        for r in read_index(spark, path).select("neighbor_id").collect()
+    }
+    assert set(splits["doc_id"]) == admitted
+    spans = splits.groupby("cluster_id")["split"].nunique()
+    assert (spans == 1).all()
