@@ -325,6 +325,11 @@ HEADLINE = [
     # HEADLINE under its existing name (r14: md5 persisted-index
     # oracle upgrade; the banded-index build is warmed as before).
     "curation_stream_training_set",
+    # MERGE × schema evolution (timed row = the NULL-projecting
+    # post-merge live scan + agg; publish, evolved append and
+    # merge_commit are once-per-corpus maintenance commits, warmed
+    # below)
+    "scan_merge_evolved_agg",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -473,6 +478,10 @@ def main() -> None:
         # corpus; the timed row measures the admitted-corpus ensemble
         # + splits composition
         "curation_stream_training_set",
+        # evolved-then-merged artifact (round-17 staging): publish +
+        # evolved append + merge are once-per-corpus commits; the
+        # timed row measures the NULL-projecting live scan
+        "scan_merge_evolved_agg",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))

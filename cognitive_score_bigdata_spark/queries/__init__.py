@@ -395,12 +395,15 @@ ROUND15_WINDOW = [
     # in-place oracle upgrade, VERDICT r13 item 6: the row has an
     # oracle the driver has never checked, so it re-enters as a birth)
     # and curation_stream_training_set (the composed stream→admission→
-    # ensemble→splits pipeline, VERDICT r13 item 7) — both hash-green
-    # at sf0.001+sf0.01 at staging time, displaced the END carries
-    # text_ngram_jaccard and timeseries_ohlc_hourly (r10-latest; they
+    # ensemble→splits pipeline, VERDICT r13 item 7) and
+    # scan_merge_evolved_agg (MERGE × schema evolution, the r13-verdict
+    # item-8 seam) — all hash-green at sf0.001+sf0.01 at staging time,
+    # displacing the END carries text_ngram_jaccard,
+    # timeseries_ohlc_hourly and text_exact_dedup (r10-latest; they
     # head round 16 with the held rows).
     "dedup_incremental_newbatch",
     "curation_stream_training_set",
+    "scan_merge_evolved_agg",
     "vector_ann_lsh_seeded",
     "scan_time_travel_audit",
     "scan_changes_feed",
@@ -450,13 +453,13 @@ ROUND15_WINDOW = [
     "quality_independence_residuals",
     "scalar_interval",
     "scalar_json",
-    "text_exact_dedup",
     # (window_session_30m and timeseries_twap_per_user were displaced
     # by the r13 session's 7th/8th births vector_ann_ivfsq_topk and
-    # scan_merge_upsert_agg; text_ngram_jaccard and
-    # timeseries_ohlc_hourly by the r14 session's births
-    # dedup_incremental_newbatch and curation_stream_training_set —
-    # all four head round 16 with the held rows)
+    # scan_merge_upsert_agg; text_ngram_jaccard, timeseries_ohlc_hourly
+    # and text_exact_dedup by the r14 session's births
+    # dedup_incremental_newbatch, curation_stream_training_set and
+    # scan_merge_evolved_agg — all five head round 16 with the held
+    # rows)
 ]
 
 # Round-14 rotation plan, MATERIALIZED at round-13 end (VERDICT r12

@@ -450,3 +450,146 @@ def _splice_curation_oracle() -> None:
 
 
 _splice_curation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# scan_merge_evolved_agg — MERGE × schema evolution (VERDICT r13 item 8)
+# ---------------------------------------------------------------------------
+
+EM_EVO_MOD, EM_EVO_REM = 10, 3  # the evolved batch: clones of these rows
+EM_EVO_OFFSET = 2_000_000  # ≡ 0 (mod N_BANDS): clones keep their band
+EM_UPD_MOD, EM_UPD_REM = 10, 7  # matched PRE-EVOLUTION rows: updated
+EM_UPD_DELTA = 9
+EM_INS_MOD, EM_INS_REM = 20, 11  # unmatched source rows: doc_id + 4M
+EM_INS_OFFSET = 4_000_000  # ≡ 0 (mod N_BANDS)
+EM_TOKENS_DIV = 5
+
+_EVOMERGE_ARTIFACTS: dict = {}
+
+
+def evolved_merge_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session's evolved-then-merged artifact: v1 =
+    clustered publish of ``documents`` (no ``tokens``), v2 = evolved
+    append carrying ``tokens`` (schema committed in the flip), v3 =
+    ONE ``merge_commit`` whose source CARRIES the evolved column —
+    updates of pre-evolution rows (they gain tokens) and fresh inserts.
+    The Delta-parity seam the r13 verdict named: survivors that predate
+    the column ride through the merge rewrite as NULL-projected rows,
+    the committed schema carries forward unchanged, and untouched
+    bands' files survive byte-identical."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        append_commit,
+        clustered_write_commit,
+        merge_commit,
+    )
+    from cognitive_score_bigdata_spark.queries.round16_staging import (
+        N_BANDS,
+        N_RANGES,
+        _assert_offset_headroom,
+    )
+
+    def build() -> str:
+        docs = load_table(spark, sf_dir, "documents")
+        _assert_offset_headroom(docs, EM_EVO_OFFSET)
+        path = tempfile.mkdtemp(prefix="csb_evomerge_art_") + "/docs"
+        clustered_write_commit(
+            docs.withColumn("band", F.col("doc_id") % N_BANDS),
+            path,
+            part_col="band",
+            cluster_col="doc_id",
+            n_ranges=N_RANGES,
+            note=f"clustered documents {sf_dir}",
+        )
+        evolved = (
+            docs.filter(F.col("doc_id") % EM_EVO_MOD == EM_EVO_REM)
+            .withColumn("doc_id", F.col("doc_id") + EM_EVO_OFFSET)
+            .withColumn("tokens", F.expr(f"n_chars DIV {EM_TOKENS_DIV}"))
+            .withColumn("band", F.col("doc_id") % N_BANDS)
+        )
+        append_commit(
+            path,
+            lambda: evolved.write.mode("append")
+            .partitionBy("band")
+            .parquet(path),
+            note="evolved append: + tokens column",
+            stats_cols=["doc_id", "tokens"],
+            schema_json=evolved.schema.json(),
+        )
+        updates = (
+            docs.filter(F.col("doc_id") % EM_UPD_MOD == EM_UPD_REM)
+            .withColumn("n_chars", F.col("n_chars") + EM_UPD_DELTA)
+            .withColumn("tokens", F.expr(f"n_chars DIV {EM_TOKENS_DIV}"))
+            .withColumn("band", F.col("doc_id") % N_BANDS)
+        )
+        inserts = (
+            docs.filter(F.col("doc_id") % EM_INS_MOD == EM_INS_REM)
+            .withColumn("doc_id", F.col("doc_id") + EM_INS_OFFSET)
+            .withColumn("tokens", F.expr(f"n_chars DIV {EM_TOKENS_DIV}"))
+            .withColumn("band", F.col("doc_id") % N_BANDS)
+        )
+        merge_commit(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            key_cols=["doc_id"],
+            part_col="band",
+            note="merge carrying the evolved column",
+        )
+        return path
+
+    return session_scoped(_EVOMERGE_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "scan_merge_evolved_agg",
+    oracle=f"""
+    WITH live AS (
+      SELECT lang,
+             CASE WHEN doc_id % {EM_UPD_MOD} = {EM_UPD_REM}
+                  THEN n_chars + {EM_UPD_DELTA} ELSE n_chars END AS n_chars,
+             CASE WHEN doc_id % {EM_UPD_MOD} = {EM_UPD_REM}
+                  THEN (n_chars + {EM_UPD_DELTA}) // {EM_TOKENS_DIV}
+                  ELSE CAST(NULL AS BIGINT) END AS tokens
+      FROM documents
+      UNION ALL
+      SELECT lang, n_chars, n_chars // {EM_TOKENS_DIV}
+      FROM documents WHERE doc_id % {EM_EVO_MOD} = {EM_EVO_REM}
+      UNION ALL
+      SELECT lang, n_chars, n_chars // {EM_TOKENS_DIV}
+      FROM documents WHERE doc_id % {EM_INS_MOD} = {EM_INS_REM}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(tokens) AS BIGINT) AS n_with_tokens,
+           CAST(SUM(COALESCE(tokens, 0)) AS BIGINT) AS sum_tokens
+    FROM live GROUP BY lang
+    """,
+    doc="MERGE INTO a schema-evolved table (the r13-verdict Delta-"
+    "parity seam): v2 commits `tokens` + the evolved schema, v3 merges "
+    "a source CARRYING the new column — matched pre-evolution rows "
+    "gain tokens, survivors that predate the column ride the rewrite "
+    "NULL-projected, unmatched rows insert, the committed schema "
+    "carries forward through the merge flip, and untouched bands "
+    "survive byte-identical. Oracle recomputes the post-merge evolved "
+    "state from the base table; a dropped NULL projection, lost "
+    "update, or schema regression hash-mismatches",
+)
+def scan_merge_evolved_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+    )
+
+    path = evolved_merge_artifact(spark, sf_dir)
+    return (
+        read_index(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count("tokens").cast("bigint").alias("n_with_tokens"),
+            F.sum(F.coalesce(F.col("tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_tokens"),
+        )
+    )

@@ -88,6 +88,7 @@ WARM_FOR = {
     # the incremental row's warmed artifact, as the xxhash64 one was.
     "curation_stream_training_set": ["curation_stream_training_set"],
     "dedup_incremental_newbatch": ["dedup_incremental_newbatch"],
+    "scan_merge_evolved_agg": ["scan_merge_evolved_agg"],
 }
 
 

@@ -737,3 +737,108 @@ def test_sq8_degenerate_span_raises(spark):
         sq.sq8_fit(vecs)
     with pytest.raises(ValueError, match="degenerate dimension"):
         sq.sq8_encode(vecs, [0.0, 7.0], [3.0, 7.0])
+
+
+def _evolved_fixture(spark, prefix):
+    """v1: doc_id-banded documents WITHOUT tokens; v2: evolved append
+    carrying tokens (schema committed in the same flip). Fresh per
+    test — never the session-cached registry artifact."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    path = tempfile.mkdtemp(prefix=prefix) + "/docs"
+    im.append_commit(
+        path,
+        lambda: docs.write.mode("append").partitionBy("band").parquet(path),
+        stats_cols=["doc_id"],
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("tokens", F.expr("n_chars DIV 5"))
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    im.append_commit(
+        path,
+        lambda: batch.write.mode("append").partitionBy("band").parquet(path),
+        note="evolved append",
+        stats_cols=["doc_id", "tokens"],
+        schema_json=batch.schema.json(),
+    )
+    return path, docs, batch
+
+
+def test_merge_into_evolved_table(spark):
+    """MERGE against a schema-evolved table where the survivors predate
+    the column: survivors project tokens as NULL into the replacement
+    files, the source's tokens land on its matched/inserted rows, the
+    committed schema carries forward through the merge flip, and time
+    travel to the pre-evolution snapshot still resolves its OWN
+    schema."""
+    path, docs, batch = _evolved_fixture(spark, "csb_evomerge_")
+    src = (
+        docs.filter(F.col("doc_id") % 10 == 7)  # pre-evolution rows
+        .withColumn("n_chars", F.col("n_chars") + 9)
+        .withColumn("tokens", F.expr("n_chars DIV 5"))
+        .withColumn("band", F.col("doc_id") % 2)
+    )
+    n_upd = src.count()
+    im.merge_commit(
+        spark, path, src, key_cols=["doc_id"], part_col="band"
+    )
+    live = im.read_index(spark, path)
+    assert "tokens" in live.columns
+    # merged rows carry the source's tokens
+    got = live.filter(
+        (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 1_000_000)
+    )
+    assert got.count() == n_upd
+    assert got.filter(F.col("tokens").isNull()).count() == 0
+    # untouched pre-evolution rows (rewritten as survivors or not)
+    # still project NULL tokens
+    untouched = live.filter(
+        (F.col("doc_id") % 10 != 7) & (F.col("doc_id") < 1_000_000)
+    )
+    assert untouched.filter(F.col("tokens").isNotNull()).count() == 0
+    # the evolved batch is intact
+    assert live.filter(F.col("doc_id") >= 1_000_000).count() == batch.count()
+    # time travel: the pre-evolution snapshot resolves its own schema
+    v1 = im.read_index(spark, path, version=1)
+    assert "tokens" not in v1.columns
+
+
+def test_compact_mixed_schema_partitions(spark):
+    """Sort-aware compaction of partitions whose live files disagree on
+    schema (pre-evolution files lack tokens): the rewrite projects the
+    committed schema (NULL tokens for old rows), content is conserved,
+    and stats re-harvest covers every tracked column — files the old
+    schema wrote are simply unknown for tokens (never wrongly
+    skipped), while the pruned probe stays exact."""
+    path, docs, batch = _evolved_fixture(spark, "csb_evocompact_")
+    before = im.read_index(spark, path).toPandas()
+    res = im.compact_index_parts(
+        spark, path, "band", max_files_per_part=1, cluster_col="doc_id",
+        parts=[0, 1],  # explicit: 2 files/band sits at the no-op threshold
+    )
+    assert res  # both bands rewrote
+    after = im.read_index(spark, path).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["doc_id", "band"]].itertuples(index=False))
+    )
+    assert key(after) == key(before)  # conservation
+    assert after["tokens"].notna().sum() == len(batch.toPandas())
+    # tracked-column stats re-harvested on the compacted files: a
+    # tokens range prune + caller filter equals the plain filter
+    doc = im._read_manifest_doc(path)
+    stats = doc.get("stats", {})
+    compacted = [f for f in doc["files"] if "compact-v" in f]
+    assert compacted
+    assert any("tokens" in stats.get(f, {}) for f in compacted)
+    lo = int(batch.agg(F.min("tokens")).collect()[0][0])
+    pruned = im.read_index(
+        spark, path, prune=("tokens", lo, None)
+    ).filter(F.col("tokens") >= lo)
+    want = im.read_index(spark, path).filter(F.col("tokens") >= lo)
+    assert pruned.count() == want.count() == batch.count()

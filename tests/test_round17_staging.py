@@ -22,7 +22,11 @@ from cognitive_score_bigdata_spark.queries.round17_staging import (
 )
 from tests.conftest import SF_DIR, assert_frames_match
 
-NAMES = ["dedup_incremental_newbatch", "curation_stream_training_set"]
+NAMES = [
+    "dedup_incremental_newbatch",
+    "curation_stream_training_set",
+    "scan_merge_evolved_agg",
+]
 
 
 def test_oracle_parity(spark):
@@ -125,3 +129,48 @@ def test_curation_splits_are_leakage_safe(spark):
     assert set(splits["doc_id"]) == admitted
     spans = splits.groupby("cluster_id")["split"].nunique()
     assert (spans == 1).all()
+
+
+def test_merge_evolved_artifact_structural_pins(spark):
+    """The MERGE × evolution seam at the artifact level: the committed
+    schema (with tokens) carries forward through the merge flip, time
+    travel to the pre-evolution snapshot resolves its own schema, the
+    merge touched only the bands the semantics name, and every
+    untouched band's committed files survive byte-identical."""
+    import json
+
+    import cognitive_score_bigdata_spark.operators.index_manifest as im
+    from cognitive_score_bigdata_spark.queries.round16_staging import N_BANDS
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        EM_INS_MOD,
+        EM_INS_REM,
+        EM_UPD_MOD,
+        EM_UPD_REM,
+        evolved_merge_artifact,
+    )
+
+    path = evolved_merge_artifact(spark, SF_DIR)
+    # v1 pre-evolution, v2 evolved append, v3 merge
+    assert im.read_manifest(path)[0] == 3
+    v3 = im._read_manifest_doc(path)
+    assert "tokens" in json.loads(v3["schema"])["fields"][0] or "tokens" in v3["schema"]
+    assert "tokens" not in (im._read_manifest_doc(path, version=1).get("schema") or "")
+    assert "tokens" not in im.read_index(spark, path, version=1).columns
+
+    docs = load_table(spark, SF_DIR, "documents")
+    touched = {
+        r.b
+        for r in docs.filter(
+            (F.col("doc_id") % EM_UPD_MOD == EM_UPD_REM)
+            | (F.col("doc_id") % EM_INS_MOD == EM_INS_REM)
+        )
+        .select((F.col("doc_id") % N_BANDS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    pre = set(im._read_manifest_doc(path, version=2)["files"])
+    post = set(v3["files"])
+    moved = {f.split("/")[0] for f in (pre - post) | (post - pre)}
+    assert moved == {f"band={b}" for b in touched}
+    untouched = {f for f in pre if f.split("/")[0] not in moved}
+    assert untouched and untouched <= post
