@@ -356,29 +356,32 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "be28ea3ee4b7",
-    "recorded": "2026-08-16 r13-continuation six-run protocol (194-query set)",
-    # s per probe-s: total / median(noise_probe) of each run. The set
-    # changed three times this session (+4 CDF/evolution/SQ8/MV rows
-    # to 192, +vector_ann_ivfsq_topk to 193, +scan_merge_upsert_agg to
-    # 194); each work batch that changed the set re-recorded the band
-    # in the same session (intermediates kept in SURVEY §9aa-r13 for
-    # the audit trail: 192-query normalized 338.9-423.1, 193-query
-    # 344.9-439.2). For reference, the r12 183-query recording:
-    # normalized 324.5-445.5 (median 394.5), raw 190.8-202.9.
-    # 194/183 = +6% queries for a -2% median normalized total
-    # (379.8 vs 394.5) — the set grew per-query cheaper.
-    "headline_total_band": [341.6, 446.4],
-    "headline_total_values": [344.5, 395.1, 341.6, 443.0, 364.5, 446.4],
-    "raw_total_band": [217.995, 254.871],
-    "probe_median_range": [0.532, 0.662],
+    "recorded_headline_hash": "b64768fea7f2",
+    "recorded": "2026-08-16 r14 six-run protocol (196-query set)",
+    # s per probe-s: total / median(noise_probe) of each run. The r14
+    # session added 2 headline rows (composed curation pipeline,
+    # MERGE x schema evolution) and re-implemented
+    # dedup_incremental_newbatch on the md5 persisted index under its
+    # existing slot; the set change invalidated the r13 band
+    # (be28ea3ee4b7, raw [218.0, 254.9]) and this recording replaces
+    # it. Host note: this recording host ran noisier than the r13 one
+    # (raw spread +-15% vs +-8%; run 2 paired a 0.444 probe with
+    # normal raws, stretching the normalized ceiling and the
+    # dedup_cluster_exact metric band) — the clamp rule plus these
+    # honest-wide bands make the gate conservative, not loose: raw is
+    # also recorded and raw_within_band_informational still emits.
+    "headline_total_band": [363.6, 504.5],
+    "headline_total_values": [467.1, 504.5, 376.3, 363.6, 474.5, 497.3],
+    "raw_total_band": [203.93, 274.501],
+    "probe_median_range": [0.444, 0.589],
     # per-metric normalized bands from the same six runs (keys match
     # banded_normalized's)
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [3.77, 5.42],
-        "text_prefix_filter_join": [13.44, 16.81],
-        "dedup_simhash_pairs": [4.78, 7.05],
-        "graph_family_total": [34.35, 42.89],
+        "vector_ann_ivfpq_topk": [3.59, 7.72],
+        "text_prefix_filter_join": [15.24, 19.91],
+        "dedup_simhash_pairs": [5.14, 7.47],
+        "graph_family_total": [38.23, 50.05],
+        "dedup_cluster_exact": [4.58, 12.44],
     },
 }
 
@@ -852,8 +855,15 @@ def main() -> None:
         # artifacts (upsert rewrite, evolved append, SQ8 fit+encode).
         # Timing methodology unchanged; six-run band re-recorded for
         # the 192-query list in the same session that changed the set.
+        # r14-curation-merge: +2 headline rows (composed curation
+        # pipeline, MERGE x schema evolution), +2 warm-list artifacts
+        # (admission fixture, evolved-merge artifact);
+        # dedup_incremental_newbatch re-implemented on the md5
+        # persisted index under its existing slot. Gating now divides
+        # by the clamped probe (see gating_probe_median); six-run band
+        # re-recorded for the 196-query list this session.
         "bench_config": {
-            "revision": "r13-cdf-sq8",
+            "revision": "r14-curation-merge",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

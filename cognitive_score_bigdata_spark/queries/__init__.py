@@ -293,6 +293,88 @@ ROUND8_WINDOW = [
     "window_trailing_30d_range",
 ]
 
+# Round-16 rotation plan, MATERIALIZED at round-14 end (the standing
+# next-next-window discipline). Composition: the 17 round-10-latest
+# rows — the five carries this session's births displaced
+# (window_session_30m, timeseries_twap_per_user, text_ngram_jaccard,
+# timeseries_ohlc_hourly, text_exact_dedup) plus the 12 rows round 15
+# left at r10-latest — then 33 of the 50 round-11-latest carries. The
+# 17 r11 rows held to round 17 are each the least-risk member of
+# their family (a hash-green r12-r15 sibling on identical machinery,
+# or a ledgered estimator whose exact twin is IN this window):
+# agg_approx_distinct (exact twin agg_distinct in-window),
+# agg_percentile_approx (exact median/bands green r14), agg_cube /
+# agg_rollup (agg_grouping_sets green r14), sample_stratified
+# (sample_stratified_exact_k green r14), vector_kmeans_cluster_sizes
+# (seeded/exact semantic siblings green r13/r15),
+# scalar_regexp_replace / scalar_string_funcs (scalar_string_advanced
+# green r14), window_percentiles (agg_percentile_bands green r14),
+# window_rolling_avg (window_trailing_30d_range green r14),
+# window_latest_per_key (agg_latest_per_key green r14),
+# window_rank_analytic (plan-pinned TakeOrderedAndProject family,
+# window_topk_recent green r12), search_mmr_rerank_ivf (exact
+# search_mmr_rerank in-window), text_token_count_bpe
+# (corpus_bpe_encode green r14), subquery_in_filter
+# (analytics_q4_exists_priority green r14), proj_derived_status
+# (proj_filter_basic/scalar_conditional green r12),
+# timeseries_gapfill_daily (timeseries_max_drawdown green r14,
+# timeseries_ohlc_hourly in-window). New round-15-session births
+# displace carries from the END.
+ROUND16_WINDOW = [
+    # the 17 round-10-latest rows — clears round-10 debt
+    "agg_distinct",
+    "agg_filtered_count",
+    "analytics_q5_region_volume",
+    "analytics_q7_volume",
+    "analytics_q8_market_share",
+    "analytics_q9_profit",
+    "dedup_cluster_docs",
+    "flagship_dashboard",
+    "flagship_stats",
+    "join_asof",
+    "join_inner_broadcast",
+    "sample_seeded",
+    "text_exact_dedup",
+    "text_ngram_jaccard",
+    "timeseries_ohlc_hourly",
+    "timeseries_twap_per_user",
+    "window_session_30m",
+    # 33 of the 50 round-11-latest carries
+    "agg_incremental_mv_merge",
+    "analytics_skyline_parts",
+    "corpus_contamination_4gram",
+    "corpus_dedup_keep_best",
+    "corpus_mix_rebalance",
+    "corpus_shard_assignment",
+    "dedup_winnowing_pairs",
+    "events_markov_transitions",
+    "events_streak_islands",
+    "graph_pagerank_bucketed",
+    "join_anti",
+    "join_asof_cogrouped",
+    "join_explode_ownership",
+    "join_left_composite",
+    "join_semi",
+    "market_rule_lift",
+    "multimodal_arrow_bytes",
+    "quality_repetition_signals",
+    "range_join_time_binned",
+    "sample_domain_quota",
+    "scalar_variant_props",
+    "scan_orc_pushdown",
+    "scan_runtime_bloom_join",
+    "search_hybrid_rrf",
+    "search_mmr_rerank",
+    "sketch_cms_md5_tokens",
+    "streaming_markov_transitions",
+    "streaming_quota_admission",
+    "text_chunk_dedup",
+    "text_lang_id",
+    "text_quality_score",
+    "vector_cosine_topk",
+    "vector_ivf_merge_topk",
+]
+
 # Round-11 rotation plan (execute as ROUND11_WINDOW next round).
 # [HISTORICAL — kept as written at round-10 end; the round-11 session
 # found this plan undercounted the r6 cohort by one
@@ -1001,7 +1083,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND13_WINDOW` comes first.
+    the registry reordered so :data:`ROUND14_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
