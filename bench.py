@@ -330,6 +330,10 @@ HEADLINE = [
     # merge_commit are once-per-corpus maintenance commits, warmed
     # below)
     "scan_merge_evolved_agg",
+    # binary-quantized two-stage retrieval (timed row = the Hamming
+    # code scan + cosine rescore; the sign-bit code pass is the same
+    # narrow scan, cheap enough to time in-row like sq8's probe)
+    "vector_ann_bq_topk",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -356,32 +360,34 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "b64768fea7f2",
-    "recorded": "2026-08-16 r14 six-run protocol (196-query set)",
-    # s per probe-s: total / median(noise_probe) of each run. The r14
-    # session added 2 headline rows (composed curation pipeline,
-    # MERGE x schema evolution) and re-implemented
-    # dedup_incremental_newbatch on the md5 persisted index under its
-    # existing slot; the set change invalidated the r13 band
-    # (be28ea3ee4b7, raw [218.0, 254.9]) and this recording replaces
-    # it. Host note: this recording host ran noisier than the r13 one
-    # (raw spread +-15% vs +-8%; run 2 paired a 0.444 probe with
-    # normal raws, stretching the normalized ceiling and the
-    # dedup_cluster_exact metric band) — the clamp rule plus these
-    # honest-wide bands make the gate conservative, not loose: raw is
-    # also recorded and raw_within_band_informational still emits.
-    "headline_total_band": [363.6, 504.5],
-    "headline_total_values": [467.1, 504.5, 376.3, 363.6, 474.5, 497.3],
-    "raw_total_band": [203.93, 274.501],
-    "probe_median_range": [0.444, 0.589],
-    # per-metric normalized bands from the same six runs (keys match
-    # banded_normalized's)
+    "recorded_headline_hash": "2867a81fd5aa",
+    "recorded": "2026-08-16 r14 recording protocol (197-query set; "
+    "7 clean runs of 8 — see SURVEY_APPENDIX §19d)",
+    # s per probe-s: total / median(noise_probe) of each run. Final r14
+    # set: +3 new headline rows this session (composed curation
+    # pipeline, MERGE x schema evolution, binary-quantized ANN) and
+    # dedup_incremental_newbatch re-implemented on the md5 persisted
+    # index under its existing slot. Eight runs were recorded; run 6
+    # (raw 316.6, text_prefix_filter_join 41.7 vs 15-19 in every other
+    # run, graph_family 78.2 vs 39-45) caught a host event mid-run and
+    # is EXCLUDED from the bands — all eight values are tabled in
+    # SURVEY_APPENDIX §19d so the exclusion is auditable, and the
+    # excluded run's shape (two queries 2x, everything else normal) is
+    # the signature of external load, not a plan change.
+    "headline_total_band": [409.4, 448.6],
+    "headline_total_values": [
+        409.4, 448.6, 448.5, 434.2, 439.4, 418.5, 412.7,
+    ],
+    "raw_total_band": [213.293, 261.951],
+    "probe_median_range": [0.521, 0.626],
+    # per-metric normalized bands from the same seven clean runs (keys
+    # match banded_normalized's)
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [3.59, 7.72],
-        "text_prefix_filter_join": [15.24, 19.91],
-        "dedup_simhash_pairs": [5.14, 7.47],
-        "graph_family_total": [38.23, 50.05],
-        "dedup_cluster_exact": [4.58, 12.44],
+        "vector_ann_ivfpq_topk": [4.34, 7.06],
+        "text_prefix_filter_join": [15.47, 18.97],
+        "dedup_simhash_pairs": [5.56, 8.66],
+        "graph_family_total": [38.72, 44.81],
+        "dedup_cluster_exact": [5.08, 10.08],
     },
 }
 
@@ -768,10 +774,30 @@ def main() -> None:
             "gated_headline_total": round(
                 result_raw_total / gating_probe, 1
             ),
+            # within_band is the REGRESSION gate and is one-sided:
+            # true iff the gated total is at or below the recorded
+            # ceiling. A run faster than every recording run (below
+            # the floor) is not a regression — r14's confirmation run
+            # landed 7% below the floor on an ordinary probe, the
+            # mirror image of the r13 fast-probe false alarm.
+            # headline_vs_band still reports the direction.
             "within_band": (
-                COMMITTED_NORMALIZED["headline_total_band"][0]
-                <= round(result_raw_total / gating_probe, 1)
+                round(result_raw_total / gating_probe, 1)
                 <= COMMITTED_NORMALIZED["headline_total_band"][1]
+                if headline_hash
+                == COMMITTED_NORMALIZED["recorded_headline_hash"]
+                else None
+            ),
+            "headline_vs_band": (
+                (
+                    "above_band"
+                    if round(result_raw_total / gating_probe, 1)
+                    > COMMITTED_NORMALIZED["headline_total_band"][1]
+                    else "below_band"
+                    if round(result_raw_total / gating_probe, 1)
+                    < COMMITTED_NORMALIZED["headline_total_band"][0]
+                    else "in_band"
+                )
                 if headline_hash
                 == COMMITTED_NORMALIZED["recorded_headline_hash"]
                 else None

@@ -318,10 +318,19 @@ ROUND8_WINDOW = [
 # (analytics_q4_exists_priority green r14), proj_derived_status
 # (proj_filter_basic/scalar_conditional green r12),
 # timeseries_gapfill_daily (timeseries_max_drawdown green r14,
-# timeseries_ohlc_hourly in-window). New round-15-session births
-# displace carries from the END.
+# timeseries_ohlc_hourly in-window), vector_cosine_topk (q200 twin
+# r14-checked, BLAS sibling r15-checked — moved to the holds when
+# scalar_json joined the r10 group, see the list comment). New
+# round-15-session births displace carries from the END.
 ROUND16_WINDOW = [
-    # the 17 round-10-latest rows — clears round-10 debt
+    # the 18 round-10-latest rows — clears round-10 debt. scalar_json
+    # joined this group when the 4th r14 birth (vector_ann_bq_topk)
+    # displaced it from ROUND15_WINDOW's end; to keep the window at 50
+    # the r11 carry vector_cosine_topk moved to the round-17 holds
+    # (least-risk: its q200 twin is r14-checked and the fast BLAS
+    # sibling vector_cosine_topk_fast is r15-checked, identical
+    # ranking machinery).
+    "scalar_json",
     "agg_distinct",
     "agg_filtered_count",
     "analytics_q5_region_volume",
@@ -371,7 +380,6 @@ ROUND16_WINDOW = [
     "text_chunk_dedup",
     "text_lang_id",
     "text_quality_score",
-    "vector_cosine_topk",
     "vector_ivf_merge_topk",
 ]
 
@@ -486,6 +494,7 @@ ROUND15_WINDOW = [
     "dedup_incremental_newbatch",
     "curation_stream_training_set",
     "scan_merge_evolved_agg",
+    "vector_ann_bq_topk",
     "vector_ann_lsh_seeded",
     "scan_time_travel_audit",
     "scan_changes_feed",
@@ -534,14 +543,13 @@ ROUND15_WINDOW = [
     "quality_entity_share_audit",
     "quality_independence_residuals",
     "scalar_interval",
-    "scalar_json",
     # (window_session_30m and timeseries_twap_per_user were displaced
     # by the r13 session's 7th/8th births vector_ann_ivfsq_topk and
-    # scan_merge_upsert_agg; text_ngram_jaccard, timeseries_ohlc_hourly
-    # and text_exact_dedup by the r14 session's births
-    # dedup_incremental_newbatch, curation_stream_training_set and
-    # scan_merge_evolved_agg — all five head round 16 with the held
-    # rows)
+    # scan_merge_upsert_agg; text_ngram_jaccard, timeseries_ohlc_hourly,
+    # text_exact_dedup and scalar_json by the r14 session's births
+    # dedup_incremental_newbatch, curation_stream_training_set,
+    # scan_merge_evolved_agg and vector_ann_bq_topk — all six head
+    # round 16 with the held rows)
 ]
 
 # Round-14 rotation plan, MATERIALIZED at round-13 end (VERDICT r12

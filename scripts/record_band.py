@@ -22,7 +22,11 @@ recorded bound is conservative in both directions: a too-fast probe
 cannot inflate the gate (fast-host false alarm), a too-slow probe
 cannot mask a regression (slow-host false pass). The as-measured
 normalization is still emitted separately (banded_normalized) so
-future recordings stay comparable.
+future recordings stay comparable. The headline gate is ONE-SIDED:
+`within_band` is true iff the gated total is at or below the recorded
+ceiling — a run faster than every recording run is not a regression
+(r14's confirmation run landed below the floor on an in-range probe);
+`headline_vs_band` reports the direction for readers who want it.
 
 Usage: python scripts/record_band.py [n_runs]
 """

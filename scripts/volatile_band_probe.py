@@ -89,6 +89,7 @@ WARM_FOR = {
     "curation_stream_training_set": ["curation_stream_training_set"],
     "dedup_incremental_newbatch": ["dedup_incremental_newbatch"],
     "scan_merge_evolved_agg": ["scan_merge_evolved_agg"],
+    "vector_ann_bq_topk": [],
 }
 
 

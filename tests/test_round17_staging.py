@@ -26,6 +26,7 @@ NAMES = [
     "dedup_incremental_newbatch",
     "curation_stream_training_set",
     "scan_merge_evolved_agg",
+    "vector_ann_bq_topk",
 ]
 
 
@@ -174,3 +175,21 @@ def test_merge_evolved_artifact_structural_pins(spark):
     assert moved == {f"band={b}" for b in touched}
     untouched = {f for f in pre if f.split("/")[0] not in moved}
     assert untouched and untouched <= post
+
+
+def test_bq_oracle_parity_and_recall(spark):
+    """The BQ row hash-matches its oracle (covered in NAMES parity too)
+    and the sign-bit tier is USEFUL: recall@10 of the Hamming-cut +
+    rescore pipeline against brute-force cosine clears a measured
+    floor on the random test corpus."""
+    reg = load_registry()
+    got = reg["vector_ann_bq_topk"].fn(spark, SF_DIR).toPandas()
+    exact = reg["vector_cosine_topk"].fn(spark, SF_DIR).toPandas()
+    assert len(got) == len(exact) == 50
+    hits = 0
+    for q in range(5):
+        g = set(got[got.query_id == q]["neighbor_id"])
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        hits += len(g & e)
+    recall = hits / 50
+    assert recall >= 0.3, recall  # sign bits of random 64-d vectors
