@@ -221,8 +221,8 @@ def _admitted_index_path(spark: SparkSession, sf_dir: str) -> str:
     committed corpus, echoes of the novel batch — through the
     manifest-fenced admission gate. Postconditions are LOUD: the fence
     must record batches [0, 1, 2], and no echo may be admitted (every
-    committed id < {ECHO1_SHIFT}) — an exact clone always probes >= "
-    "threshold against its committed source, so an admitted echo means
+    committed id < {ECHO1_SHIFT}) — an exact clone always probes >=
+    threshold against its committed source, so an admitted echo means
     a broken probe, not a different answer."""
     import os
 
