@@ -689,8 +689,15 @@ def main() -> None:
     # inflated every normalized metric ~8% on a flat-raw run. Rule: the
     # GATE divides by the probe CLAMPED to the nearest recorded bound
     # (the verdict a host running at the nearest recorded speed would
-    # get — conservative in both directions: a too-fast probe can't
-    # inflate the gate, a too-slow probe can't mask a regression). The
+    # get — conservative against probe NOISE in both directions: a
+    # too-fast probe can't inflate the gate, a too-slow probe can't
+    # mask a regression). Known blind spot (ADVICE r14): on a host with
+    # a SUSTAINED genuine speedup (probe truly below the recorded
+    # floor) the clamp deflates the gated total by probe/floor, so a
+    # real regression up to that offset could pass the one-sided gate;
+    # the raw_total_band check below is the backstop — a regression
+    # large enough to matter also pushes the RAW total outside the
+    # recorded raw band, which is reported unclamped. The
     # as-measured normalization is still emitted (banded_normalized)
     # for band RECORDING continuity; the clamp applies to gating only.
     # The dual rule lives in scripts/record_band.py's docstring.
@@ -886,8 +893,11 @@ def main() -> None:
         # (admission fixture, evolved-merge artifact);
         # dedup_incremental_newbatch re-implemented on the md5
         # persisted index under its existing slot. Gating now divides
-        # by the clamped probe (see gating_probe_median); six-run band
-        # re-recorded for the 196-query list this session.
+        # by the clamped probe (see gating_probe_median); the committed
+        # band is a seven-clean-run recording (of eight; the excluded
+        # host-load outlier is tabled in SURVEY_APPENDIX §19d) over the
+        # 197-query list, made in the same session that changed the
+        # set.
         "bench_config": {
             "revision": "r14-curation-merge",
             "headline_hash": headline_hash,

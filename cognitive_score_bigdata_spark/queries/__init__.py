@@ -294,12 +294,13 @@ ROUND8_WINDOW = [
 ]
 
 # Round-16 rotation plan, MATERIALIZED at round-14 end (the standing
-# next-next-window discipline). Composition: the 17 round-10-latest
+# next-next-window discipline). Composition: the 18 round-10-latest
 # rows — the five carries this session's births displaced
 # (window_session_30m, timeseries_twap_per_user, text_ngram_jaccard,
 # timeseries_ohlc_hourly, text_exact_dedup) plus the 12 rows round 15
-# left at r10-latest — then 33 of the 50 round-11-latest carries. The
-# 17 r11 rows held to round 17 are each the least-risk member of
+# left at r10-latest plus scalar_json (displaced when the 4th r14
+# birth joined ROUND15) — then 32 of the 50 round-11-latest carries.
+# The 18 r11 rows held to round 17 are each the least-risk member of
 # their family (a hash-green r12-r15 sibling on identical machinery,
 # or a ledgered estimator whose exact twin is IN this window):
 # agg_approx_distinct (exact twin agg_distinct in-window),
@@ -348,7 +349,7 @@ ROUND16_WINDOW = [
     "timeseries_ohlc_hourly",
     "timeseries_twap_per_user",
     "window_session_30m",
-    # 33 of the 50 round-11-latest carries
+    # 32 of the 50 round-11-latest carries
     "agg_incremental_mv_merge",
     "analytics_skyline_parts",
     "corpus_contamination_4gram",
@@ -1091,7 +1092,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND14_WINDOW` comes first.
+    the registry reordered so :data:`ROUND15_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -1134,7 +1135,12 @@ def load_registry() -> dict[str, QuerySpec]:
     predates round 9.  Round 14 fronts the 3 r14 staged births
     (zone-map range agg; leakage-safe splits; delete-rewrite fetch) +
     the 3 round-8-latest hold-overs + 44 round-9-latest carries —
-    after this window no latest row predates round 10.
+    after this window no latest row predates round 10.  Round 15
+    fronts the 12 never-driver-checked births (4 r14-session rows +
+    the 8 r13-session staged rows, all pre-mirrored hash-green at
+    sf0.001 AND sf0.01) + the 6 round-9-latest hold-overs + 32
+    round-10-latest carries — after this window no latest row
+    predates round 10 and the never-checked count is back to 0.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -1193,15 +1199,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND14_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND15_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND14_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND15_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND14_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND15_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered

@@ -18,9 +18,14 @@ probe itself is the outlier and dividing by it injects probe noise
 into the gate — r13's driver probe (0.52) undercut the recorded floor
 (0.532) and inflated every normalized metric ~8% on a flat-raw run
 (`within_band: false` with raw mid-band). Clamping to the nearest
-recorded bound is conservative in both directions: a too-fast probe
-cannot inflate the gate (fast-host false alarm), a too-slow probe
-cannot mask a regression (slow-host false pass). The as-measured
+recorded bound is conservative against probe NOISE in both directions:
+a noisy too-fast probe cannot inflate the gate (fast-host false
+alarm), a noisy too-slow probe cannot mask a regression (slow-host
+false pass). Known blind spot (ADVICE r14): on a host with a SUSTAINED
+genuine speedup — the probe truly below the recorded floor — the
+clamp deflates the gated total by probe/floor, so a real regression up
+to that offset can pass the one-sided gate; bench.py's unclamped
+`raw_total_band` report is the backstop for that case. The as-measured
 normalization is still emitted separately (banded_normalized) so
 future recordings stay comparable. The headline gate is ONE-SIDED:
 `within_band` is true iff the gated total is at or below the recorded

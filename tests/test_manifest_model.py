@@ -27,6 +27,17 @@ and the longest retained span (suppression, net semantics across
 spans, and empty feeds for compaction/metadata commits all fall out
 of that single invariant).
 
+Schema evolution is in the op alphabet too (VERDICT r14 item 2): an
+``evolve`` op commits a new ``val`` column + the evolved table schema
+in ONE flip mid-sequence, composing with merge/compact/vacuum/crash
+like every other op. The content model carries ``val`` on every row
+(None before the column exists, and for any file written without it
+after — the NULL-projection rule read_index implements by matching
+parquet columns by name), the feed mirror classifies value-only
+updates, and every retained snapshot must resolve its OWN schema —
+``val`` appears in a snapshot's committed schema iff the snapshot is
+at or after the evolve commit, never borrowed from ``_current``.
+
 Data files are written with pyarrow (no Spark in the hot loop, so
 hypothesis can afford real sequence exploration); ONE final Spark
 read_index parity check per example confirms the Spark reader agrees
@@ -43,11 +54,12 @@ from collections import Counter
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from cognitive_score_bigdata_spark.operators.index_manifest import (
     _list_data_files,
+    _read_manifest_doc,
     append_commit,
     compact_index_parts,
     file_column_stats,
@@ -64,12 +76,41 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
 
 BANDS = [0, 1, 2]
 
+# the evolved table schema the `evolve` op commits: id + the new `val`
+# column + the partition column, exactly the shape a Spark writer's
+# .schema.json() carries (round17's evolved append)
+_EVOLVED_SCHEMA_JSON = (
+    '{"type":"struct","fields":['
+    '{"name":"id","type":"long","nullable":true,"metadata":{}},'
+    '{"name":"val","type":"long","nullable":true,"metadata":{}},'
+    '{"name":"band","type":"integer","nullable":true,"metadata":{}}]}'
+)
 
-def _write_rows(path: str, band: int, ids: list[int], tag: str) -> None:
+
+def _schema_has_val(doc: dict | None) -> bool:
+    import json as _json
+
+    if not doc or not doc.get("schema"):
+        return False
+    return "val" in [
+        f["name"] for f in _json.loads(doc["schema"])["fields"]
+    ]
+
+
+def _write_rows(
+    path: str,
+    band: int,
+    ids: list[int],
+    tag: str,
+    vals: list[int | None] | None = None,
+) -> None:
     d = os.path.join(path, f"band={band}")
     os.makedirs(d, exist_ok=True)
+    cols = {"id": pa.array(ids, pa.int64())}
+    if vals is not None:
+        cols["val"] = pa.array(vals, pa.int64())
     pq.write_table(
-        pa.table({"id": pa.array(ids, pa.int64())}),
+        pa.table(cols),
         os.path.join(d, f"{tag}.parquet"),
     )
 
@@ -91,13 +132,22 @@ def _committed_rows(
     out: Counter = Counter()
     for rel in files:
         band = int(rel.split("/", 1)[0].split("=", 1)[1])
-        t = pq.read_table(os.path.join(path, rel), columns=["id"])
-        for i in t.column("id").to_pylist():
+        t = pq.read_table(os.path.join(path, rel))
+        ids = t.column("id").to_pylist()
+        # NULL projection: a file written without the evolved column
+        # reads as val=None under any snapshot — parquet matches by
+        # name, exactly what read_index's committed-schema scan does
+        vals = (
+            t.column("val").to_pylist()
+            if "val" in t.column_names
+            else [None] * len(ids)
+        )
+        for i, v in zip(ids, vals):
             if prune is not None:
                 lo, hi = prune[1], prune[2]
                 if (lo is not None and i < lo) or (hi is not None and i > hi):
                     continue
-            out[(i, band)] += 1
+            out[(i, band, v)] += 1
     return out
 
 
@@ -114,15 +164,21 @@ def _python_feed(path: str, v_from: int, v_to: int):
         out = {}
         for rel in files:
             band = int(rel.split("/", 1)[0].split("=", 1)[1])
-            t = pq.read_table(os.path.join(path, rel), columns=["id"])
-            for i in t.column("id").to_pylist():
+            t = pq.read_table(os.path.join(path, rel))
+            ids = t.column("id").to_pylist()
+            vals = (
+                t.column("val").to_pylist()
+                if "val" in t.column_names
+                else [None] * len(ids)
+            )
+            for i, v in zip(ids, vals):
                 assert i not in out, "CDF key contract violated in model"
-                out[i] = band
+                out[i] = (band, v)
         return out
 
     pre, post = rows(removed), rows(added)
-    deletes = {i: b for i, b in pre.items() if i not in post}
-    inserts = {i: b for i, b in post.items() if i not in pre}
+    deletes = {i: bv for i, bv in pre.items() if i not in post}
+    inserts = {i: bv for i, bv in post.items() if i not in pre}
     updates = [
         (i, pre[i], post[i])
         for i in pre
@@ -133,21 +189,21 @@ def _python_feed(path: str, v_from: int, v_to: int):
 
 def _apply_feed(snap: Counter, deletes, inserts, updates) -> Counter:
     out = Counter(snap)
-    for i, b in deletes.items():
-        out[(i, b)] -= 1
-    for i, b in inserts.items():
-        out[(i, b)] += 1
-    for i, b_pre, b_post in updates:
-        out[(i, b_pre)] -= 1
-        out[(i, b_post)] += 1
+    for i, (b, v) in deletes.items():
+        out[(i, b, v)] -= 1
+    for i, (b, v) in inserts.items():
+        out[(i, b, v)] += 1
+    for i, (b_pre, v_pre), (b_post, v_post) in updates:
+        out[(i, b_pre, v_pre)] -= 1
+        out[(i, b_post, v_post)] += 1
     return Counter({k: c for k, c in out.items() if c > 0})
 
 
 def _model_pruned(model: Counter, lo, hi) -> Counter:
     return Counter(
         {
-            (i, b): c
-            for (i, b), c in model.items()
+            (i, b, v): c
+            for (i, b, v), c in model.items()
             if (lo is None or i >= lo) and (hi is None or i <= hi)
         }
     )
@@ -164,10 +220,25 @@ def _model_pruned(model: Counter, lo, hi) -> Counter:
 # partition-proportionality (only the expected bands' committed files
 # change; every other band survives byte-identical) and committed-view
 # equality, composing with compact/vacuum/crash like every other op.
+# "evolve" (VERDICT r14 item 2) commits the `val` column + the evolved
+# table schema in one flip the first time it fires (later firings are
+# val-carrying appends — the schema carries forward unchanged); from
+# then on the content mirror enforces NULL projection for every file
+# written without the column, merges carry val, and every retained
+# snapshot must resolve its OWN schema (val in the committed schema
+# iff the snapshot is at or after the evolve commit).
 OPS = st.lists(
     st.tuples(
         st.sampled_from(
-            ["append", "replace", "compact", "vacuum", "crash", "merge"]
+            [
+                "append",
+                "replace",
+                "compact",
+                "vacuum",
+                "crash",
+                "merge",
+                "evolve",
+            ]
         ),
         st.integers(min_value=0, max_value=2),
         st.integers(min_value=0, max_value=4),
@@ -183,6 +254,23 @@ OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=OPS)
+# the evolve seam is never left to chance: one pinned sequence drives
+# the schema flip through a val-carrying merge, a compaction that
+# rewrites NULL-projected rows, a crash + recovery, a vacuum that
+# expires the pre-evolution snapshot, and a partition rewrite that
+# must carry vals through
+@example(
+    ops=[
+        ("append", 0, 2),
+        ("evolve", 1, 2),
+        ("merge", 2, 3),
+        ("compact", 1, 0),
+        ("crash", 0, 0),
+        ("evolve", 0, 1),
+        ("vacuum", 0, 2),
+        ("replace", 1, 3),
+    ]
+)
 def test_manifest_protocol_matches_model(spark, ops):
     path = tempfile.mkdtemp(prefix="csb_model_") + "/idx"
     os.makedirs(path)
@@ -193,12 +281,13 @@ def test_manifest_protocol_matches_model(spark, ops):
         next_id[0] += n
         return ids
 
-    # v1: bootstrap with one row per band
+    # v1: bootstrap with one row per band (pre-evolution: no val column
+    # physically, modeled as val=None on every row)
     model: Counter = Counter()
     for b in BANDS:
         ids = fresh_ids(1)
         _write_rows(path, b, ids, f"boot-{b}")
-        model.update((i, b) for i in ids)
+        model.update((i, b, None) for i in ids)
     boot_files = _list_data_files(path)
     publish_manifest(
         path,
@@ -209,6 +298,7 @@ def test_manifest_protocol_matches_model(spark, ops):
     history = {1: Counter(model)}
     expired: set[int] = set()
     orphaned = [False]
+    evolved_at: list[int | None] = [None]  # version of the schema flip
 
     def with_recovery(op, may_noop: bool = False):
         """A commit over a crash orphan must fail loudly; vacuum is the
@@ -232,15 +322,26 @@ def test_manifest_protocol_matches_model(spark, ops):
     for k, (kind, band, n) in enumerate(ops):
         if kind == "append":
             ids = fresh_ids(n + 1)
+            # post-evolution appends alternate between carrying val and
+            # omitting the column entirely — the omitting ones exercise
+            # NULL projection on files NEWER than the schema flip
+            vals = (
+                [i * 7 for i in ids]
+                if evolved_at[0] is not None and n % 2 == 1
+                else None
+            )
             with_recovery(
                 lambda: append_commit(
                     path,
-                    lambda: _write_rows(path, band, ids, f"app-{k}"),
+                    lambda: _write_rows(path, band, ids, f"app-{k}", vals),
                     note=f"append {k}",
                     stats_cols=["id"],
                 )
             )
-            model.update((i, band) for i in ids)
+            model.update(
+                (i, band, v)
+                for i, v in zip(ids, vals or [None] * len(ids))
+            )
         elif kind == "replace":
             # replace bands {band, band2} — band2 may equal band. Half
             # the fresh-row budget COPIES existing rows unchanged into
@@ -249,33 +350,48 @@ def test_manifest_protocol_matches_model(spark, ops):
             # under arbitrary interleavings, not just in the
             # deterministic round-16 pins.
             band2 = (band + n) % len(BANDS)
-            vals = sorted({band, band2})
+            bvals = sorted({band, band2})
+            val_of = {i: v for (i, bb, v) in model}
             copied = {
-                b: sorted(i for (i, bb) in model if bb == b)[: n // 2]
-                for b in vals
+                b: sorted(i for (i, bb, _v) in model if bb == b)[: n // 2]
+                for b in bvals
             }
-            ids_per = {b: fresh_ids(n) for b in vals}
+            ids_per = {b: fresh_ids(n) for b in bvals}
 
             def write_replacement():
-                for b in vals:
+                for b in bvals:
                     ids = copied[b] + ids_per[b]
                     if ids:  # zero-row replacement writes nothing
-                        _write_rows(path, b, ids, f"rep-{k}-{b}")
+                        # post-evolution rewrites carry each copied
+                        # row's val through (what a real partition
+                        # rewrite does); fresh rows arrive val-less
+                        rvals = (
+                            [val_of[i] for i in copied[b]]
+                            + [None] * len(ids_per[b])
+                            if evolved_at[0] is not None
+                            else None
+                        )
+                        _write_rows(path, b, ids, f"rep-{k}-{b}", rvals)
 
             with_recovery(
                 lambda: replace_parts_commit(
                     path,
                     write_replacement,
-                    vals,
+                    bvals,
                     note=f"replace {k}",
                     stats_cols=["id"],
                 )
             )
             model = Counter(
-                {(i, b): c for (i, b), c in model.items() if b not in vals}
+                {
+                    (i, b, v): c
+                    for (i, b, v), c in model.items()
+                    if b not in bvals
+                }
             )
-            for b in vals:
-                model.update((i, b) for i in copied[b] + ids_per[b])
+            for b in bvals:
+                model.update((i, b, val_of[i]) for i in copied[b])
+                model.update((i, b, None) for i in ids_per[b])
         elif kind == "compact":
             parts = None if n == 0 else [band]
             # a no-op compaction (nothing over threshold) never reaches
@@ -302,19 +418,37 @@ def test_manifest_protocol_matches_model(spark, ops):
             # keys into `band`. Checked: returned parts == the bands
             # the semantics say may change, untouched bands' committed
             # files byte-identical, committed view == model.
-            cur_band = {i: b for (i, b) in model}
+            cur_band = {i: b for (i, b, _v) in model}
             existing = sorted(cur_band)
             upd_ids = existing[:n]
             del_ids = existing[n : n + max(0, n - 1)]
             ins_ids = fresh_ids(n)
-            rows = (
-                [(i, band, False) for i in upd_ids]
-                + [(i, band, True) for i in del_ids]
-                + [(i, band, False) for i in ins_ids]
-            )
-            src = spark.createDataFrame(
-                rows, "id long, band int, __del boolean"
-            )
+            if evolved_at[0] is not None:
+                # an evolved target's merge source must carry the
+                # evolved column (merge aligns on survivors.columns);
+                # a deterministic None/value mix exercises both
+                sval = {
+                    i: (None if i % 3 == 0 else i * 3 + 1)
+                    for i in upd_ids + ins_ids
+                }
+                rows = (
+                    [(i, sval[i], band, False) for i in upd_ids]
+                    + [(i, None, band, True) for i in del_ids]
+                    + [(i, sval[i], band, False) for i in ins_ids]
+                )
+                src = spark.createDataFrame(
+                    rows, "id long, val long, band int, __del boolean"
+                )
+            else:
+                sval = {i: None for i in upd_ids + ins_ids}
+                rows = (
+                    [(i, band, False) for i in upd_ids]
+                    + [(i, band, True) for i in del_ids]
+                    + [(i, band, False) for i in ins_ids]
+                )
+                src = spark.createDataFrame(
+                    rows, "id long, band int, __del boolean"
+                )
             matched_bands = {cur_band[i] for i in upd_ids + del_ids}
             dest_bands = {band} if (upd_ids or ins_ids) else set()
             expect_parts = sorted(matched_bands | dest_bands)
@@ -340,12 +474,35 @@ def test_manifest_protocol_matches_model(spark, ops):
                 touched = {f"band={p}" for p in expect_parts}
                 for f in (pre_files - post_files) | (post_files - pre_files):
                     assert f.split("/", 1)[0] in touched, (k, f, touched)
+            cur_val = {i: v for (i, _b, v) in model}
             for i in upd_ids:
-                del model[(i, cur_band[i])]
-                model[(i, band)] += 1
+                del model[(i, cur_band[i], cur_val[i])]
+                model[(i, band, sval[i])] += 1
             for i in del_ids:
-                del model[(i, cur_band[i])]
-            model.update((i, band) for i in ins_ids)
+                del model[(i, cur_band[i], cur_val[i])]
+            model.update((i, band, sval[i]) for i in ins_ids)
+        elif kind == "evolve":
+            # first firing: ONE flip commits val-carrying rows AND the
+            # evolved table schema (round17's evolved-append shape);
+            # later firings are plain val-carrying appends — the
+            # committed schema carries forward unchanged
+            ids = fresh_ids(n + 1)
+            evals = [i * 7 for i in ids]
+            first = evolved_at[0] is None
+
+            def do_evolve():
+                append_commit(
+                    path,
+                    lambda: _write_rows(path, band, ids, f"evo-{k}", evals),
+                    note=f"evolve {k}",
+                    stats_cols=["id"],
+                    schema_json=_EVOLVED_SCHEMA_JSON if first else None,
+                )
+
+            with_recovery(do_evolve)
+            if first:
+                evolved_at[0] = read_manifest(path)[0]
+            model.update((i, band, v) for i, v in zip(ids, evals))
         else:  # crash: a commit died between manifest write and flip
             import json as _json
 
@@ -419,17 +576,38 @@ def test_manifest_protocol_matches_model(spark, ops):
                 expired.add(v)
                 continue
             assert got == snap, (kind, k, v)
+            # every retained snapshot resolves its OWN schema: val is
+            # in the committed schema iff the snapshot is at or after
+            # the evolve flip — never borrowed from _current
+            assert _schema_has_val(_read_manifest_doc(path, version=v)) == (
+                evolved_at[0] is not None and v >= evolved_at[0]
+            ), (kind, k, v, evolved_at[0])
             # snapshot stats pair with snapshot files: pruning at a
             # retained version must be exact against its own content
-            top_v = max((i for (i, _b) in snap), default=0)
+            top_v = max((i for (i, _b, _v) in snap), default=0)
             got_p = _committed_rows(
                 path, version=v, prune=("id", 0, top_v // 2)
             )
             assert got_p == _model_pruned(snap, 0, top_v // 2), (kind, k, v)
 
-    # final: the real Spark reader agrees with the model
+    # final: the real Spark reader agrees with the model — including
+    # the evolved column's NULL projection (val present iff evolved)
+    import pandas as pd
+
+    def _v(x):
+        return None if pd.isna(x) else int(x)
+
     pdf = read_index(spark, path).toPandas()
-    got = Counter(zip(pdf["id"], pdf["band"]))
+    assert ("val" in pdf.columns) == (evolved_at[0] is not None)
+    if evolved_at[0] is not None:
+        got = Counter(
+            (int(i), int(b), _v(v))
+            for i, b, v in zip(pdf["id"], pdf["band"], pdf["val"])
+        )
+    else:
+        got = Counter(
+            (int(i), int(b), None) for i, b in zip(pdf["id"], pdf["band"])
+        )
     assert got == model
 
     # final: the real Spark read_changes agrees with the Python feed
@@ -447,15 +625,22 @@ def test_manifest_protocol_matches_model(spark, ops):
         va, vb = retained[0], retained[-1]
         d, ins, upd = _python_feed(path, va, vb)
         fp = read_changes(spark, path, va, vb, key_cols=["id"]).toPandas()
+        has_val = "val" in fp.columns
         got_feed = Counter(
-            zip(fp["id"], fp["band"], fp["_change_type"])
+            (int(i), int(b), _v(v) if has_val else None, t)
+            for i, b, v, t in zip(
+                fp["id"],
+                fp["band"],
+                fp["val"] if has_val else fp["band"],
+                fp["_change_type"],
+            )
         )
         want: Counter = Counter()
-        for i, b in d.items():
-            want[(i, b, "delete")] += 1
-        for i, b in ins.items():
-            want[(i, b, "insert")] += 1
-        for i, bp, bq in upd:
-            want[(i, bp, "update_preimage")] += 1
-            want[(i, bq, "update_postimage")] += 1
+        for i, (b, v) in d.items():
+            want[(i, b, v, "delete")] += 1
+        for i, (b, v) in ins.items():
+            want[(i, b, v, "insert")] += 1
+        for i, (bp, vp), (bq, vq) in upd:
+            want[(i, bp, vp, "update_preimage")] += 1
+            want[(i, bq, vq, "update_postimage")] += 1
         assert got_feed == want

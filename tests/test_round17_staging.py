@@ -154,7 +154,7 @@ def test_merge_evolved_artifact_structural_pins(spark):
     # v1 pre-evolution, v2 evolved append, v3 merge
     assert im.read_manifest(path)[0] == 3
     v3 = im._read_manifest_doc(path)
-    assert "tokens" in json.loads(v3["schema"])["fields"][0] or "tokens" in v3["schema"]
+    assert "tokens" in [f["name"] for f in json.loads(v3["schema"])["fields"]]
     assert "tokens" not in (im._read_manifest_doc(path, version=1).get("schema") or "")
     assert "tokens" not in im.read_index(spark, path, version=1).columns
 
@@ -193,3 +193,43 @@ def test_bq_oracle_parity_and_recall(spark):
         hits += len(g & e)
     recall = hits / 50
     assert recall >= 0.3, recall  # sign bits of random 64-d vectors
+
+
+def test_bq_candidate_margins(spark):
+    """Cross-engine parity of the BQ rescore depends on float-identical
+    cosine ORDERING among each query's Hamming survivors — not just the
+    global brute-force top-20 the SQ8 margin test pins (ADVICE r14).
+    Pin: for every query, the minimum adjacent cosine gap among its
+    full top-50 Hamming candidate set (deterministic hdist/id
+    tiebreak, same cut as the query) clears float noise, so no
+    candidate pair can flip ranks between Spark and DuckDB."""
+    import numpy as np
+
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        BQ_CANDIDATES,
+        BQ_QUERIES,
+    )
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb.vec_id.to_numpy()
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    bits = (M > 0).astype(np.uint8)  # sign-bit code, dim order
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    worst = 1.0
+    for qi in range(BQ_QUERIES):
+        q_row = int(np.flatnonzero(ids == qi)[0])
+        hdist = (bits ^ bits[q_row]).sum(axis=1)
+        order = sorted(
+            (int(hdist[j]), int(ids[j]), j)
+            for j in range(len(ids))
+            if ids[j] != qi
+        )
+        cand_rows = [j for _, _, j in order[:BQ_CANDIDATES]]
+        scores = np.sort(n[cand_rows] @ n[q_row])[::-1]
+        worst = min(worst, float(np.min(np.abs(np.diff(scores)))))
+    assert worst > 1e-9, worst
