@@ -1182,6 +1182,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round15_staging,
         round16_staging,
         round17_staging,
+        round18_staging,
         scalar_funcs,
         setops,
         sharding,

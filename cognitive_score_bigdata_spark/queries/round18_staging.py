@@ -1,0 +1,468 @@
+"""Round-15 session births (benched + mirrored from day one, the
+standing staging pattern).
+
+``vector_ann_ivfbq_topk`` — IVF × binary quantization (VERDICT r14
+item 3, closing its note 1): the cell-pruned variant of the flat
+sign-bit tier, completing the quantization matrix {SQ8, PQ, BQ} ×
+{flat, IVF}. The seeded 8-cell coarse quantizer (the same
+deterministic index the seeded-IVF and IVF_SQ8 rows prove) prunes the
+candidate scan to n_probe=2 cells, and INSIDE the probed cells stage 1
+reads only the two-BIGINT-word sign-bit codes — Hamming
+``bit_count(xor)`` candidate cut, exact-cosine rescore of the top-50
+survivors. At 100 TB the probe touches n_probe/n_cells of the corpus
+at 1/16th of SQ8's bytes (16 bytes/vector vs 64 one-byte codes on the
+64-dim testdata shape); the FAISS ``IVF,LSH`` / binary-IVF shape.
+Every stage is exact cross-engine — seeds, assignment, probe-cell
+choice, sign-bit words, Hamming ranks are integer math, and the
+rescore's cosine margins are pinned — so the composed tier carries a
+FULL DuckDB hash oracle like its IVF_SQ8 sibling
+(``round16_staging.py``).
+
+``vector_ann_stream_probe`` — the ANN lifecycle's SERVING side
+(VERDICT r14 item 5): an availableNow QUERY stream drains against the
+COMMITTED IVF artifact (``queries/ivf_lifecycle.py``'s manifest-
+committed inverted file — the absorb side's twin), each micro-batch
+probing cell-pruned top-k and appending its results with a batch-id
+fence in the same manifest flip, exactly like the corpus-side
+``absorb_stream_increment``. The registry row runs exact mode
+(n_probe = n_cells) so ranks are the brute-force cosine top-k and the
+DuckDB oracle recomputes them hash-for-hash; the fence + cross-run
+checkpoint behavior is pinned in tests like ``streaming_corpus_clean``.
+
+Reference parity: ANN/streaming extensions beyond the reference's
+point-lookup serving surface (``src/backend/main.py:55-65`` reads one
+latest row per user; the rebuild's north star adds similarity search
+— SURVEY §2-extras).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cognitive_score_bigdata_spark.io import load_table
+from cognitive_score_bigdata_spark.queries import register
+
+IVFBQ_CANDIDATES = 50  # stage-1 Hamming cut, same as the flat BQ row
+
+
+def _probe_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cell) — the n_probe seeded cells per ANN query,
+    IDENTICAL to the IVF_SQ8 row's probe-cell choice (unit-space
+    euclidean against the unit seed centers is monotone in cosine;
+    margins pinned with the seeded-IVF family)."""
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        _as_double,
+        l2_norm,
+    )
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_N_PROBE,
+        ANN_N_QUERIES,
+        _seeded_ivf_index,
+    )
+
+    index = _seeded_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit_q = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: x / l2_norm(F.col("embedding")),
+    )
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), unit_q.alias("__q")
+    )
+    return (
+        q.crossJoin(F.broadcast(index.centers_df))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.col("center"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "__rc",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("__d"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("__rc") <= ANN_N_PROBE)
+        .select("query_id", "cell")
+    )
+
+
+# seeds / assign / probe are the proven seeded-IVF CTEs
+# (round13/round16); words is the proven sign-bit CTE (round17). The
+# composition adds only the cell-restricted Hamming cut + rescore.
+_IVFBQ_ORACLE = """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding AS center
+      FROM embeddings
+      WHERE vec_id % {SEED_MOD} = {SEED_REM} AND vec_id < {SEED_MAX}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, s.center)
+                          DESC, s.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, s.center)
+                          DESC, s.cell ASC
+               ) AS rc
+        FROM embeddings q CROSS JOIN seeds s
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rc <= {N_PROBE}
+    ),
+    words AS ({WORDS_SQL}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY bit_count(xor(qw.w0, cw.w0))
+                        + bit_count(xor(qw.w1, cw.w1)) ASC,
+                        a.vec_id ASC) AS BIGINT) AS hrnk
+      FROM probe p
+      JOIN assign a ON a.cell = p.cell
+      JOIN words qw ON qw.vec_id = p.query_id
+      JOIN words cw ON cw.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+      QUALIFY hrnk <= {CANDIDATES}
+    )
+    SELECT query_id, neighbor_id, rnk FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding)
+                        DESC, cand.neighbor_id ASC) AS BIGINT) AS rnk
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ) WHERE rnk <= {K}
+"""
+
+
+@register(
+    "vector_ann_ivfbq_topk",
+    oracle=None,  # spliced below with the seed/BQ constants
+    doc="IVF × binary quantization — the cell-pruned sign-bit tier "
+    "(FAISS binary-IVF shape), completing the {SQ8, PQ, BQ} × {flat, "
+    "IVF} quantization matrix: the seeded coarse quantizer restricts "
+    "the Hamming bit_count(xor) candidate scan to n_probe=2 of 8 "
+    "cells, then the top-50 survivors rescore by exact cosine. At "
+    "100 TB stage 1 reads n_probe/n_cells of a 16-byte-per-vector "
+    "code column; every stage recomputes in the DuckDB mirror "
+    "hash-for-hash",
+)
+def vector_ann_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.similarity import cosine
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_K,
+        _seeded_ivf_index,
+    )
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        _bq_words,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index = _seeded_ivf_index(spark, sf_dir)
+    # the banded code table: (cell, neighbor_id, w0, w1) — at scale
+    # this is the persisted inverted file over sign-bit codes,
+    # partitioned by cell; here it is built in the same narrow pass
+    # (one scan, like the flat BQ row's code table)
+    codes = _bq_words(emb, "neighbor_id").join(
+        index.cand.select("neighbor_id", "cell"), "neighbor_id"
+    )
+    from cognitive_score_bigdata_spark.queries.round13 import ANN_N_QUERIES
+
+    qprobe = _probe_cells(spark, sf_dir)
+    qcodes = _bq_words(
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES), "query_id"
+    ).select(
+        "query_id", F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    probes = qprobe.join(qcodes, "query_id")  # 10 rows: probe × query
+    hamming = F.expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)")
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hdist"), F.asc("neighbor_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(codes, "cell")  # cell restriction IS the pruning
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hdist", hamming)
+        .withColumn("hrnk", F.row_number().over(wh))
+        .filter(F.col("hrnk") <= IVFBQ_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _splice_ivfbq_oracle() -> None:
+    from dataclasses import replace
+
+    from cognitive_score_bigdata_spark.queries import REGISTRY
+    from cognitive_score_bigdata_spark.queries.round12 import (
+        SEED_MAX,
+        SEED_MOD,
+        SEED_REM,
+    )
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_K,
+        ANN_N_PROBE,
+        ANN_N_QUERIES,
+    )
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        _BQ_WORDS_SQL,
+    )
+
+    spec = REGISTRY["vector_ann_ivfbq_topk"]
+    REGISTRY["vector_ann_ivfbq_topk"] = replace(
+        spec,
+        oracle=_IVFBQ_ORACLE.format(
+            SEED_MOD=SEED_MOD,
+            SEED_REM=SEED_REM,
+            SEED_MAX=SEED_MAX,
+            N_QUERIES=ANN_N_QUERIES,
+            N_PROBE=ANN_N_PROBE,
+            CANDIDATES=IVFBQ_CANDIDATES,
+            K=ANN_K,
+            WORDS_SQL=_BQ_WORDS_SQL,
+        ),
+    )
+
+
+_splice_ivfbq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# vector_ann_stream_probe — the ANN lifecycle's serving side: a QUERY
+# stream against the committed inverted file. The absorb side has been
+# fenced since round 11 (ivf_lifecycle.absorb_stream_increment); this
+# is its twin — each query micro-batch probes cell-pruned top-k and
+# commits its result rows + batch-id fence in ONE manifest flip, so a
+# foreachBatch replay can never double-append a batch's results.
+# ---------------------------------------------------------------------------
+
+SPROBE_N_QUERIES = 15  # vec_id < 15, three micro-batches of 5
+SPROBE_BATCHES = 3  # batch = vec_id % 3, one parquet file each
+
+_SPROBE_ARTIFACTS: dict = {}
+
+
+def init_results_artifact(path: str) -> None:
+    """Publish the results artifact's EMPTY v1 manifest before any
+    batch commits. Without it, batch 0's commit is append_commit's
+    legacy plain-directory bootstrap (base = directory listing) — and
+    a batch-0 crash between the physical append and the flip would
+    leave garbage files the bootstrap then RESURRECTS into the first
+    committed view. With an empty committed base, every batch commit
+    diffs against a manifest and vacuum sweeps crash garbage (pinned
+    in test_round18_staging's crash test)."""
+    import os
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        publish_manifest,
+    )
+
+    os.makedirs(path, exist_ok=True)
+    publish_manifest(path, [], note="init: empty results artifact")
+
+
+def probe_stream_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    results_path: str,
+    ivf_path: str,
+    batch_id: int,
+    n_probe: int,
+    _before_publish=None,
+) -> bool:
+    """``foreachBatch`` hook for the query stream: probe the COMMITTED
+    inverted file with this batch's queries and append the top-k rows
+    under a batch-id fence — the same manifest-atomic move as
+    ``absorb_stream_increment``, applied to the serving side. The
+    fence lives in the results artifact's manifest ``meta`` and
+    commits in the same ``_current`` flip as the batch's result files,
+    so a replayed batch is a no-op and a crash before the flip leaves
+    only sweepable garbage. Returns whether the batch was probed."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        append_commit,
+        read_index,
+        read_manifest_meta,
+    )
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        IvfIndex,
+        ivf_probe,
+    )
+    from cognitive_score_bigdata_spark.queries.ivf_lifecycle import (
+        IVFM_K,
+        load_centers,
+    )
+
+    meta = read_manifest_meta(results_path)
+    seen = list(meta.get("batch_ids", []))
+    if batch_id in seen:
+        return False
+    index = IvfIndex(
+        read_index(spark, ivf_path), load_centers(spark, ivf_path)
+    )
+    res = ivf_probe(index, batch_df, k=IVFM_K, n_probe=n_probe).withColumn(
+        "batch", F.lit(int(batch_id))
+    )
+    append_commit(
+        results_path,
+        lambda: res.write.mode("append")
+        .partitionBy("batch")
+        .parquet(results_path),
+        note=f"stream probe batch {batch_id}",
+        meta={**meta, "batch_ids": sorted([*seen, int(batch_id)])},
+        _before_publish=_before_publish,
+    )
+    return True
+
+
+def run_query_stream(
+    spark: SparkSession,
+    in_dir: str,
+    results_path: str,
+    ivf_path: str,
+    checkpoint_dir: str,
+    n_probe: int,
+):
+    """availableNow query stream: parquet file source (one file per
+    micro-batch) → fenced probe-and-commit per batch."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: probe_stream_batch(
+                spark, df, results_path, ivf_path, bid, n_probe
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_probe_results_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped fixture: stage the 15 ANN queries as THREE
+    parquet files (batch = vec_id % 3), drain them availableNow
+    against the committed merged inverted file at n_probe = n_cells
+    (exact mode — the oracle is brute-force top-k), and return the
+    committed results artifact."""
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.queries.ivf_lifecycle import (
+        IVFM_CELLS,
+        merged_ivf_path,
+    )
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    def build() -> str:
+        ivf_path = merged_ivf_path(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="csb_sprobe_")
+        in_dir = os.path.join(work, "in")
+        results = os.path.join(work, "results")
+        init_results_artifact(results)
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < SPROBE_N_QUERIES
+        )
+        for b in range(SPROBE_BATCHES):
+            # one file per batch — with maxFilesPerTrigger=1 each file
+            # IS a micro-batch, deterministically
+            emb.filter(F.col("vec_id") % SPROBE_BATCHES == b).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+        q = run_query_stream(
+            spark,
+            in_dir,
+            results,
+            ivf_path,
+            os.path.join(work, "ckpt"),
+            n_probe=IVFM_CELLS,
+        )
+        q.awaitTermination()
+        return results
+
+    return session_scoped(_SPROBE_ARTIFACTS, spark, (sf_dir,), build)
+
+
+@register(
+    "vector_ann_stream_probe",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                      c.vec_id ASC) AS BIGINT) AS rnk
+    FROM embeddings q JOIN embeddings c ON q.vec_id < {SPROBE_N_QUERIES}
+                                       AND c.vec_id <> q.vec_id
+    QUALIFY rnk <= 10
+    """,
+    doc="the ANN lifecycle's SERVING side as a streaming row: an "
+    "availableNow query stream (one parquet file per micro-batch) "
+    "probes the manifest-committed merged inverted file per batch and "
+    "appends its top-k rows + batch-id fence in one manifest flip — "
+    "the serving twin of absorb_stream_increment's ingest fence. Run "
+    "at n_probe = n_cells the committed results are the brute-force "
+    "cosine top-k, so the full streaming path (source → fenced "
+    "foreachBatch probe → manifest commit → read_index) hash-matches "
+    "plain SQL; replay/crash behavior pinned in tests",
+)
+def vector_ann_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+    )
+
+    path = stream_probe_results_path(spark, sf_dir)
+    return read_index(spark, path).select("query_id", "neighbor_id", "rnk")
