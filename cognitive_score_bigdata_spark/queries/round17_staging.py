@@ -116,13 +116,26 @@ _INCR_ORACLE = f"""
 """
 
 # The persisted index is a batch-build artifact, written once per
-# corpus lifetime (the xxhash64 original's contract, kept): banded
-# keys hive-partitioned by band (an incremental probe prunes to the
-# bands it touches), signatures beside them for the agreement verify.
+# corpus lifetime (the xxhash64 original's contract, kept), in the
+# round10 single-table row form — (doc_id, m0..m15, band, bkey), full
+# signature carried on every band row so probe/verify reads ONE
+# band-partitioned table — and committed through the §4.1 manifest
+# lifecycle like every other long-lived artifact (VERDICT r14 item 4:
+# the r14 tempdir write bypassed the protocol): publish_manifest is
+# the initial build, round10's append_commit-based merge_into_index is
+# the new-snapshot absorb, compact_index_parts the maintenance, and
+# every read resolves through read_index.
 _MD5_INDEX_CACHE: dict = {}
 
 
 def _md5_index_path(spark: SparkSession, sf_dir: str) -> str:
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        _list_data_files,
+        publish_manifest,
+    )
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        md5_banded_rows,
+    )
     from cognitive_score_bigdata_spark.queries.round16_staging import (
         _assert_offset_headroom,
     )
@@ -132,14 +145,13 @@ def _md5_index_path(spark: SparkSession, sf_dir: str) -> str:
             "doc_id", "text"
         )
         _assert_offset_headroom(docs, INCR_SHIFT)
-        sig = md5_minhash_signatures(fan_out(docs)).localCheckpoint(
-            eager=False
-        )
         path = tempfile.mkdtemp(prefix="csb_md5_idx_") + "/idx"
-        md5_minhash_banded(sig).write.partitionBy("band").parquet(
-            path + "/banded"
+        md5_banded_rows(fan_out(docs)).write.partitionBy("band").parquet(
+            path
         )
-        sig.write.parquet(path + "/sig")
+        publish_manifest(
+            path, _list_data_files(path), note=f"initial build {sf_dir}"
+        )
         return path
 
     return session_scoped(_MD5_INDEX_CACHE, spark, (sf_dir,), build)
@@ -149,16 +161,23 @@ def _md5_index_path(spark: SparkSession, sf_dir: str) -> str:
     "dedup_incremental_newbatch",
     oracle=_INCR_ORACLE,
     doc="incremental near-dup with a FULL hash oracle (r14 in-place "
-    "upgrade of the rows-only xxhash64 row): every 5th document "
-    "re-ingested under a new id and probed against the PERSISTED "
-    "corpus md5-minhash index (banded key table partitioned by band + "
-    "signature table, computed once per corpus lifetime) — new batch "
-    "signatures broadcast into the bucket join, agreement-verified at "
-    "est_jaccard >= 0.8, no corpus-side recompute. Every stage "
-    "(md5 two-hash minhash, 4x4 banding, bucket join, agreement "
-    "estimate) is bit-identical cross-engine",
+    "upgrade of the rows-only xxhash64 row; r15: the index now commits "
+    "through the manifest protocol): every 5th document re-ingested "
+    "under a new id and probed against the PERSISTED corpus "
+    "md5-minhash index — the round10 single-table row form (full "
+    "signature on every band row), band-partitioned, manifest-"
+    "committed, read via read_index, absorbing new snapshots with "
+    "round10's append_commit merge — new batch signatures broadcast "
+    "into the bucket join, agreement-verified at est_jaccard >= 0.8, "
+    "no corpus-side recompute. Every stage (md5 two-hash minhash, 4x4 "
+    "banding, bucket join, agreement estimate) is bit-identical "
+    "cross-engine",
 )
 def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+    )
+
     path = _md5_index_path(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new_docs = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
@@ -172,9 +191,10 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_banded = md5_minhash_banded(new_sig).select(
         F.col("doc_id").alias("new_id"), "band", "bkey"
     )
-    idx_banded = spark.read.parquet(path + "/banded")
+    idx = read_index(spark, path)  # manifest-resolved committed view
     cand = (
-        idx_banded.join(F.broadcast(new_banded), ["band", "bkey"])
+        idx.select("doc_id", "band", "bkey")
+        .join(F.broadcast(new_banded), ["band", "bkey"])
         .select("new_id", F.col("doc_id").alias("corpus_id"))
         .distinct()
     )
@@ -182,7 +202,9 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("new_id"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(MH_K)],
     )
-    sb = spark.read.parquet(path + "/sig").select(
+    # every band row carries the full signature: band 0 alone is the
+    # signature table, a single partition-pruned read
+    sb = idx.filter(F.col("band") == 0).select(
         F.col("doc_id").alias("corpus_id"),
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(MH_K)],
     )

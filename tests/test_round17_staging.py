@@ -69,10 +69,17 @@ def test_incremental_recovers_planted_clones(spark):
 
 def test_incremental_index_is_persisted_and_band_partitioned(spark):
     """The standing-index contract: the probe joins a PERSISTED banded
-    table (hive-partitioned by band), not a recomputed one — a band
-    filter must open only that band's files."""
+    table (hive-partitioned by band, manifest-committed, resolved via
+    read_index), not a recomputed one — a band filter must open only
+    that band's files."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+        read_manifest,
+    )
+
     path = _md5_index_path(spark, SF_DIR)
-    banded = spark.read.parquet(path + "/banded")
+    assert read_manifest(path) is not None  # committed, not a bare dir
+    banded = read_index(spark, path)
     one = banded.filter(F.col("band") == 2)
     # inputFiles() reports the pre-pruning relation; the executed scan
     # (input_file_name over the filtered plan) shows what was read
@@ -82,6 +89,107 @@ def test_incremental_index_is_persisted_and_band_partitioned(spark):
     }
     assert opened and all("band=2" in f for f in opened)
     assert len(set(banded.select("band").distinct().toPandas()["band"])) == 4
+
+
+def test_incremental_index_absorb_and_compact_conserve_probe(spark):
+    """The §4.1 lifecycle on the md5 incremental index (VERDICT r14
+    item 4): build the standing index from 2/3 of the corpus, absorb
+    the remaining third with round10's append_commit merge (no old
+    partition read), compact the over-threshold band partitions — and
+    after every step the SAME incremental probe over read_index returns
+    the full-build answer (content conserved through absorb + compact;
+    the probe row's hash-green oracle is against the full build)."""
+    import tempfile
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        compact_index_parts,
+        read_index,
+        read_manifest,
+    )
+    from cognitive_score_bigdata_spark.queries.round10 import (
+        md5_banded_rows,
+        merge_into_index,
+    )
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        INCR_MOD,
+        INCR_SHIFT,
+        INCR_THRESHOLD,
+    )
+    from cognitive_score_bigdata_spark.io import fan_out
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        _list_data_files,
+        publish_manifest,
+    )
+    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+        MH_K,
+        md5_minhash_banded,
+        md5_minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="csb_md5_lc_") + "/idx"
+    snap1 = docs.filter(F.col("doc_id") % 3 != 2)
+    snap2 = docs.filter(F.col("doc_id") % 3 == 2)
+    md5_banded_rows(fan_out(snap1)).write.partitionBy("band").parquet(path)
+    publish_manifest(path, _list_data_files(path), note="initial build")
+
+    def probe():
+        new_docs = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+            (F.col("doc_id") + INCR_SHIFT).alias("doc_id"), "text"
+        )
+        new_sig = md5_minhash_signatures(fan_out(new_docs)).localCheckpoint(
+            eager=False
+        )
+        new_banded = md5_minhash_banded(new_sig).select(
+            F.col("doc_id").alias("new_id"), "band", "bkey"
+        )
+        idx = read_index(spark, path)
+        cand = (
+            idx.select("doc_id", "band", "bkey")
+            .join(F.broadcast(new_banded), ["band", "bkey"])
+            .select("new_id", F.col("doc_id").alias("corpus_id"))
+            .distinct()
+        )
+        sa = new_sig.select(
+            F.col("doc_id").alias("new_id"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(MH_K)],
+        )
+        sb = idx.filter(F.col("band") == 0).select(
+            F.col("doc_id").alias("corpus_id"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(MH_K)],
+        )
+        agree = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(MH_K)
+        )
+        rows = (
+            cand.join(F.broadcast(sa), "new_id")
+            .join(sb, "corpus_id")
+            .select(
+                "new_id",
+                "corpus_id",
+                (agree.cast("double") / F.lit(float(MH_K))).alias("est"),
+            )
+            .filter(F.col("est") >= INCR_THRESHOLD)
+            .collect()
+        )
+        return {(r.new_id, r.corpus_id, round(r.est, 9)) for r in rows}
+
+    # the full-build answer, from the session artifact's committed view
+    full = {
+        (r.new_id, r.corpus_id, round(r.est_jaccard, 9))
+        for r in load_registry()["dedup_incremental_newbatch"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    partial = probe()
+    assert partial < full  # snap2's sources are missing, nothing extra
+    merge_into_index(snap2, path)
+    assert probe() == full  # absorb conserves the probe
+    v_before = read_manifest(path)[0]
+    touched = compact_index_parts(spark, path, "band", max_files_per_part=1)
+    assert touched and read_manifest(path)[0] == v_before + 1
+    assert probe() == full  # compaction conserves the probe
 
 
 def test_curation_fixture_postconditions(spark):
