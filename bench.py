@@ -334,6 +334,15 @@ HEADLINE = [
     # code scan + cosine rescore; the sign-bit code pass is the same
     # narrow scan, cheap enough to time in-row like sq8's probe)
     "vector_ann_bq_topk",
+    # round-18 staging (r15 session, benched from day one): the
+    # cell-pruned sign-bit tier (timed row = probed-cell Hamming scan
+    # + cosine rescore; the seeded IVF index is warmed above, the code
+    # pass is the same narrow scan as the flat BQ row's) and the
+    # fenced streaming query probe (timed row = the committed-results
+    # read_index scan; the availableNow drain + per-batch probe
+    # commits are the once-per-corpus fixture, warmed below)
+    "vector_ann_ivfbq_topk",
+    "vector_ann_stream_probe",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -491,6 +500,11 @@ def main() -> None:
         # evolved append + merge are once-per-corpus commits; the
         # timed row measures the NULL-projecting live scan
         "scan_merge_evolved_agg",
+        # query-stream probe fixture (round-18 staging): merged-IVF
+        # build + the availableNow drain with per-batch fenced probe
+        # commits are once-per-corpus; the timed row measures the
+        # committed-results scan
+        "vector_ann_stream_probe",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))
@@ -898,8 +912,14 @@ def main() -> None:
         # host-load outlier is tabled in SURVEY_APPENDIX §19d) over the
         # 197-query list, made in the same session that changed the
         # set.
+        # r15-ivfbq-sprobe: +2 headline rows (cell-pruned sign-bit ANN,
+        # fenced streaming query probe), +1 warm-list artifact (the
+        # query-stream drain fixture); dedup_incremental_newbatch's
+        # index now commits through the manifest protocol under its
+        # existing slot. Band re-recorded for the 199-query list in the
+        # same session that changed the set.
         "bench_config": {
-            "revision": "r14-curation-merge",
+            "revision": "r15-ivfbq-sprobe",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

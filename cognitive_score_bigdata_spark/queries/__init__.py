@@ -300,6 +300,17 @@ ROUND8_WINDOW = [
 # timeseries_ohlc_hourly, text_exact_dedup) plus the 12 rows round 15
 # left at r10-latest plus scalar_json (displaced when the 4th r14
 # birth joined ROUND15) — then 32 of the 50 round-11-latest carries.
+# SESSION AMENDMENT (2026-08-16 r15 session, the standing displacement
+# rule): the two r15 births — vector_ann_ivfbq_topk (the cell-pruned
+# sign-bit tier, VERDICT r14 item 3) and vector_ann_stream_probe (the
+# fenced streaming query probe, VERDICT r14 item 5), both hash-green
+# at sf0.001+sf0.01 at staging time — front the window, displacing the
+# END carries text_quality_score and vector_ivf_merge_topk (r11-latest;
+# they head round 17 with the held rows — both least-risk: the quality
+# battery is r12-green on shared machinery, and the merged-IVF family
+# has the r15-checked stream-probe row exercising the same committed
+# artifact end-to-end). Final composition: 2 births + 18 r10 rows + 30
+# r11 carries.
 # The 18 r11 rows held to round 17 are each the least-risk member of
 # their family (a hash-green r12-r15 sibling on identical machinery,
 # or a ledgered estimator whose exact twin is IN this window):
@@ -324,6 +335,9 @@ ROUND8_WINDOW = [
 # scalar_json joined the r10 group, see the list comment). New
 # round-15-session births displace carries from the END.
 ROUND16_WINDOW = [
+    # the 2 r15-session births (birth-window driver rows)
+    "vector_ann_ivfbq_topk",
+    "vector_ann_stream_probe",
     # the 18 round-10-latest rows — clears round-10 debt. scalar_json
     # joined this group when the 4th r14 birth (vector_ann_bq_topk)
     # displaced it from ROUND15_WINDOW's end; to keep the window at 50
@@ -349,7 +363,8 @@ ROUND16_WINDOW = [
     "timeseries_ohlc_hourly",
     "timeseries_twap_per_user",
     "window_session_30m",
-    # 32 of the 50 round-11-latest carries
+    # 30 of the 50 round-11-latest carries (text_quality_score and
+    # vector_ivf_merge_topk displaced by the r15 births, see above)
     "agg_incremental_mv_merge",
     "analytics_skyline_parts",
     "corpus_contamination_4gram",
@@ -380,8 +395,6 @@ ROUND16_WINDOW = [
     "streaming_quota_admission",
     "text_chunk_dedup",
     "text_lang_id",
-    "text_quality_score",
-    "vector_ivf_merge_topk",
 ]
 
 # Round-11 rotation plan (execute as ROUND11_WINDOW next round).
