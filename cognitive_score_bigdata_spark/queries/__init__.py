@@ -397,6 +397,87 @@ ROUND16_WINDOW = [
     "text_lang_id",
 ]
 
+# Round-17 rotation plan, MATERIALIZED at round-15 end (the standing
+# next-next-window discipline). After the round-16 window runs,
+# exactly 20 rows sit at round-11-latest (the 18 documented holds plus
+# text_quality_score and vector_ivf_merge_topk, displaced from
+# ROUND16 by the r15 births) and 50 at round-12-latest. Composition:
+# ALL 20 round-11-latest rows — clears round-11 debt — then 30 of the
+# 50 round-12-latest rows, chosen for watch priority (volatile banded
+# metrics, unique machinery, rows-only families with their exact
+# siblings) + module spread. The 20 r12 rows held to round 18 are each
+# the least-risk member of its family (shared machinery with an
+# r14/r15-green sibling or an in-window family twin): join_cross /
+# join_null_safe (join battery, join_full_outer in-window),
+# proj_distinct / proj_filter_basic / proj_rename_cast (projection
+# battery, quality_data_validation in-window on the same scan
+# machinery), scalar_conditional / scalar_datetime / scalar_hash_md5
+# (scalar battery, scalar_base64 in-window; scalar_string_advanced
+# green r14), setop_except / setop_intersect / setop_union_all /
+# setop_union_by_name (ALL-variants checked r15), window_nth_lag_
+# default / window_ntile / window_sliding_10m_5m / window_topk_recent
+# / window_tumbling_hourly (window battery; window_trailing_30d_range
+# green r14, time windows r15-checked via session sibling),
+# text_token_stats (text battery, quality_length_quantile_audit
+# in-window), multimodal_audio_windows + multimodal_extract_features
+# (Arrow path shared with multimodal_decode_real / _audio_spectrum /
+# _video_frames, all three in-window). New round-16 session births
+# displace refills from the END, never the r11 carries.
+ROUND17_WINDOW = [
+    # ALL 20 round-11-latest rows — clears round-11 debt
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_percentile_approx",
+    "agg_rollup",
+    "proj_derived_status",
+    "sample_stratified",
+    "scalar_regexp_replace",
+    "scalar_string_funcs",
+    "search_mmr_rerank_ivf",
+    "subquery_in_filter",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "timeseries_gapfill_daily",
+    "vector_cosine_topk",
+    "vector_ivf_merge_topk",
+    "vector_kmeans_cluster_sizes",
+    "window_latest_per_key",
+    "window_percentiles",
+    "window_rank_analytic",
+    "window_rolling_avg",
+    # 30 of the 50 round-12-latest refills
+    "analytics_q16_supplier_cnt",
+    "analytics_q2_min_cost_supplier",
+    "analytics_q20_dominant_supplier",
+    "analytics_q21_waiting_supplier",
+    "corpus_bpe_pipeline",
+    "corpus_bpe_train_merges",
+    "corpus_clean_pipeline",
+    "corpus_pack_sequences",
+    "corpus_source_mixture",
+    "corpus_train_holdout_split",
+    "curation_url_canonical_hostdedup",
+    "dedup_cluster_exact",
+    "dedup_minhash_pairs_md5",
+    "dedup_semantic_pairs_seeded",
+    "join_full_outer",
+    "ml_feature_assembly",
+    "ml_score_batch",
+    "multimodal_audio_spectrum",
+    "multimodal_decode_real",
+    "multimodal_video_frames",
+    "quality_data_validation",
+    "quality_length_quantile_audit",
+    "scalar_base64",
+    "scan_zorder_two_dim",
+    "scd2_user_event_history",
+    "search_hybrid_rrf_ivf",
+    "sketch_heavy_hitter_tokens",
+    "streaming_corpus_clean",
+    "subquery_scalar_avg_diff",
+    "text_bm25_topk",
+]
+
 # Round-11 rotation plan (execute as ROUND11_WINDOW next round).
 # [HISTORICAL — kept as written at round-10 end; the round-11 session
 # found this plan undercounted the r6 cohort by one
