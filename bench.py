@@ -369,34 +369,36 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "2867a81fd5aa",
-    "recorded": "2026-08-16 r14 recording protocol (197-query set; "
-    "7 clean runs of 8 — see SURVEY_APPENDIX §19d)",
-    # s per probe-s: total / median(noise_probe) of each run. Final r14
-    # set: +3 new headline rows this session (composed curation
-    # pipeline, MERGE x schema evolution, binary-quantized ANN) and
-    # dedup_incremental_newbatch re-implemented on the md5 persisted
-    # index under its existing slot. Eight runs were recorded; run 6
-    # (raw 316.6, text_prefix_filter_join 41.7 vs 15-19 in every other
-    # run, graph_family 78.2 vs 39-45) caught a host event mid-run and
-    # is EXCLUDED from the bands — all eight values are tabled in
-    # SURVEY_APPENDIX §19d so the exclusion is auditable, and the
-    # excluded run's shape (two queries 2x, everything else normal) is
-    # the signature of external load, not a plan change.
-    "headline_total_band": [409.4, 448.6],
+    "recorded_headline_hash": "c1ff639bd14d",
+    "recorded": "2026-08-16 r15 recording protocol (199-query set; "
+    "all 8 runs, no exclusions — see SURVEY_APPENDIX §20g)",
+    # s per probe-s: total / median(noise_probe) of each run. r15 set:
+    # +2 headline rows this session (IVF x BQ cell-pruned tier, fenced
+    # streaming query probe) and dedup_incremental_newbatch's index
+    # moved onto the manifest protocol under its existing slot. ALL
+    # EIGHT runs are committed: no run showed the isolated host-event
+    # signature r14's excluded run did (its worst, run 3, has
+    # prefix_join 23.5 and cluster 9.5 — inside the committed metric
+    # families). The probe drifted 0.63 -> 0.48 across the session as
+    # background load cleared, which WIDENS the normalized band
+    # (fast-probe runs over-normalize; the clamp rule exists for
+    # exactly this), so the honest recording keeps the full spread
+    # rather than cherry-picking a narrow window. All eight values are
+    # tabled in SURVEY_APPENDIX §20g.
+    "headline_total_band": [402.6, 535.4],
     "headline_total_values": [
-        409.4, 448.6, 448.5, 434.2, 439.4, 418.5, 412.7,
+        441.8, 402.6, 475.2, 431.9, 404.1, 535.4, 479.8, 462.2,
     ],
-    "raw_total_band": [213.293, 261.951],
-    "probe_median_range": [0.521, 0.626],
-    # per-metric normalized bands from the same seven clean runs (keys
-    # match banded_normalized's)
+    "raw_total_band": [236.061, 284.668],
+    "probe_median_range": [0.481, 0.633],
+    # per-metric normalized bands from the same eight runs (keys match
+    # banded_normalized's)
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [4.34, 7.06],
-        "text_prefix_filter_join": [15.47, 18.97],
-        "dedup_simhash_pairs": [5.56, 8.66],
-        "graph_family_total": [38.72, 44.81],
-        "dedup_cluster_exact": [5.08, 10.08],
+        "vector_ann_ivfpq_topk": [4.58, 6.16],
+        "text_prefix_filter_join": [14.73, 23.54],
+        "dedup_simhash_pairs": [5.29, 9.2],
+        "graph_family_total": [37.22, 46.87],
+        "dedup_cluster_exact": [4.17, 9.46],
     },
 }
 
