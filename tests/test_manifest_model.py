@@ -38,6 +38,20 @@ updates, and every retained snapshot must resolve its OWN schema —
 ``val`` appears in a snapshot's committed schema iff the snapshot is
 at or after the evolve commit, never borrowed from ``_current``.
 
+So is the column DROP (``devolve``): while evolved, one flip commits
+the base schema back — the live view loses the column with ZERO
+rewrite (the explicit-schema scan stops selecting it even from files
+that physically carry values), pre-drop snapshots keep resolving
+their own val-bearing schema, post-drop rewrites physically shed the
+column, and the change feed classifies in its output schema (a
+value-only change across the drop boundary is invisible — Delta-CDF
+semantics; the apply invariant projects the FROM snapshot to the TO
+schema first). Re-adding a dropped column name is FORBIDDEN by the
+model: name-matched reads would silently resurrect stale physical
+values from pre-drop files — the failure mode Delta's column-mapping
+ids exist to prevent; a real re-add needs a rewrite or a fresh
+physical name.
+
 Data files are written with pyarrow (no Spark in the hot loop, so
 hypothesis can afford real sequence exploration); ONE final Spark
 read_index parity check per example confirms the Spark reader agrees
@@ -86,6 +100,19 @@ _EVOLVED_SCHEMA_JSON = (
     '{"name":"band","type":"integer","nullable":true,"metadata":{}}]}'
 )
 
+# the base schema the `devolve` (column DROP) op commits back. The
+# model forbids RE-ADDING val after a drop: read_index matches parquet
+# columns by NAME, so a name-based re-add would silently RESURRECT
+# stale physical values from files that predate the drop — the trap
+# Delta's column-mapping ids exist to prevent. Dropping is modeled;
+# re-adding a dropped name is a design error the docstring records,
+# not a sequence the model legitimizes.
+_BASE_SCHEMA_JSON = (
+    '{"type":"struct","fields":['
+    '{"name":"id","type":"long","nullable":true,"metadata":{}},'
+    '{"name":"band","type":"integer","nullable":true,"metadata":{}}]}'
+)
+
 
 def _schema_has_val(doc: dict | None) -> bool:
     import json as _json
@@ -119,6 +146,7 @@ def _committed_rows(
     path: str,
     version: int | None = None,
     prune: tuple | None = None,
+    has_val: bool = True,
 ) -> Counter:
     """(id, band) multiset of the committed view, resolved exactly as
     read_index resolves it — _current (or a retained version) →
@@ -136,10 +164,14 @@ def _committed_rows(
         ids = t.column("id").to_pylist()
         # NULL projection: a file written without the evolved column
         # reads as val=None under any snapshot — parquet matches by
-        # name, exactly what read_index's committed-schema scan does
+        # name, exactly what read_index's committed-schema scan does.
+        # The converse (``has_val=False``): a snapshot whose committed
+        # schema DROPPED the column projects it away even from files
+        # that physically carry it — the explicit-schema scan simply
+        # never selects the column.
         vals = (
             t.column("val").to_pylist()
-            if "val" in t.column_names
+            if has_val and "val" in t.column_names
             else [None] * len(ids)
         )
         for i, v in zip(ids, vals):
@@ -151,7 +183,7 @@ def _committed_rows(
     return out
 
 
-def _python_feed(path: str, v_from: int, v_to: int):
+def _python_feed(path: str, v_from: int, v_to: int, post_has_val=True):
     """Pure-Python mirror of read_changes' classification (pyarrow
     reads, no Spark — model-checkable in the hot loop): the snapshot
     diff's superseded rows full-outer-matched against its replacement
@@ -166,9 +198,13 @@ def _python_feed(path: str, v_from: int, v_to: int):
             band = int(rel.split("/", 1)[0].split("=", 1)[1])
             t = pq.read_table(os.path.join(path, rel))
             ids = t.column("id").to_pylist()
+            # the feed classifies in the TO snapshot's schema space
+            # (read_changes aligns the pre side to post.columns): with
+            # the column dropped at to_version, both sides are
+            # band-only; otherwise NULL-project missing files
             vals = (
                 t.column("val").to_pylist()
-                if "val" in t.column_names
+                if post_has_val and "val" in t.column_names
                 else [None] * len(ids)
             )
             for i, v in zip(ids, vals):
@@ -226,7 +262,17 @@ def _model_pruned(model: Counter, lo, hi) -> Counter:
 # then on the content mirror enforces NULL projection for every file
 # written without the column, merges carry val, and every retained
 # snapshot must resolve its OWN schema (val in the committed schema
-# iff the snapshot is at or after the evolve commit).
+# iff the snapshot is at or after the evolve commit and before any
+# drop). "devolve" is the column DROP: while evolved, it commits the
+# BASE schema back in one flip — the committed view loses the column
+# with ZERO rewrite (the explicit-schema scan stops selecting it, even
+# from files that physically carry values), pre-drop snapshots keep
+# resolving it, rewrites after the drop physically shed it, the change
+# feed classifies in the TO schema (a value-only change across the
+# drop boundary is invisible — Delta-CDF semantics), and re-adding the
+# dropped name is forbidden (see _BASE_SCHEMA_JSON). When not
+# evolved, both ops degrade to plain appends so arbitrary sequences
+# stay meaningful.
 OPS = st.lists(
     st.tuples(
         st.sampled_from(
@@ -238,6 +284,7 @@ OPS = st.lists(
                 "crash",
                 "merge",
                 "evolve",
+                "devolve",
             ]
         ),
         st.integers(min_value=0, max_value=2),
@@ -271,6 +318,23 @@ OPS = st.lists(
         ("replace", 1, 3),
     ]
 )
+# ...and the DROP seam likewise: add → val-carrying merge → drop →
+# val-less merge against the devolved schema → compaction that
+# physically sheds the column → evolve-after-drop (must stay a plain
+# append, no re-add) → rewrite → retention expiry of the pre-drop
+# snapshot
+@example(
+    ops=[
+        ("evolve", 0, 2),
+        ("merge", 1, 2),
+        ("devolve", 2, 1),
+        ("merge", 0, 2),
+        ("compact", 0, 0),
+        ("evolve", 1, 1),
+        ("replace", 2, 2),
+        ("vacuum", 0, 1),
+    ]
+)
 def test_manifest_protocol_matches_model(spark, ops):
     path = tempfile.mkdtemp(prefix="csb_model_") + "/idx"
     os.makedirs(path)
@@ -298,7 +362,19 @@ def test_manifest_protocol_matches_model(spark, ops):
     history = {1: Counter(model)}
     expired: set[int] = set()
     orphaned = [False]
-    evolved_at: list[int | None] = [None]  # version of the schema flip
+    evolved_at: list[int | None] = [None]  # version val was committed
+    dropped_at: list[int | None] = [None]  # version val was dropped
+
+    def snap_has_val(v: int) -> bool:
+        """Whether snapshot v's committed schema carries val."""
+        return (
+            evolved_at[0] is not None
+            and v >= evolved_at[0]
+            and (dropped_at[0] is None or v < dropped_at[0])
+        )
+
+    def has_val_now() -> bool:
+        return evolved_at[0] is not None and dropped_at[0] is None
 
     def with_recovery(op, may_noop: bool = False):
         """A commit over a crash orphan must fail loudly; vacuum is the
@@ -327,7 +403,7 @@ def test_manifest_protocol_matches_model(spark, ops):
             # NULL projection on files NEWER than the schema flip
             vals = (
                 [i * 7 for i in ids]
-                if evolved_at[0] is not None and n % 2 == 1
+                if has_val_now() and n % 2 == 1
                 else None
             )
             with_recovery(
@@ -368,7 +444,7 @@ def test_manifest_protocol_matches_model(spark, ops):
                         rvals = (
                             [val_of[i] for i in copied[b]]
                             + [None] * len(ids_per[b])
-                            if evolved_at[0] is not None
+                            if has_val_now()
                             else None
                         )
                         _write_rows(path, b, ids, f"rep-{k}-{b}", rvals)
@@ -423,7 +499,7 @@ def test_manifest_protocol_matches_model(spark, ops):
             upd_ids = existing[:n]
             del_ids = existing[n : n + max(0, n - 1)]
             ins_ids = fresh_ids(n)
-            if evolved_at[0] is not None:
+            if has_val_now():
                 # an evolved target's merge source must carry the
                 # evolved column (merge aligns on survivors.columns);
                 # a deterministic None/value mix exercises both
@@ -482,13 +558,17 @@ def test_manifest_protocol_matches_model(spark, ops):
                 del model[(i, cur_band[i], cur_val[i])]
             model.update((i, band, sval[i]) for i in ins_ids)
         elif kind == "evolve":
-            # first firing: ONE flip commits val-carrying rows AND the
-            # evolved table schema (round17's evolved-append shape);
-            # later firings are plain val-carrying appends — the
-            # committed schema carries forward unchanged
+            # first firing (never dropped): ONE flip commits
+            # val-carrying rows AND the evolved table schema
+            # (round17's evolved-append shape); while evolved, plain
+            # val-carrying appends (schema carries forward); after a
+            # DROP, a val-less plain append — re-adding the dropped
+            # name is forbidden (stale-value resurrection, see
+            # _BASE_SCHEMA_JSON)
             ids = fresh_ids(n + 1)
-            evals = [i * 7 for i in ids]
-            first = evolved_at[0] is None
+            first = evolved_at[0] is None and dropped_at[0] is None
+            carrying = first or has_val_now()
+            evals = [i * 7 for i in ids] if carrying else None
 
             def do_evolve():
                 append_commit(
@@ -502,7 +582,38 @@ def test_manifest_protocol_matches_model(spark, ops):
             with_recovery(do_evolve)
             if first:
                 evolved_at[0] = read_manifest(path)[0]
-            model.update((i, band, v) for i, v in zip(ids, evals))
+            model.update(
+                (i, band, v)
+                for i, v in zip(ids, evals or [None] * len(ids))
+            )
+        elif kind == "devolve":
+            # column DROP: while evolved, commit the BASE schema back
+            # in one flip alongside a val-less append — the committed
+            # view loses the column with zero rewrite, every live
+            # row's logical val becomes absent (modeled None), and
+            # pre-drop snapshots keep resolving their own val-bearing
+            # schema. When not evolved, degrade to a plain append.
+            ids = fresh_ids(n + 1)
+            dropping = has_val_now()
+
+            def do_devolve():
+                append_commit(
+                    path,
+                    lambda: _write_rows(path, band, ids, f"dev-{k}"),
+                    note=f"devolve {k}",
+                    stats_cols=["id"],
+                    schema_json=_BASE_SCHEMA_JSON if dropping else None,
+                )
+
+            with_recovery(do_devolve)
+            if dropping:
+                dropped_at[0] = read_manifest(path)[0]
+                # the drop is logical and instantaneous for the LIVE
+                # view: every row's val projects away
+                model = Counter(
+                    {(i, b, None): c for (i, b, _v), c in model.items()}
+                )
+            model.update((i, band, None) for i in ids)
         else:  # crash: a commit died between manifest write and flip
             import json as _json
 
@@ -530,7 +641,9 @@ def test_manifest_protocol_matches_model(spark, ops):
 
         # the committed view equals the model after EVERY op
         cur, _ = read_manifest(path)
-        assert _committed_rows(path) == model, (kind, k)
+        assert _committed_rows(path, has_val=has_val_now()) == model, (
+            kind, k,
+        )
         history[cur] = Counter(model)
 
         # zone-map pruning is exact after EVERY op: pruned files +
@@ -538,7 +651,9 @@ def test_manifest_protocol_matches_model(spark, ops):
         # id space (compaction re-harvests, replace drops, append adds)
         top = next_id[0]
         for lo, hi in [(0, top // 2), (top // 2, None), (top + 10, None)]:
-            got = _committed_rows(path, prune=("id", lo, hi))
+            got = _committed_rows(
+                path, prune=("id", lo, hi), has_val=has_val_now()
+            )
             assert got == _model_pruned(model, lo, hi), (kind, k, lo, hi)
 
         # CDF invariant after EVERY op: for the newest retained pair
@@ -555,12 +670,27 @@ def test_manifest_protocol_matches_model(spark, ops):
         if len(retained) >= 3:
             spans.append((retained[0], retained[-1]))
         for va, vb in spans:
+            post_hv = snap_has_val(vb)
             try:
-                d, ins, upd = _python_feed(path, va, vb)
+                d, ins, upd = _python_feed(path, va, vb, post_hv)
             except ValueError:
                 expired.add(va)  # vacuumed since; lazily recorded
                 continue
-            assert _apply_feed(history[va], d, ins, upd) == history[vb], (
+            # the feed reproduces the TO snapshot after aligning the
+            # FROM snapshot to the TO schema (Delta-CDF semantics):
+            # across a drop boundary the from side's vals project away
+            # before the band-only feed applies
+            base = (
+                history[va]
+                if post_hv
+                else Counter(
+                    {
+                        (i, b, None): c
+                        for (i, b, _v), c in history[va].items()
+                    }
+                )
+            )
+            assert _apply_feed(base, d, ins, upd) == history[vb], (
                 kind, k, va, vb,
             )
 
@@ -570,7 +700,7 @@ def test_manifest_protocol_matches_model(spark, ops):
             if v in expired:
                 continue
             try:
-                got = _committed_rows(path, version=v)
+                got = _committed_rows(path, version=v, has_val=snap_has_val(v))
             except ValueError:
                 # vacuum may have expired it without a history op
                 expired.add(v)
@@ -578,15 +708,19 @@ def test_manifest_protocol_matches_model(spark, ops):
             assert got == snap, (kind, k, v)
             # every retained snapshot resolves its OWN schema: val is
             # in the committed schema iff the snapshot is at or after
-            # the evolve flip — never borrowed from _current
-            assert _schema_has_val(_read_manifest_doc(path, version=v)) == (
-                evolved_at[0] is not None and v >= evolved_at[0]
-            ), (kind, k, v, evolved_at[0])
+            # the evolve flip AND before any drop — never borrowed
+            # from _current in either direction
+            assert _schema_has_val(
+                _read_manifest_doc(path, version=v)
+            ) == snap_has_val(v), (kind, k, v, evolved_at[0], dropped_at[0])
             # snapshot stats pair with snapshot files: pruning at a
             # retained version must be exact against its own content
             top_v = max((i for (i, _b, _v) in snap), default=0)
             got_p = _committed_rows(
-                path, version=v, prune=("id", 0, top_v // 2)
+                path,
+                version=v,
+                prune=("id", 0, top_v // 2),
+                has_val=snap_has_val(v),
             )
             assert got_p == _model_pruned(snap, 0, top_v // 2), (kind, k, v)
 
@@ -598,8 +732,8 @@ def test_manifest_protocol_matches_model(spark, ops):
         return None if pd.isna(x) else int(x)
 
     pdf = read_index(spark, path).toPandas()
-    assert ("val" in pdf.columns) == (evolved_at[0] is not None)
-    if evolved_at[0] is not None:
+    assert ("val" in pdf.columns) == has_val_now()
+    if has_val_now():
         got = Counter(
             (int(i), int(b), _v(v))
             for i, b, v in zip(pdf["id"], pdf["band"], pdf["val"])
@@ -623,9 +757,12 @@ def test_manifest_protocol_matches_model(spark, ops):
             continue
     if len(retained) >= 2:
         va, vb = retained[0], retained[-1]
-        d, ins, upd = _python_feed(path, va, vb)
         fp = read_changes(spark, path, va, vb, key_cols=["id"]).toPandas()
+        # schema space follows the operator's own output: the
+        # to_version schema normally, the from side's on the
+        # delete-only branch (no added files) — mirror in the same one
         has_val = "val" in fp.columns
+        d, ins, upd = _python_feed(path, va, vb, has_val)
         got_feed = Counter(
             (int(i), int(b), _v(v) if has_val else None, t)
             for i, b, v, t in zip(
