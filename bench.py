@@ -343,6 +343,10 @@ HEADLINE = [
     # commits are the once-per-corpus fixture, warmed below)
     "vector_ann_ivfbq_topk",
     "vector_ann_stream_probe",
+    # persisted BQ inverted file (timed row = the cell-pruned probe of
+    # the COMMITTED merged code table; build + frozen-quantizer absorb
+    # are once-per-corpus maintenance commits, warmed below)
+    "vector_ann_ivfbq_merged_topk",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -507,6 +511,10 @@ def main() -> None:
         # commits are once-per-corpus; the timed row measures the
         # committed-results scan
         "vector_ann_stream_probe",
+        # persisted BQ inverted file (round-18 staging): build +
+        # frozen-quantizer absorb are once-per-corpus commits; the
+        # timed row measures the committed-file cell-pruned probe
+        "vector_ann_ivfbq_merged_topk",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))
@@ -914,12 +922,15 @@ def main() -> None:
         # host-load outlier is tabled in SURVEY_APPENDIX §19d) over the
         # 197-query list, made in the same session that changed the
         # set.
-        # r15-ivfbq-sprobe: +2 headline rows (cell-pruned sign-bit ANN,
-        # fenced streaming query probe), +1 warm-list artifact (the
-        # query-stream drain fixture); dedup_incremental_newbatch's
-        # index now commits through the manifest protocol under its
-        # existing slot. Band re-recorded for the 199-query list in the
-        # same session that changed the set.
+        # r15-ivfbq-sprobe: +3 headline rows (cell-pruned sign-bit ANN,
+        # fenced streaming query probe, persisted BQ inverted file),
+        # +2 warm-list artifacts (the query-stream drain fixture, the
+        # merged BQ file); dedup_incremental_newbatch's index now
+        # commits through the manifest protocol under its existing
+        # slot. Band re-recorded for the final 200-query list in the
+        # same session that changed the set (an intermediate 199-query
+        # recording preceded the third birth — superseded, tabled in
+        # SURVEY_APPENDIX §20g).
         "bench_config": {
             "revision": "r15-ivfbq-sprobe",
             "headline_hash": headline_hash,

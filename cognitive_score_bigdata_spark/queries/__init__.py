@@ -301,16 +301,19 @@ ROUND8_WINDOW = [
 # left at r10-latest plus scalar_json (displaced when the 4th r14
 # birth joined ROUND15) — then 32 of the 50 round-11-latest carries.
 # SESSION AMENDMENT (2026-08-16 r15 session, the standing displacement
-# rule): the two r15 births — vector_ann_ivfbq_topk (the cell-pruned
-# sign-bit tier, VERDICT r14 item 3) and vector_ann_stream_probe (the
-# fenced streaming query probe, VERDICT r14 item 5), both hash-green
-# at sf0.001+sf0.01 at staging time — front the window, displacing the
-# END carries text_quality_score and vector_ivf_merge_topk (r11-latest;
-# they head round 17 with the held rows — both least-risk: the quality
-# battery is r12-green on shared machinery, and the merged-IVF family
-# has the r15-checked stream-probe row exercising the same committed
-# artifact end-to-end). Final composition: 2 births + 18 r10 rows + 30
-# r11 carries.
+# rule): the three r15 births — vector_ann_ivfbq_topk (the cell-pruned
+# sign-bit tier, VERDICT r14 item 3), vector_ann_stream_probe (the
+# fenced streaming query probe, VERDICT r14 item 5) and
+# vector_ann_ivfbq_merged_topk (the persisted BQ inverted file with
+# frozen-quantizer absorb — the deferred (b) done in-session), all
+# hash-green at sf0.001+sf0.01 at staging time — front the window,
+# displacing the END carries text_quality_score, vector_ivf_merge_topk
+# and text_lang_id (r11-latest; they move to ROUND17, which fronts ALL
+# r11-latest rows — all three least-risk: the quality/text batteries
+# are r12-green on shared machinery, and the merged-IVF family has the
+# r15-checked stream-probe row exercising the same committed artifact
+# end-to-end). Final composition: 3 births + 18 r10 rows + 29 r11
+# carries.
 # The 18 r11 rows held to round 17 are each the least-risk member of
 # their family (a hash-green r12-r15 sibling on identical machinery,
 # or a ledgered estimator whose exact twin is IN this window):
@@ -335,9 +338,10 @@ ROUND8_WINDOW = [
 # scalar_json joined the r10 group, see the list comment). New
 # round-15-session births displace carries from the END.
 ROUND16_WINDOW = [
-    # the 2 r15-session births (birth-window driver rows)
+    # the 3 r15-session births (birth-window driver rows)
     "vector_ann_ivfbq_topk",
     "vector_ann_stream_probe",
+    "vector_ann_ivfbq_merged_topk",
     # the 18 round-10-latest rows — clears round-10 debt. scalar_json
     # joined this group when the 4th r14 birth (vector_ann_bq_topk)
     # displaced it from ROUND15_WINDOW's end; to keep the window at 50
@@ -363,8 +367,9 @@ ROUND16_WINDOW = [
     "timeseries_ohlc_hourly",
     "timeseries_twap_per_user",
     "window_session_30m",
-    # 30 of the 50 round-11-latest carries (text_quality_score and
-    # vector_ivf_merge_topk displaced by the r15 births, see above)
+    # 29 of the 50 round-11-latest carries (text_quality_score,
+    # vector_ivf_merge_topk and text_lang_id displaced by the r15
+    # births, see above)
     "agg_incremental_mv_merge",
     "analytics_skyline_parts",
     "corpus_contamination_4gram",
@@ -394,18 +399,18 @@ ROUND16_WINDOW = [
     "streaming_markov_transitions",
     "streaming_quota_admission",
     "text_chunk_dedup",
-    "text_lang_id",
 ]
 
 # Round-17 rotation plan, MATERIALIZED at round-15 end (the standing
 # next-next-window discipline). After the round-16 window runs,
-# exactly 20 rows sit at round-11-latest (the 18 documented holds plus
-# text_quality_score and vector_ivf_merge_topk, displaced from
-# ROUND16 by the r15 births) and 50 at round-12-latest. Composition:
-# ALL 20 round-11-latest rows — clears round-11 debt — then 30 of the
-# 50 round-12-latest rows, chosen for watch priority (volatile banded
+# exactly 21 rows sit at round-11-latest (the 18 documented holds plus
+# text_quality_score, vector_ivf_merge_topk and text_lang_id,
+# displaced from ROUND16 by the r15 births) and 50 at
+# round-12-latest. Composition: ALL 21 round-11-latest rows — clears
+# round-11 debt — then 29 of the 50 round-12-latest rows, chosen for
+# watch priority (volatile banded
 # metrics, unique machinery, rows-only families with their exact
-# siblings) + module spread. The 20 r12 rows held to round 18 are each
+# siblings) + module spread. The 21 r12 rows held to round 18 are each
 # the least-risk member of its family (shared machinery with an
 # r14/r15-green sibling or an in-window family twin): join_cross /
 # join_null_safe (join battery, join_full_outer in-window),
@@ -421,10 +426,13 @@ ROUND16_WINDOW = [
 # text_token_stats (text battery, quality_length_quantile_audit
 # in-window), multimodal_audio_windows + multimodal_extract_features
 # (Arrow path shared with multimodal_decode_real / _audio_spectrum /
-# _video_frames, all three in-window). New round-16 session births
+# _video_frames, all three in-window), text_bm25_topk (displaced when
+# text_lang_id joined the r11 group — least-risk: the retrieval
+# machinery is exercised by search_hybrid_rrf_ivf in-window and the
+# BM25 leg is byte-shared with it). New round-16 session births
 # displace refills from the END, never the r11 carries.
 ROUND17_WINDOW = [
-    # ALL 20 round-11-latest rows — clears round-11 debt
+    # ALL 21 round-11-latest rows — clears round-11 debt
     "agg_approx_distinct",
     "agg_cube",
     "agg_percentile_approx",
@@ -435,6 +443,7 @@ ROUND17_WINDOW = [
     "scalar_string_funcs",
     "search_mmr_rerank_ivf",
     "subquery_in_filter",
+    "text_lang_id",
     "text_quality_score",
     "text_token_count_bpe",
     "timeseries_gapfill_daily",
@@ -445,7 +454,7 @@ ROUND17_WINDOW = [
     "window_percentiles",
     "window_rank_analytic",
     "window_rolling_avg",
-    # 30 of the 50 round-12-latest refills
+    # 29 of the 50 round-12-latest refills
     "analytics_q16_supplier_cnt",
     "analytics_q2_min_cost_supplier",
     "analytics_q20_dominant_supplier",
@@ -475,7 +484,6 @@ ROUND17_WINDOW = [
     "sketch_heavy_hitter_tokens",
     "streaming_corpus_clean",
     "subquery_scalar_avg_diff",
-    "text_bm25_topk",
 ]
 
 # Round-11 rotation plan (execute as ROUND11_WINDOW next round).

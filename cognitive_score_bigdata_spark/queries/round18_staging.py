@@ -29,6 +29,16 @@ fence in the same manifest flip, exactly like the corpus-side
 DuckDB oracle recomputes them hash-for-hash; the fence + cross-run
 checkpoint behavior is pinned in tests like ``streaming_corpus_clean``.
 
+``vector_ann_ivfbq_merged_topk`` — the persisted BQ inverted file
+(SURVEY round-16 deferred (b), done in-session): the IVF×BQ code pass
+lifted to the production artifact shape — cell-partitioned sign-bit
+code table committed through the manifest protocol, seeded quantizer
+frozen beside it, new snapshots absorbed by frozen-centroid
+assignment + encode + append (zero old partitions read), probed from
+the committed file under the same full-corpus oracle (frozen-seed
+assignment is deterministic, so the hash match is the conservation
+proof — the ivf_lifecycle move applied to the quantized tier).
+
 Reference parity: ANN/streaming extensions beyond the reference's
 point-lookup serving surface (``src/backend/main.py:55-65`` reads one
 latest row per user; the rebuild's north star adds similarity search
@@ -466,3 +476,233 @@ def vector_ann_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = stream_probe_results_path(spark, sf_dir)
     return read_index(spark, path).select("query_id", "neighbor_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# vector_ann_ivfbq_merged_topk — the persisted BQ inverted file (the
+# SURVEY round-16 deferred (b), done in-session): the IVF×BQ row's
+# code pass, lifted from in-plan to the production artifact shape. The
+# cell-partitioned (cell, neighbor_id, w0, w1) table commits through
+# the §4.1 manifest protocol, the seeded quantizer is FROZEN beside it
+# (the ivf_lifecycle move), and each new vector snapshot absorbs by
+# frozen-centroid assignment + sign-bit encode + APPEND — cell
+# membership and code are pure functions of the vector, so the merge
+# reads zero old partitions. Because assignment under frozen seeds is
+# deterministic and identical to the full-corpus build's, the merged
+# file's probe equals the one-shot IVF×BQ answer — the full-corpus
+# oracle hash-match IS the conservation proof (the round10 /
+# ivf_lifecycle move applied to the quantized tier). At 100 TB this is
+# the artifact you'd actually serve from: 16 bytes/vector per cell
+# partition, nightly compaction, probe IO = n_probe/n_cells of the
+# code column.
+# ---------------------------------------------------------------------------
+
+BQM_SNAP_MOD = 3  # snapshot 1 = 2/3 of vectors (the standing index)
+BQM_SNAP_NEW = 2  # snapshot 2 = the new crawl increment
+
+_BQM_CACHE: dict = {}
+
+
+def _bq_assigned_words(vectors: DataFrame, C) -> DataFrame:
+    """(cell, neighbor_id, w0, w1) for ``vectors`` under the FROZEN
+    unit-center matrix ``C`` — one Arrow assignment pass joined to the
+    expression-only sign-bit words; the plan reads only the batch."""
+    from cognitive_score_bigdata_spark.io import fan_out
+    from cognitive_score_bigdata_spark.operators.similarity import (
+        IVF_CAND_SCHEMA,
+        norm_assign_fn,
+    )
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        _bq_words,
+    )
+
+    v = vectors.select("vec_id", "embedding").localCheckpoint(eager=False)
+    assigned = fan_out(v).mapInPandas(
+        norm_assign_fn(C, "vec_id", "embedding"), IVF_CAND_SCHEMA
+    ).select("neighbor_id", "cell")
+    return _bq_words(v, "neighbor_id").join(assigned, "neighbor_id")
+
+
+def _seed_centers(vectors: DataFrame):
+    """The 8 unit seed centers from a snapshot (all 8 seed ids are
+    ≡ 1 mod 3, so snapshot 1 always contains them) — sorted, bounded
+    8-row collect, identical to _seeded_ivf_index's quantizer."""
+    import numpy as np
+
+    from cognitive_score_bigdata_spark.queries.round12 import (
+        SEED_MAX,
+        SEED_MOD,
+        SEED_REM,
+    )
+
+    rows = vectors.filter(
+        (F.col("vec_id") % SEED_MOD == SEED_REM)
+        & (F.col("vec_id") < SEED_MAX)
+    ).collect()
+    if len(rows) != 8:
+        raise ValueError(f"expected 8 seeds in the snapshot, got {len(rows)}")
+    rows.sort(key=lambda r: r.vec_id)
+    C = np.array([r.embedding for r in rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def build_bq_file(vectors: DataFrame, path: str) -> None:
+    """Initial build: freeze the seeded quantizer (centers table FIRST,
+    manifest flip LAST — the ivf_lifecycle commit order), write the
+    code table cell-partitioned, publish."""
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        _list_data_files,
+        publish_manifest,
+    )
+
+    C = _seed_centers(vectors)
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cell int, center array<double>",
+    ).write.parquet(f"{path}_centers")
+    _bq_assigned_words(vectors, C).write.partitionBy("cell").parquet(path)
+    publish_manifest(
+        path,
+        _list_data_files(path),
+        note="initial BQ inverted-file build",
+        meta={"centers": f"{path}_centers"},
+    )
+
+
+def merge_vectors_into_bq(new_vectors: DataFrame, path: str) -> DataFrame:
+    """Absorb a new vector snapshot by frozen-centroid assignment +
+    sign-bit encode + append — returns the appended rows, whose plan
+    by construction contains no scan of ``path`` (only the batch and
+    the 8-row centers table are read)."""
+    import numpy as np
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        append_commit,
+    )
+
+    spark = new_vectors.sparkSession
+    centers = spark.read.parquet(f"{path}_centers").collect()  # 8 rows
+    C = np.array(
+        [r.center for r in sorted(centers, key=lambda r: r.cell)],
+        dtype=np.float64,
+    )
+    new_rows = _bq_assigned_words(new_vectors, C)
+    append_commit(
+        path,
+        lambda: new_rows.write.mode("append")
+        .partitionBy("cell")
+        .parquet(path),
+        note="BQ merge append (frozen quantizer)",
+    )
+    return new_rows
+
+
+def merged_bq_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped build+merge: snapshot 1 builds, snapshot 2
+    absorbs — the same lifecycle contract as merged_ivf_path."""
+    import tempfile
+
+    from cognitive_score_bigdata_spark.session_cache import session_scoped
+
+    def build() -> str:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        snap1 = emb.filter(F.col("vec_id") % BQM_SNAP_MOD != BQM_SNAP_NEW)
+        snap2 = emb.filter(F.col("vec_id") % BQM_SNAP_MOD == BQM_SNAP_NEW)
+        path = tempfile.mkdtemp(prefix="csb_bq_merged_") + "/idx"
+        build_bq_file(snap1, path)
+        merge_vectors_into_bq(snap2, path)
+        return path
+
+    return session_scoped(_BQM_CACHE, spark, (sf_dir,), build)
+
+
+@register(
+    "vector_ann_ivfbq_merged_topk",
+    oracle=None,  # spliced below: identical formulation to the in-plan row
+    doc="the persisted BQ inverted file probed AFTER an incremental "
+    "merge: snapshot 1 (2/3 of vectors) freezes the seeded quantizer "
+    "and commits the cell-partitioned sign-bit code table through the "
+    "manifest protocol; snapshot 2 absorbs by frozen-centroid "
+    "assignment + encode + APPEND (cell and code are pure functions "
+    "of the vector — the merge reads zero old partitions, "
+    "plan-pinned). The probe (cell-pruned Hamming cut + exact-cosine "
+    "rescore) runs FROM THE MERGED ON-DISK FILE; because frozen-seed "
+    "assignment is deterministic and identical to a full build's, the "
+    "full-corpus IVF×BQ oracle hash-match IS the conservation proof",
+)
+def vector_ann_ivfbq_merged_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+    )
+    from cognitive_score_bigdata_spark.operators.similarity import cosine
+    from cognitive_score_bigdata_spark.queries.round13 import (
+        ANN_K,
+        ANN_N_QUERIES,
+    )
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        _bq_words,
+    )
+
+    path = merged_bq_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    codes = read_index(spark, path)  # (neighbor_id, w0, w1, cell)
+    qprobe = _probe_cells(spark, sf_dir)
+    qcodes = _bq_words(
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES), "query_id"
+    ).select(
+        "query_id", F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    probes = qprobe.join(qcodes, "query_id")
+    hamming = F.expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)")
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hdist"), F.asc("neighbor_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(codes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hdist", hamming)
+        .withColumn("hrnk", F.row_number().over(wh))
+        .filter(F.col("hrnk") <= IVFBQ_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _splice_ivfbq_merged_oracle() -> None:
+    from dataclasses import replace
+
+    from cognitive_score_bigdata_spark.queries import REGISTRY
+
+    REGISTRY["vector_ann_ivfbq_merged_topk"] = replace(
+        REGISTRY["vector_ann_ivfbq_merged_topk"],
+        oracle=REGISTRY["vector_ann_ivfbq_topk"].oracle,
+    )
+
+
+_splice_ivfbq_merged_oracle()

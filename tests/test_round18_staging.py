@@ -281,3 +281,121 @@ def test_stream_probe_crash_before_flip_is_replayable(spark):
     )
     assert read_manifest_meta(results).get("batch_ids") == [0]
     assert read_index(spark, results).count() == 5 * IVFM_K
+
+
+def test_bqm_oracle_parity(spark):
+    """The merged persisted-file probe hash-matches the FULL-corpus
+    IVF×BQ oracle — the conservation proof (frozen-seed assignment is
+    deterministic, so merged == one-shot build)."""
+    reg = load_registry()
+    spec = reg["vector_ann_ivfbq_merged_topk"]
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    assert_frames_match(
+        spec.fn(spark, SF_DIR).toPandas(),
+        con.execute(spec.oracle).df(),
+        "vector_ann_ivfbq_merged_topk",
+    )
+    # and equals the in-plan composition row for the same corpus
+    a = spec.fn(spark, SF_DIR).toPandas().sort_values(
+        ["query_id", "rnk"]
+    ).reset_index(drop=True)
+    b = reg["vector_ann_ivfbq_topk"].fn(spark, SF_DIR).toPandas().sort_values(
+        ["query_id", "rnk"]
+    ).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bqm_merge_reads_no_index_partition(spark):
+    """Frozen-quantizer absorption must scan only the new batch and
+    the 8-row centers table — no node of the appended rows' plan may
+    reference the inverted-file path."""
+    import tempfile
+
+    from cognitive_score_bigdata_spark.plans.audit import plan_text
+    from cognitive_score_bigdata_spark.queries.round18_staging import (
+        BQM_SNAP_MOD,
+        BQM_SNAP_NEW,
+        build_bq_file,
+        merge_vectors_into_bq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="csb_bqm_pin_") + "/idx"
+    build_bq_file(
+        emb.filter(F.col("vec_id") % BQM_SNAP_MOD != BQM_SNAP_NEW), path
+    )
+    appended = merge_vectors_into_bq(
+        emb.filter(F.col("vec_id") % BQM_SNAP_MOD == BQM_SNAP_NEW), path
+    )
+    assert path not in plan_text(appended)
+
+
+def test_bqm_frozen_quantizer_and_old_partitions_untouched(spark):
+    """The centers table and every pre-merge cell data file are
+    byte-for-byte untouched by an absorption (name+mtime identical) —
+    the append-only contract at the artifact level."""
+    import glob
+    import os
+    import tempfile
+
+    from cognitive_score_bigdata_spark.queries.round18_staging import (
+        BQM_SNAP_MOD,
+        BQM_SNAP_NEW,
+        build_bq_file,
+        merge_vectors_into_bq,
+    )
+
+    def sig(pattern):
+        return sorted(
+            (os.path.relpath(p, os.path.dirname(pattern)), os.path.getmtime(p))
+            for p in glob.glob(pattern)
+        )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="csb_bqm_frozen_") + "/idx"
+    build_bq_file(
+        emb.filter(F.col("vec_id") % BQM_SNAP_MOD != BQM_SNAP_NEW), path
+    )
+    centers_before = sig(f"{path}_centers/*.parquet")
+    cells_before = sig(f"{path}/cell=*/*.parquet")
+    merge_vectors_into_bq(
+        emb.filter(F.col("vec_id") % BQM_SNAP_MOD == BQM_SNAP_NEW), path
+    )
+    assert sig(f"{path}_centers/*.parquet") == centers_before
+    after = sig(f"{path}/cell=*/*.parquet")
+    for entry in cells_before:
+        assert entry in after, entry
+
+
+def test_bqm_merged_file_complete_and_cell_pruned(spark):
+    """The merged code table holds each corpus vector exactly once
+    (one cell, one code row), and a cell-filtered read of the
+    committed file shows parquet PartitionFilters — the probe's
+    n_probe/n_cells IO story is real partition pruning."""
+    import re
+
+    from cognitive_score_bigdata_spark.operators.index_manifest import (
+        read_index,
+    )
+    from cognitive_score_bigdata_spark.plans.audit import plan_text
+    from cognitive_score_bigdata_spark.queries.round18_staging import (
+        merged_bq_path,
+    )
+
+    path = merged_bq_path(spark, SF_DIR)
+    idx = read_index(spark, path)
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    per_id = idx.groupBy("neighbor_id").count()
+    assert per_id.count() == n_corpus
+    assert per_id.filter(F.col("count") != 1).count() == 0
+    t = plan_text(idx.filter(F.col("cell") == 0))
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", t), t[:2000]
