@@ -373,36 +373,31 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "c1ff639bd14d",
-    "recorded": "2026-08-16 r15 recording protocol (199-query set; "
-    "all 8 runs, no exclusions — see SURVEY_APPENDIX §20g)",
-    # s per probe-s: total / median(noise_probe) of each run. r15 set:
-    # +2 headline rows this session (IVF x BQ cell-pruned tier, fenced
-    # streaming query probe) and dedup_incremental_newbatch's index
-    # moved onto the manifest protocol under its existing slot. ALL
-    # EIGHT runs are committed: no run showed the isolated host-event
-    # signature r14's excluded run did (its worst, run 3, has
-    # prefix_join 23.5 and cluster 9.5 — inside the committed metric
-    # families). The probe drifted 0.63 -> 0.48 across the session as
-    # background load cleared, which WIDENS the normalized band
-    # (fast-probe runs over-normalize; the clamp rule exists for
-    # exactly this), so the honest recording keeps the full spread
-    # rather than cherry-picking a narrow window. All eight values are
-    # tabled in SURVEY_APPENDIX §20g.
-    "headline_total_band": [402.6, 535.4],
+    "recorded_headline_hash": "24439e5d789e",
+    "recorded": "2026-08-16 r15 FINAL recording protocol (200-query "
+    "set; six runs, no exclusions — see SURVEY_APPENDIX §20l; the "
+    "superseded 199-query intermediate is tabled in §20g)",
+    # s per probe-s: total / median(noise_probe) of each run. Final
+    # r15 set: +3 headline rows this session (IVF x BQ cell-pruned
+    # tier, fenced streaming query probe, persisted BQ inverted file)
+    # and dedup_incremental_newbatch's index moved onto the manifest
+    # protocol under its existing slot. Six runs, all committed — no
+    # host-event signature; probes sat in a tight fast-host window
+    # (0.467-0.537) after the session's background load cleared.
+    "headline_total_band": [414.9, 509.2],
     "headline_total_values": [
-        441.8, 402.6, 475.2, 431.9, 404.1, 535.4, 479.8, 462.2,
+        440.9, 414.9, 485.0, 509.2, 431.1, 491.3,
     ],
-    "raw_total_band": [236.061, 284.668],
-    "probe_median_range": [0.481, 0.633],
-    # per-metric normalized bands from the same eight runs (keys match
+    "raw_total_band": [206.322, 252.046],
+    "probe_median_range": [0.467, 0.537],
+    # per-metric normalized bands from the same six runs (keys match
     # banded_normalized's)
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [4.58, 6.16],
-        "text_prefix_filter_join": [14.73, 23.54],
-        "dedup_simhash_pairs": [5.29, 9.2],
-        "graph_family_total": [37.22, 46.87],
-        "dedup_cluster_exact": [4.17, 9.46],
+        "vector_ann_ivfpq_topk": [4.81, 6.0],
+        "text_prefix_filter_join": [15.39, 21.47],
+        "dedup_simhash_pairs": [5.84, 7.49],
+        "graph_family_total": [38.26, 49.03],
+        "dedup_cluster_exact": [5.41, 8.4],
     },
 }
 
