@@ -781,3 +781,44 @@ def test_manifest_protocol_matches_model(spark, ops):
             want[(i, bp, vp, "update_preimage")] += 1
             want[(i, bq, vq, "update_postimage")] += 1
         assert got_feed == want
+
+
+def test_readding_dropped_column_resurrects_stale_values(spark):
+    """DOCUMENTATION test for the model's no-re-add rule: this asserts
+    the HAZARD IS REAL, not that it is desirable. read_index applies
+    the committed schema by parquet column NAME, so committing a
+    schema that re-adds a previously dropped column makes pre-drop
+    files' stale physical values reappear in the live view — silent
+    data corruption from the reader's perspective. Delta prevents this
+    with column-mapping ids; this protocol prevents it by prohibition
+    (the model's `evolve` degrades to a plain append after a drop, and
+    a real re-add must use a fresh physical name or rewrite). If this
+    test ever FAILS, the reader stopped name-matching and the
+    prohibition — and the model — should be revisited."""
+    path = tempfile.mkdtemp(prefix="csb_model_readd_") + "/idx"
+    os.makedirs(path)
+    _write_rows(path, 0, [1, 2], "evolved", vals=[7, 8])
+    publish_manifest(
+        path,
+        _list_data_files(path),
+        note="evolved",
+        schema_json=_EVOLVED_SCHEMA_JSON,
+    )
+    # drop: commit the base schema — vals vanish from the live view
+    append_commit(
+        path,
+        lambda: _write_rows(path, 0, [3], "postdrop"),
+        note="drop val",
+        schema_json=_BASE_SCHEMA_JSON,
+    )
+    assert "val" not in read_index(spark, path).columns
+    # the forbidden move: re-add the same column name
+    append_commit(
+        path,
+        lambda: _write_rows(path, 0, [4], "readd", vals=[9]),
+        note="re-add val (forbidden)",
+        schema_json=_EVOLVED_SCHEMA_JSON,
+    )
+    pdf = read_index(spark, path).toPandas().set_index("id")
+    # rows 1 and 2 predate the drop, yet their STALE values are back
+    assert pdf.loc[1, "val"] == 7 and pdf.loc[2, "val"] == 8

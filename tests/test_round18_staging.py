@@ -399,3 +399,38 @@ def test_bqm_merged_file_complete_and_cell_pruned(spark):
     assert per_id.filter(F.col("count") != 1).count() == 0
     t = plan_text(idx.filter(F.col("cell") == 0))
     assert re.search(r"PartitionFilters: \[[^\]]*cell", t), t[:2000]
+
+
+def test_bq_word_packing_matches_numpy(spark):
+    """The sign-bit word expression (aggregate/shiftleft over the
+    embedding HOF) packs EXACTLY numpy's bit order on adversarial
+    inputs — zeros (strictly > 0 is the sign rule, so 0 -> bit off),
+    negative zero, ±tiny denormal-adjacent values, and exact IEEE
+    boundaries — pinning the cross-engine exactness every BQ-family
+    oracle rests on."""
+    import numpy as np
+
+    from cognitive_score_bigdata_spark.queries.round17_staging import (
+        BQ_DIM,
+        _bq_words,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((32, BQ_DIM))
+    vecs[0] = 0.0  # all-zero vector: both words must be 0
+    vecs[1, :32] = -0.0  # negative zero is NOT > 0
+    vecs[2] = np.where(np.arange(BQ_DIM) % 2 == 0, 1e-300, -1e-300)
+    vecs[3] = 1.0  # all bits on
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.neighbor_id: (r.w0, r.w1)
+        for r in _bq_words(df, "neighbor_id").collect()
+    }
+    for i, v in enumerate(vecs):
+        bits = (v > 0).astype(np.uint64)
+        w0 = int((bits[:32] << np.arange(32, dtype=np.uint64)).sum())
+        w1 = int((bits[32:] << np.arange(32, dtype=np.uint64)).sum())
+        assert got[i] == (w0, w1), (i, got[i], (w0, w1))
+    assert got[0] == (0, 0)
+    assert got[3] == ((1 << 32) - 1, (1 << 32) - 1)
