@@ -1194,7 +1194,7 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: they register) and return
-    the registry reordered so :data:`ROUND15_WINDOW` comes first.
+    the registry reordered so :data:`ROUND16_WINDOW` comes first.
 
     History: round 1 covered aggregations/analytics/analytics_tpch/
     corpus/dedup_similarity/extensions (50); round 2 fronted the other
@@ -1243,6 +1243,12 @@ def load_registry() -> dict[str, QuerySpec]:
     sf0.001 AND sf0.01) + the 6 round-9-latest hold-overs + 32
     round-10-latest carries — after this window no latest row
     predates round 10 and the never-checked count is back to 0.
+    Round 16 fronts the 3 r15-session births (the BQ sign-bit ANN
+    tier: cell-pruned topk, fenced streaming probe, persisted merged
+    inverted file — all pre-mirrored hash-green at sf0.001 AND
+    sf0.01) + ALL 18 round-10-latest rows (clears round-10 debt) +
+    29 round-11-latest carries — after this window no latest row
+    predates round 11 and the never-checked count is back to 0.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
@@ -1302,15 +1308,15 @@ def load_registry() -> dict[str, QuerySpec]:
         windows_time,
     )
 
-    missing = [n for n in ROUND15_WINDOW if n not in REGISTRY]
+    missing = [n for n in ROUND16_WINDOW if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"ROUND15_WINDOW names not registered: {missing}")
+        raise RuntimeError(f"ROUND16_WINDOW names not registered: {missing}")
     from dataclasses import replace
 
     for n, why in ROWS_ONLY_RATIONALE.items():
         spec = REGISTRY.get(n)
         if spec is not None and spec.oracle is None and why not in spec.doc:
             REGISTRY[n] = replace(spec, doc=f"{spec.doc} [rows-only: {why}]")
-    ordered = {n: REGISTRY[n] for n in ROUND15_WINDOW}
+    ordered = {n: REGISTRY[n] for n in ROUND16_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     return ordered
