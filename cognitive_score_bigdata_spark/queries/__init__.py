@@ -1291,6 +1291,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round16_staging,
         round17_staging,
         round18_staging,
+        round19_staging,
         scalar_funcs,
         setops,
         sharding,

@@ -571,11 +571,20 @@ def build_bq_file(vectors: DataFrame, path: str) -> None:
     )
 
 
-def merge_vectors_into_bq(new_vectors: DataFrame, path: str) -> DataFrame:
+def merge_vectors_into_bq(
+    new_vectors: DataFrame,
+    path: str,
+    note: str = "BQ merge append (frozen quantizer)",
+    meta: dict | None = None,
+    _before_publish=None,
+) -> DataFrame:
     """Absorb a new vector snapshot by frozen-centroid assignment +
     sign-bit encode + append — returns the appended rows, whose plan
     by construction contains no scan of ``path`` (only the batch and
-    the 8-row centers table are read)."""
+    the 8-row centers table are read). ``meta``/``_before_publish``
+    pass through to :func:`append_commit` — the streaming fence and
+    its crash-window test seam, exactly like the float IVF's
+    ``merge_vectors_into_ivf``."""
     import numpy as np
 
     from cognitive_score_bigdata_spark.operators.index_manifest import (
@@ -594,7 +603,9 @@ def merge_vectors_into_bq(new_vectors: DataFrame, path: str) -> DataFrame:
         lambda: new_rows.write.mode("append")
         .partitionBy("cell")
         .parquet(path),
-        note="BQ merge append (frozen quantizer)",
+        note=note,
+        meta=meta,
+        _before_publish=_before_publish,
     )
     return new_rows
 
@@ -640,6 +651,20 @@ def vector_ann_ivfbq_merged_topk(
     from cognitive_score_bigdata_spark.operators.index_manifest import (
         read_index,
     )
+
+    path = merged_bq_path(spark, sf_dir)
+    codes = read_index(spark, path)  # (neighbor_id, w0, w1, cell)
+    return probe_bq_codes(spark, sf_dir, codes)
+
+
+def probe_bq_codes(
+    spark: SparkSession, sf_dir: str, codes: DataFrame
+) -> DataFrame:
+    """The IVF×BQ probe over a committed ``(cell, neighbor_id, w0, w1)``
+    code table: cell-pruned Hamming ``bit_count(xor)`` candidate cut,
+    exact-cosine rescore — the probe half of the merged row, shared
+    with the streaming-absorb row (round19_staging) so the two
+    artifacts are judged by byte-identical probe semantics."""
     from cognitive_score_bigdata_spark.operators.similarity import cosine
     from cognitive_score_bigdata_spark.queries.round13 import (
         ANN_K,
@@ -649,11 +674,9 @@ def vector_ann_ivfbq_merged_topk(
         _bq_words,
     )
 
-    path = merged_bq_path(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    codes = read_index(spark, path)  # (neighbor_id, w0, w1, cell)
     qprobe = _probe_cells(spark, sf_dir)
     qcodes = _bq_words(
         emb.filter(F.col("vec_id") < ANN_N_QUERIES), "query_id"
