@@ -347,6 +347,12 @@ HEADLINE = [
     # the COMMITTED merged code table; build + frozen-quantizer absorb
     # are once-per-corpus maintenance commits, warmed below)
     "vector_ann_ivfbq_merged_topk",
+    # round-19 staging (r16 session, benched from day one): the BQ
+    # inverted file's fenced STREAMING absorb (timed row = the
+    # cell-pruned probe of the stream-absorbed committed code table;
+    # the build + availableNow drain with per-batch fenced absorb
+    # commits are the once-per-corpus fixture, warmed below)
+    "vector_ann_ivfbq_stream_topk",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -510,6 +516,11 @@ def main() -> None:
         # frozen-quantizer absorb are once-per-corpus commits; the
         # timed row measures the committed-file cell-pruned probe
         "vector_ann_ivfbq_merged_topk",
+        # BQ streaming absorb fixture (round-19 staging): build + the
+        # availableNow drain with per-batch fenced absorb commits are
+        # once-per-corpus; the timed row measures the stream-absorbed
+        # committed-file probe
+        "vector_ann_ivfbq_stream_topk",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))
@@ -640,6 +651,21 @@ def main() -> None:
             "gc_total_ms": int(gc_ms),
             "heap_mb": int(heap / (1 << 20)),
         }
+
+    # Slot-order warm-up (VERDICT r15 item 4): r15's first ~10 bench
+    # slots absorbed cold-JVM cost — whole-stage-codegen JIT for the
+    # TPC-H plan shapes plus first-touch parquet page-cache — and the
+    # apparent +23 s round-over-round regression on UNCHANGED analytics
+    # code was entirely those slots (q8 1.14→7.74 s with identical
+    # plans). Materialize the early slots once, untimed, so their timed
+    # rows measure warm plans like every later slot already does (by
+    # round 15 slot 100+ inherits 100 queries of session warm-up; slot
+    # 2 inherited none — this equalizes the methodology, same rationale
+    # as the canary pair's intentional pre-warm). Band re-recorded in
+    # the same session (r16 protocol) since early-slot times shift down.
+    for warm in HEADLINE[:12]:
+        if warm in registry:
+            materialize(registry[warm].fn(spark, sf_dir))
 
     # Canary pair: the two monotonic drifters from VERDICT r8, timed
     # FIRST in the session (before any other headline query — this is
@@ -926,8 +952,17 @@ def main() -> None:
         # same session that changed the set (an intermediate 199-query
         # recording preceded the third birth — superseded, tabled in
         # SURVEY_APPENDIX §20g).
+        # r16-bqstream-slotwarm: +1 headline row (the BQ inverted
+        # file's fenced streaming absorb), +1 warm-list artifact (its
+        # build + availableNow drain fixture), and the slot-order
+        # warm-up fix (VERDICT r15 item 4): HEADLINE[:12] materialize
+        # once untimed before the canary start, so run_index 0-11 no
+        # longer absorb cold-JVM JIT/page-cache cost — per-query times
+        # for the early TPC-H slots are now comparable across rounds.
+        # Band re-recorded for the 201-query list in the same session
+        # that changed the set and the methodology.
         "bench_config": {
-            "revision": "r15-ivfbq-sprobe",
+            "revision": "r16-bqstream-slotwarm",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
