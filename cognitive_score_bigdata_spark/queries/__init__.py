@@ -428,10 +428,30 @@ ROUND16_WINDOW = [
 # (Arrow path shared with multimodal_decode_real / _audio_spectrum /
 # _video_frames, all three in-window), text_bm25_topk (displaced when
 # text_lang_id joined the r11 group — least-risk: the retrieval
-# machinery is exercised by search_hybrid_rrf_ivf in-window and the
-# BM25 leg is byte-shared with it). New round-16 session births
-# displace refills from the END, never the r11 carries.
+# machinery is exercised by search_hybrid_rrf and the BM25 leg is
+# byte-shared with it). New round-16 session births displace refills
+# from the END, never the r11 carries.
+#
+# AMENDED at round-16 mid-session per that standing rule: the 4 r16
+# births (the BQ inverted file's fenced streaming absorb + the three
+# IVF delete-lifecycle stages, queries/round19_staging.py and
+# queries/round20_staging.py) front the window; the 4 END refills
+# they displace — search_hybrid_rrf_ivf, sketch_heavy_hitter_tokens,
+# streaming_corpus_clean, subquery_scalar_avg_diff — become
+# r12-latest holds for ROUND18. Least-risk, each: search_hybrid_rrf_
+# ivf is rows-only ledgered with exact sibling search_hybrid_rrf
+# green r11 and its BM25 leg byte-shared; sketch_heavy_hitter_tokens'
+# sibling sketch_cms_md5_tokens is in ROUND16; streaming_corpus_
+# clean's machinery is re-driven every round by curation_stream_
+# training_set (r15-green); subquery_scalar_avg_diff shares scan+agg
+# machinery with in-window subquery_in_filter. Final composition:
+# 4 births + 21 r11 carries + 25 r12 refills = 50.
 ROUND17_WINDOW = [
+    # r16 session births (driver CORRECTNESS debut next round)
+    "vector_ann_ivfbq_stream_topk",
+    "vector_ann_ivf_delete_topk",
+    "vector_ann_ivf_delete_readd_topk",
+    "vector_ann_ivf_delete_rewrite_topk",
     # ALL 21 round-11-latest rows — clears round-11 debt
     "agg_approx_distinct",
     "agg_cube",
@@ -480,10 +500,81 @@ ROUND17_WINDOW = [
     "scalar_base64",
     "scan_zorder_two_dim",
     "scd2_user_event_history",
+]
+
+# Round-18 rotation plan, MATERIALIZED at round-16 mid-session (the
+# standing next-next-window discipline). After ROUND17 runs, the
+# r12-latest cohort is exactly 25 rows (the 21 documented holds above
+# plus the 4 refills ROUND17's amendment displaced) and 49 rows sit at
+# round-13-latest. Composition: ALL 25 r12-latest rows — clears
+# round-12 debt — then 25 of the 49 r13-latest rows, chosen for watch
+# priority: BOTH banded bench families whole (the graph family and
+# simhash/prefix-join text similarity, so a band excursion and a
+# driver hash row land in the same round), the ANN exact/probe pairs
+# (each approximate row re-checked beside its exact conservation
+# sibling), the semantic-dedup chain, and the streaming sketches. The
+# 24 r13 rows held to round 19 are each the least-risk member of its
+# family: the text battery (text_gopher_rules, quality_*) shares one
+# documents-scan machinery with r13-green in-family twins; curation_*
+# rows are r13-green with the curation_stream_* machinery re-driven
+# every round; theta/kmv sketches have md5 twins in-window here;
+# vector_ann_ivf_topk_seeded / vector_ann_lsh_neardup /
+# vector_centroid_by_group / vector_cosine_neardup are machinery-
+# shared with in-window exact siblings; text_segment_udtf is an
+# API-parity row timed every bench run.
+ROUND18_WINDOW = [
+    # ALL 25 round-12-latest rows — clears round-12 debt
+    "join_cross",
+    "join_null_safe",
+    "multimodal_audio_windows",
+    "multimodal_extract_features",
+    "proj_distinct",
+    "proj_filter_basic",
+    "proj_rename_cast",
+    "scalar_conditional",
+    "scalar_datetime",
+    "scalar_hash_md5",
     "search_hybrid_rrf_ivf",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_by_name",
     "sketch_heavy_hitter_tokens",
     "streaming_corpus_clean",
     "subquery_scalar_avg_diff",
+    "text_bm25_topk",
+    "text_token_stats",
+    "window_nth_lag_default",
+    "window_ntile",
+    "window_sliding_10m_5m",
+    "window_topk_recent",
+    "window_tumbling_hourly",
+    # 25 of the 49 round-13-latest refills
+    "dedup_cluster_docs_star",
+    "dedup_ensemble_clusters",
+    "dedup_minhash_pairs",
+    "dedup_semantic_exact",
+    "dedup_semantic_incremental",
+    "dedup_semantic_pairs",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_md5",
+    "graph_clustering_topk",
+    "graph_kcore_copurchase",
+    "graph_minlabel_components",
+    "graph_pagerank_copurchase",
+    "graph_pagerank_weighted",
+    "graph_sssp_copurchase",
+    "graph_triangle_count",
+    "sketch_hll_md5_users",
+    "streaming_dedup_watermark",
+    "streaming_hll_users",
+    "text_prefix_filter_join",
+    "vector_ann_ivf_exact",
+    "vector_ann_ivf_topk",
+    "vector_ann_ivfpq_exact",
+    "vector_ann_pq_topk",
+    "vector_cosine_topk_expr_q200",
+    "vector_cosine_topk_fast",
 ]
 
 # Round-11 rotation plan (execute as ROUND11_WINDOW next round).
@@ -1258,9 +1349,11 @@ def load_registry() -> dict[str, QuerySpec]:
         ann_pq,
         corpus,
         corpus_pipeline,
+        dedup_md5,
         dedup_similarity,
         extensions,
         flagship,
+        graphs,
         ivf_lifecycle,
         joins,
         mlops,
@@ -1292,13 +1385,17 @@ def load_registry() -> dict[str, QuerySpec]:
         round17_staging,
         round18_staging,
         round19_staging,
+        round20_staging,
         scalar_funcs,
         setops,
         sharding,
         sketches,
+        sketches_md5,
         spandedup,
+        stats_events,
         subqueries,
         textclean,
+        textjoins,
         textops,
         timeseries,
         tpch_rest,

@@ -49,7 +49,7 @@ from cognitive_score_bigdata_spark.operators.index_manifest import (
     vacuum_index,
 )
 from cognitive_score_bigdata_spark.queries import register
-from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+from cognitive_score_bigdata_spark.queries.dedup_md5 import (
     MH_BANDS,
     MH_K,
     MH_ROWS,

@@ -246,7 +246,7 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         IvfIndex,
         semantic_dedup_pairs,
     )
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         dedup_minhash_pairs_md5,
     )
     from cognitive_score_bigdata_spark.queries.round11_staging import (
@@ -280,7 +280,7 @@ def _splice_ensemble_oracle() -> None:
     SQL verbatim (nested as derived tables) — spliced at import so the
     legs can never drift from their standalone rows."""
     from cognitive_score_bigdata_spark.queries import REGISTRY
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         _MH_ORACLE,
     )
     from cognitive_score_bigdata_spark.queries.round11_staging import (

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
-from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+from cognitive_score_bigdata_spark.queries.dedup_md5 import (
     _MH_AGREE,
     _MH_BANDKEY,
     _MH_MINS,
@@ -440,7 +440,7 @@ def _splice_curation_oracle() -> None:
     from dataclasses import replace
 
     from cognitive_score_bigdata_spark.queries import REGISTRY
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         _MH_ORACLE,
     )
     from cognitive_score_bigdata_spark.queries.round11_staging import (

@@ -211,7 +211,13 @@ def delete_from_ivf(
     dead_upto = int(meta.get("max_seq", 1))
     merged = _merged_tombstones(spark, path, ids, dead_upto)
     side = f"{path}_tombs/v{version + 1}"
-    merged.coalesce(1).write.parquet(side)
+    # mode=overwrite makes the retry-after-crash path work: a file at
+    # v{version+1} can only be the orphan of an attempt that died
+    # before its publish (a COMMITTED sidecar's version is always
+    # <= the current manifest version, because the publish that
+    # references it also bumps the version past it). Single-writer
+    # maintenance discipline — same contract as the replace-parts flip.
+    merged.coalesce(1).write.mode("overwrite").parquet(side)
     n = spark.read.parquet(side).count()
     if _before_publish is not None:
         _before_publish()

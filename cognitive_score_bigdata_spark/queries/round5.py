@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
-from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+from cognitive_score_bigdata_spark.queries.dedup_md5 import (
     _MH_BANDKEY,
     _MH_MINS,
     MH_BANDS,
@@ -115,7 +115,7 @@ def _md5_minhash_candidates(d: DataFrame) -> DataFrame:
     the SHARED md5 two-hash minhash helpers in round4_staging2 (whose
     ``dedup_minhash_pairs_md5`` driver row verifies the machinery
     bit-for-bit against DuckDB)."""
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         md5_minhash_band_candidates,
         md5_minhash_signatures,
     )
@@ -191,7 +191,7 @@ def _pr_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketize_edges,
         fold_pagerank_edges,
     )
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.graphs import (
         copurchase_pairs,
     )
     from cognitive_score_bigdata_spark.session_cache import session_scoped
@@ -234,7 +234,7 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognitive_score_bigdata_spark.operators.graph import (
         pagerank_fixed_point,
     )
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.graphs import (
         PR_ITERS,
         PR_TOPK,
     )
@@ -259,7 +259,7 @@ def _set_bucketed_oracle() -> None:
     from dataclasses import replace
 
     from cognitive_score_bigdata_spark.queries import REGISTRY
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.graphs import (
         _PR_ORACLE,
     )
 

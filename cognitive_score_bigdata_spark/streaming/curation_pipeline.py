@@ -89,7 +89,7 @@ def admitted_training_splits(
         IvfIndex,
         semantic_dedup_pairs,
     )
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         dedup_minhash_pairs_md5,
     )
     from cognitive_score_bigdata_spark.queries.round11_staging import (

@@ -60,7 +60,7 @@ def test_ensemble_clusters_close_over_every_evidence_leg(spark):
         IvfIndex,
         semantic_dedup_pairs,
     )
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         dedup_minhash_pairs_md5,
     )
     from cognitive_score_bigdata_spark.queries.round11_staging import (

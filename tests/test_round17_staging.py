@@ -120,7 +120,7 @@ def test_incremental_index_absorb_and_compact_conserve_probe(spark):
         _list_data_files,
         publish_manifest,
     )
-    from cognitive_score_bigdata_spark.queries.round4_staging2 import (
+    from cognitive_score_bigdata_spark.queries.dedup_md5 import (
         MH_K,
         md5_minhash_banded,
         md5_minhash_signatures,
