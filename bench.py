@@ -362,6 +362,15 @@ HEADLINE = [
     "vector_ann_ivf_delete_topk",
     "vector_ann_ivf_delete_readd_topk",
     "vector_ann_ivf_delete_rewrite_topk",
+    # round-21 staging (r16 session, benched from day one): filtered
+    # vector search (timed row = the one narrow probed-cell scan with
+    # the label predicate pushed to parquet; the label-denormalized
+    # index build is a once-per-corpus commit, warmed below) and the
+    # tombstone-aware compact (timed row = the plain committed-view
+    # probe after the compact flip; the 4-version fixture is warmed
+    # below)
+    "vector_ann_ivf_filtered_topk",
+    "vector_ann_ivf_compact_dead_topk",
 ]
 
 # API-parity demonstration rows (VERDICT r6 item 2): these exist to
@@ -538,6 +547,15 @@ def main() -> None:
         # the same session-scoped path; the timed rows measure probes,
         # not the maintenance commits
         "vector_ann_ivf_delete_topk",
+        # label-denormalized inverted file (round-21 staging): the
+        # build-with-label join is the once-per-corpus index commit;
+        # the timed row measures the pushed-filter probe
+        "vector_ann_ivf_filtered_topk",
+        # tombstone-aware compact fixture (round-21 staging): build /
+        # delete / absorb / compact are the once-per-corpus
+        # maintenance sequence; the timed row measures the plain
+        # committed-view probe
+        "vector_ann_ivf_compact_dead_topk",
     ):
         if warm in registry:
             materialize(registry[warm].fn(spark, sf_dir))
@@ -983,11 +1001,15 @@ def main() -> None:
         # live view after re-insert, plain committed view after the
         # dirty-cell physical rewrite), +1 warm-list artifact (the
         # 4-version delete fixture; one warm materializes all stages).
-        # Band re-recorded for the 204-query list in the same session
+        # r16-filtered-compact: +2 headline rows (filtered vector
+        # search over the label-denormalized inverted file; the
+        # tombstone-aware compact's plain-view probe), +2 warm-list
+        # artifacts (the filtered index build, the compact fixture).
+        # Band re-recorded for the 206-query list in the same session
         # that changed the set (the 201-query intermediate is tabled
         # in SURVEY_APPENDIX §20p).
         "bench_config": {
-            "revision": "r16-delete-lifecycle",
+            "revision": "r16-filtered-compact",
             "headline_hash": headline_hash,
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

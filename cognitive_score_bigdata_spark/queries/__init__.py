@@ -444,14 +444,24 @@ ROUND16_WINDOW = [
 # sibling sketch_cms_md5_tokens is in ROUND16; streaming_corpus_
 # clean's machinery is re-driven every round by curation_stream_
 # training_set (r15-green); subquery_scalar_avg_diff shares scan+agg
-# machinery with in-window subquery_in_filter. Final composition:
-# 4 births + 21 r11 carries + 25 r12 refills = 50.
+# machinery with in-window subquery_in_filter. Amended a second time
+# when the round-16 session's part-3 births landed (filtered ANN +
+# tombstone-aware compact, queries/round21_staging.py): they displace
+# scan_zorder_two_dim and scd2_user_event_history from the END into
+# ROUND18's r12 cohort — least-risk: scan_zorder's lake-layout
+# machinery shares the manifest/zone-map protocol with
+# scan_zonemap_range_agg (r14-green) and the whole scan_* family is
+# r16-checked; scd2_user_event_history shares the SCD2 machinery with
+# scd2_incremental_merge (in ROUND16). Final composition:
+# 6 births + 21 r11 carries + 23 r12 refills = 50.
 ROUND17_WINDOW = [
     # r16 session births (driver CORRECTNESS debut next round)
     "vector_ann_ivfbq_stream_topk",
     "vector_ann_ivf_delete_topk",
     "vector_ann_ivf_delete_readd_topk",
     "vector_ann_ivf_delete_rewrite_topk",
+    "vector_ann_ivf_filtered_topk",
+    "vector_ann_ivf_compact_dead_topk",
     # ALL 21 round-11-latest rows — clears round-11 debt
     "agg_approx_distinct",
     "agg_cube",
@@ -498,32 +508,33 @@ ROUND17_WINDOW = [
     "quality_data_validation",
     "quality_length_quantile_audit",
     "scalar_base64",
-    "scan_zorder_two_dim",
-    "scd2_user_event_history",
 ]
 
 # Round-18 rotation plan, MATERIALIZED at round-16 mid-session (the
 # standing next-next-window discipline). After ROUND17 runs, the
-# r12-latest cohort is exactly 25 rows (the 21 documented holds above
-# plus the 4 refills ROUND17's amendment displaced) and 49 rows sit at
-# round-13-latest. Composition: ALL 25 r12-latest rows — clears
-# round-12 debt — then 25 of the 49 r13-latest rows, chosen for watch
+# r12-latest cohort is exactly 27 rows (the 21 documented holds above
+# plus the 6 refills ROUND17's two amendments displaced) and 49 rows
+# sit at round-13-latest. Composition: ALL 27 r12-latest rows — clears
+# round-12 debt — then 23 of the 49 r13-latest rows, chosen for watch
 # priority: BOTH banded bench families whole (the graph family and
 # simhash/prefix-join text similarity, so a band excursion and a
 # driver hash row land in the same round), the ANN exact/probe pairs
 # (each approximate row re-checked beside its exact conservation
 # sibling), the semantic-dedup chain, and the streaming sketches. The
-# 24 r13 rows held to round 19 are each the least-risk member of its
+# 26 r13 rows held to round 19 are each the least-risk member of its
 # family: the text battery (text_gopher_rules, quality_*) shares one
 # documents-scan machinery with r13-green in-family twins; curation_*
 # rows are r13-green with the curation_stream_* machinery re-driven
 # every round; theta/kmv sketches have md5 twins in-window here;
 # vector_ann_ivf_topk_seeded / vector_ann_lsh_neardup /
 # vector_centroid_by_group / vector_cosine_neardup are machinery-
-# shared with in-window exact siblings; text_segment_udtf is an
+# shared with in-window exact siblings; the vector_cosine_topk_fast /
+# _expr_q200 crossover pair (displaced by the second amendment's r12
+# arrivals) is re-measured by every bench run and its exact sibling
+# vector_cosine_topk sits in ROUND17; text_segment_udtf is an
 # API-parity row timed every bench run.
 ROUND18_WINDOW = [
-    # ALL 25 round-12-latest rows — clears round-12 debt
+    # ALL 27 round-12-latest rows — clears round-12 debt
     "join_cross",
     "join_null_safe",
     "multimodal_audio_windows",
@@ -534,6 +545,8 @@ ROUND18_WINDOW = [
     "scalar_conditional",
     "scalar_datetime",
     "scalar_hash_md5",
+    "scan_zorder_two_dim",
+    "scd2_user_event_history",
     "search_hybrid_rrf_ivf",
     "setop_except",
     "setop_intersect",
@@ -549,7 +562,7 @@ ROUND18_WINDOW = [
     "window_sliding_10m_5m",
     "window_topk_recent",
     "window_tumbling_hourly",
-    # 25 of the 49 round-13-latest refills
+    # 23 of the 49 round-13-latest refills
     "dedup_cluster_docs_star",
     "dedup_ensemble_clusters",
     "dedup_minhash_pairs",
@@ -573,8 +586,6 @@ ROUND18_WINDOW = [
     "vector_ann_ivf_topk",
     "vector_ann_ivfpq_exact",
     "vector_ann_pq_topk",
-    "vector_cosine_topk_expr_q200",
-    "vector_cosine_topk_fast",
 ]
 
 # Round-11 rotation plan (execute as ROUND11_WINDOW next round).
@@ -1386,6 +1397,7 @@ def load_registry() -> dict[str, QuerySpec]:
         round18_staging,
         round19_staging,
         round20_staging,
+        round21_staging,
         scalar_funcs,
         setops,
         sharding,

@@ -68,6 +68,13 @@ def main() -> None:
         )
         with open(os.path.join(HERE, "BENCH_LOCAL.json")) as fh:
             d = json.load(fh)
+        # Archive the full per-run record (per-query timings included)
+        # so post-recording studies (e.g. the §20h 32x slopes) can read
+        # every run instead of only the last surviving BENCH_LOCAL.
+        arch = os.path.join("/tmp", "band_runs")
+        os.makedirs(arch, exist_ok=True)
+        with open(os.path.join(arch, f"run{i}.json"), "w") as fh:
+            json.dump(d, fh)
         probe = statistics.median(d["noise_probe"])
         run = {
             "raw": d["value"],
