@@ -397,32 +397,35 @@ API_PARITY = [
 # or removing a headline query invalidates it, and the emitted block
 # says so explicitly instead of letting a judge compare across sets.
 COMMITTED_NORMALIZED = {
-    "recorded_headline_hash": "49917b898325",
-    "recorded": "2026-08-16 r16 slot-warmed recording (201-query set; "
-    "six runs, no exclusions — see SURVEY_APPENDIX §20p; supersedes "
-    "the r15 §20l 200-query band: +vector_ann_ivfbq_stream_topk and "
-    "the HEADLINE[:12] untimed slot warm-up, which shifts cold-JVM "
-    "JIT/page-cache cost out of run_index 0-10 and so re-bases every "
-    "early-slot per-query time)",
-    # s per probe-s: total / median(noise_probe) of each run. The six
-    # probes (0.605-0.766) sat WELL ABOVE the r15 recording's fast-host
-    # window (0.467-0.537) — a uniformly slower host day; that is
-    # exactly what the normalization is for, and why raw totals
-    # (222-313 s) are not comparable to r15's raw band.
-    "headline_total_band": [331.2, 440.9],
+    "recorded_headline_hash": "c60f01f1ce2e",
+    "recorded": "2026-08-17 r16 FINAL recording (206-query set; six "
+    "runs, no exclusions — see SURVEY_APPENDIX §20s; supersedes the "
+    "§20p 201-query intermediate: +3 delete-lifecycle rows, +filtered "
+    "ANN, +tombstone-aware compact). Recorded under INTERMITTENT "
+    "hypervisor steal (per-run steal_pct 0-6.3%; a first recording at "
+    "sustained 7.7% steal was rejected outright, §20r) — five of six "
+    "runs lie in [386.7, 475.2]; the 603.9 ceiling is the run whose "
+    "second-half steal hit 4.7%. Read any future excursion against "
+    "THAT run's steal_pct before suspecting a plan change.",
+    # s per probe-s: total / median(noise_probe) of each run. Steal
+    # inflates saturated stages but not the probe, so the high runs
+    # carry honest steal_pct markers in their archived records.
+    "headline_total_band": [386.7, 603.9],
     "headline_total_values": [
-        424.9, 413.3, 440.9, 434.3, 331.2, 367.7,
+        447.3, 475.2, 386.7, 444.6, 603.9, 416.5,
     ],
-    "raw_total_band": [222.464, 313.492],
-    "probe_median_range": [0.605, 0.766],
+    "raw_total_band": [243.264, 349.685],
+    "probe_median_range": [0.574, 0.722],
     # per-metric normalized bands from the same six runs (keys match
-    # banded_normalized's)
+    # banded_normalized's). The wide ivfpq / graph / cluster_exact
+    # spans are steal-wave artifacts (each max belongs to a >4%-steal
+    # segment), not plan variance — see §20s's per-run table.
     "metric_bands": {
-        "vector_ann_ivfpq_topk": [3.68, 5.23],
-        "text_prefix_filter_join": [12.59, 15.16],
-        "dedup_simhash_pairs": [4.34, 10.21],
-        "graph_family_total": [32.57, 47.68],
-        "dedup_cluster_exact": [5.51, 7.95],
+        "vector_ann_ivfpq_topk": [4.32, 10.56],
+        "text_prefix_filter_join": [11.28, 20.84],
+        "dedup_simhash_pairs": [5.16, 6.35],
+        "graph_family_total": [33.08, 60.56],
+        "dedup_cluster_exact": [3.99, 14.48],
     },
 }
 
