@@ -1351,6 +1351,13 @@ def load_registry() -> dict[str, QuerySpec]:
     sf0.01) + ALL 18 round-10-latest rows (clears round-10 debt) +
     29 round-11-latest carries — after this window no latest row
     predates round 11 and the never-checked count is back to 0.
+
+    NEXT FLIP (round-17 session, do this FIRST): switch the two
+    ROUND16_WINDOW mentions below to ROUND17_WINDOW — it fronts the
+    6 r16-session births (BQ streaming absorb; the 3 delete-lifecycle
+    stages; filtered ANN; tombstone-aware compact — all mirrored
+    hash-green at both SFs this session) + ALL 21 round-11-latest
+    rows (clears round-11 debt) + 23 round-12-latest carries.
     """
     from cognitive_score_bigdata_spark.queries import (  # noqa: F401
         aggregations,
