@@ -1064,6 +1064,25 @@ def main() -> None:
     worst = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
+    # stdout copy of the committed block keeps the GATE fields only; the
+    # recording documentation (546-char provenance note, the six raw
+    # recording values, the band tables) lives in BENCH_LOCAL.json. The
+    # r16 recording note had grown the full block to 1.5k chars, which
+    # pushed the stdout line past the 1900 cap and the shrink loop below
+    # silently dropped "queries" — a driver-contract field (found by the
+    # r16 verify run; the fix keeps "queries" undroppable too).
+    _committed_doc_only = (
+        "recorded",
+        "headline_total_values",
+        "metric_bands",
+        "raw_total_band",
+        "probe_median_range",
+    )
+    committed_stdout = {
+        k: v
+        for k, v in result["committed_normalized"].items()
+        if k not in _committed_doc_only
+    }
     report = {
         "metric": "headline_queries_total",
         "value": result["value"],
@@ -1078,7 +1097,7 @@ def main() -> None:
         "noise_probe": probes,
         "steal_pct": steals,
         "banded_normalized": result["banded_normalized"],
-        "committed_normalized": result["committed_normalized"],
+        "committed_normalized": committed_stdout,
         "canary": canary,
         "bench_config": result["bench_config"],
         "detail": "BENCH_LOCAL.json",
@@ -1091,8 +1110,9 @@ def main() -> None:
     # fits; the gate fields (value, committed_normalized, bench_config)
     # are never dropped.
     line = json.dumps(report)
-    for optional in ("families", "canary", "queries", "noise_probe",
-                     "banded_normalized"):
+    # NEVER drop "queries": it is a driver-contract field ({name: sec}).
+    for optional in ("families", "canary", "banded_normalized",
+                     "noise_probe", "steal_pct"):
         if len(line) <= 1900:
             break
         report.pop(optional, None)

@@ -213,8 +213,12 @@ def text_charngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - 2),
         lambda i: F.col("text").substr(i, F.lit(3)),
     )
-    tris = docs.filter(F.length("text") >= 3).select(
-        "doc_id", F.explode(tri_arr).alias("tri")
+    tris = (
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id", F.explode(tri_arr).alias("tri"))
+        # reused: global trigram counts + the per-doc mass join — the
+        # cut stops the corpus-sized explode running twice (r16)
+        .localCheckpoint(eager=False)
     )
     counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
     return (

@@ -246,8 +246,12 @@ _REP_ORACLE = """
 def quality_repetition_signals(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", F.split("text", " +").alias("ts")
+    docs = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", F.split("text", " +").alias("ts"))
+        # reused: the token-count branch AND the 2-gram branch — the cut
+        # runs the scan + tokenize + fan_out shuffle once, not twice
+        .localCheckpoint(eager=False)
     )
     cnt = docs.select(
         "doc_id", "source", F.explode("ts").alias("t")
@@ -545,6 +549,11 @@ def market_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        # reused FOUR ways (basket count, item support, both pair-join
+        # sides): the cut makes the scan+distinct run once — the
+        # n_orders action right below materializes it (r16 plan audit:
+        # 8 scans / 20 Exchanges before, one distinct after)
+        .localCheckpoint(eager=False)
     )
     n_orders = li.select("ok").distinct().count()
     sup1 = li.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("s"))

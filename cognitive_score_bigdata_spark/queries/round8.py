@@ -136,8 +136,13 @@ def curation_quality_keep_matrix(
         F.sequence(F.lit(1), F.length("text") - 2),
         lambda i: F.col("text").substr(i, F.lit(3)),
     )
-    tris = docs.filter(F.length("text") >= 3).select(
-        "doc_id", F.explode(tri_arr).alias("tri")
+    tris = (
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id", F.explode(tri_arr).alias("tri"))
+        # reused: corpus trigram counts + the per-doc familiarity join —
+        # without the cut the corpus-sized explode plans (and runs)
+        # twice (r16 plan audit: 16 scans / 50 Exchanges in one query)
+        .localCheckpoint(eager=False)
     )
     tcnt = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
     fam = (
@@ -180,6 +185,9 @@ def curation_quality_keep_matrix(
         .join(fam, "doc_id")
         .join(rep, "doc_id")
         .select("source", "fam_micro", "dup2g_micro")
+        # reused: the tertile histogram AND the final matrix join —
+        # without the cut the entire fam+rep composition executes twice
+        .localCheckpoint(eager=False)
     )
     # per-source tertile thresholds over the DISTINCT-value histogram
     hist = per.groupBy("source", "fam_micro").agg(

@@ -318,7 +318,15 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_bitmap_table,
     )
 
-    sigs = token_bitmap_table(tok, ["doc_id"])
+    # One bitmap-signature build, not two: sa and sb below are aliased
+    # branches of the same subtree, and Spark replans (and re-executes)
+    # the whole explode -> distinct -> bitmap aggregation once per side
+    # — the r16 plan audit showed the verify stage's signature subtree
+    # twice (plan ops 14-39 and 41-65, plans/r16_before/). Lazy
+    # localCheckpoint materializes it once (guide §2.4: remove repeated
+    # work outright; the sweep-sanctioned shared-stage fix). ~8 bytes/doc
+    # of signature state — |corpus|-bounded, safe at any scale.
+    sigs = token_bitmap_table(tok, ["doc_id"]).localCheckpoint(eager=False)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
