@@ -1117,6 +1117,21 @@ def main() -> None:
             break
         report.pop(optional, None)
         line = json.dumps(report)
+    if len(line) > 1900:
+        # ADVICE r16: if the line STILL exceeds the cap after every
+        # optional is gone, the driver would record parsed:null with no
+        # local symptom — make the contract break loud, and shed the
+        # worst-5 dict (the one remaining bulky optional) as a last
+        # resort rather than lose the whole line's head.
+        print(
+            f"WARN bench stdout line {len(line)} chars > 1900 cap after "
+            "shrink loop — trimming 'queries' to fit; fix the committed "
+            "block before the next recording",
+            file=sys.stderr,
+        )
+        while len(line) > 1900 and report["queries"]:
+            report["queries"].popitem()
+            line = json.dumps(report)
     print(line)
     spark.stop()
 

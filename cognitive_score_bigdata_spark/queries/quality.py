@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cognitive_score_bigdata_spark.functions import text as TX
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import shared_stage
 
 # Gopher-style bounds, scaled to the testdata's ~20-token documents.
 MIN_WORDS, MAX_WORDS = 5, 5_000
@@ -217,9 +218,13 @@ def text_charngram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.length("text") >= 3)
         .select("doc_id", F.explode(tri_arr).alias("tri"))
         # reused: global trigram counts + the per-doc mass join — the
-        # cut stops the corpus-sized explode running twice (r16)
-        .localCheckpoint(eager=False)
+        # cut stops the corpus-sized explode running twice (r16).
+        # Storage footprint (ADVICE r16): rows ≈ total corpus text chars
+        # (one per trigram instance) — a corpus-text-sized intermediate
+        # in executor storage, traded against re-running the same-sized
+        # explode+shuffle a second time.
     )
+    tris = shared_stage(tris)
     counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
     return (
         tris.join(counts, "tri")

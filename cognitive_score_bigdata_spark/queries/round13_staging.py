@@ -266,6 +266,11 @@ def dedup_ensemble_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_dedup_pairs(
         docs, threshold=SEM_THRESHOLD, index=IvfIndex(base_cand, None)
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    # §2.6 thread-pool leg overlap was tried and REVERTED in r17: the
+    # fused union plan already runs the three legs' stages concurrently
+    # (AQE materializes independent query stages in parallel), so eager
+    # per-leg checkpoints bought only ~0-8% with worse variance — see
+    # OPTIMIZATION_r17.md for the interleaved A/B numbers.
     edges = (
         mh.unionByName(win)
         .unionByName(sem)

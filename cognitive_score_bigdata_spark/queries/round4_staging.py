@@ -723,10 +723,10 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the cut the windowed build subtree plans and runs once per
     # reference (r16 plan audit: 18 scans / 12 Window nodes). In
     # production the history side IS a materialized table; the lazy
-    # localCheckpoint is that shape in-session.
-    history = scd2_build(ev.filter(F.col("ts") < split)).localCheckpoint(
-        eager=False
-    )
+    # shared-stage cut is that shape in-session.
+    from cognitive_score_bigdata_spark.queries._helpers import shared_stage
+
+    history = shared_stage(scd2_build(ev.filter(F.col("ts") < split)))
     return scd2_merge(history, ev.filter(F.col("ts") >= split))
 
 

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import shared_stage
 
 # ---------------------------------------------------------------------------
 # corpus_contamination_4gram
@@ -250,9 +251,11 @@ def quality_repetition_signals(
         fan_out(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "source", F.split("text", " +").alias("ts"))
         # reused: the token-count branch AND the 2-gram branch — the cut
-        # runs the scan + tokenize + fan_out shuffle once, not twice
-        .localCheckpoint(eager=False)
+        # runs the scan + tokenize + fan_out shuffle once, not twice.
+        # Footprint: |docs| rows, each carrying its token array (≈ text
+        # size) — one corpus pass of storage for one saved corpus pass.
     )
+    docs = shared_stage(docs)
     cnt = docs.select(
         "doc_id", "source", F.explode("ts").alias("t")
     ).groupBy("doc_id", "source", "t").agg(
@@ -552,9 +555,11 @@ def market_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reused FOUR ways (basket count, item support, both pair-join
         # sides): the cut makes the scan+distinct run once — the
         # n_orders action right below materializes it (r16 plan audit:
-        # 8 scans / 20 Exchanges before, one distinct after)
-        .localCheckpoint(eager=False)
+        # 8 scans / 20 Exchanges before, one distinct after).
+        # Footprint: two BIGINTs per distinct (order, part) line — far
+        # smaller than lineitem itself.
     )
+    li = shared_stage(li)
     n_orders = li.select("ok").distinct().count()
     sup1 = li.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
     a = li.select(F.col("ok"), F.col("pk").alias("p1"))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from cognitive_score_bigdata_spark.io import fan_out, load_table
 from cognitive_score_bigdata_spark.queries import register
+from cognitive_score_bigdata_spark.queries._helpers import shared_stage
 from cognitive_score_bigdata_spark.queries.round6 import _grams
 from cognitive_score_bigdata_spark.queries.round7 import _URL_DERIVE_SQL
 
@@ -141,9 +142,13 @@ def curation_quality_keep_matrix(
         .select("doc_id", F.explode(tri_arr).alias("tri"))
         # reused: corpus trigram counts + the per-doc familiarity join —
         # without the cut the corpus-sized explode plans (and runs)
-        # twice (r16 plan audit: 16 scans / 50 Exchanges in one query)
-        .localCheckpoint(eager=False)
+        # twice (r16 plan audit: 16 scans / 50 Exchanges in one query).
+        # Storage footprint (ADVICE r16): rows ≈ total corpus text chars
+        # (one per trigram instance) — at large SF this cut pins a
+        # corpus-text-sized intermediate in executor storage; the trade
+        # is one full explode+shuffle pass of the same volume.
     )
+    tris = shared_stage(tris)
     tcnt = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
     fam = (
         tris.join(tcnt, "tri")
@@ -186,9 +191,10 @@ def curation_quality_keep_matrix(
         .join(rep, "doc_id")
         .select("source", "fam_micro", "dup2g_micro")
         # reused: the tertile histogram AND the final matrix join —
-        # without the cut the entire fam+rep composition executes twice
-        .localCheckpoint(eager=False)
+        # without the cut the entire fam+rep composition executes twice.
+        # |docs|-bounded (3 narrow columns per doc) — cheap at any scale.
     )
+    per = shared_stage(per)
     # per-source tertile thresholds over the DISTINCT-value histogram
     hist = per.groupBy("source", "fam_micro").agg(
         F.count(F.lit(1)).alias("c")

@@ -318,15 +318,19 @@ def text_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_bitmap_table,
     )
 
-    # One bitmap-signature build, not two: sa and sb below are aliased
-    # branches of the same subtree, and Spark replans (and re-executes)
-    # the whole explode -> distinct -> bitmap aggregation once per side
-    # — the r16 plan audit showed the verify stage's signature subtree
-    # twice (plan ops 14-39 and 41-65, plans/r16_before/). Lazy
-    # localCheckpoint materializes it once (guide §2.4: remove repeated
-    # work outright; the sweep-sanctioned shared-stage fix). ~8 bytes/doc
-    # of signature state — |corpus|-bounded, safe at any scale.
-    sigs = token_bitmap_table(tok, ["doc_id"]).localCheckpoint(eager=False)
+    # The signature subtree IS planned twice (once per join side), but
+    # checkpointing it to share one build LOSES here: the r16 lazy
+    # localCheckpoint regressed the driver's 32-core run 8.9 -> 13.0 s
+    # (above the committed band) and an interleaved same-session A/B at
+    # 32 cores (r17, 5 pairs) read 14.4 s with vs 10.9 s without — the
+    # two sides otherwise execute as independent overlapping stages and
+    # the candidate stage backfills the idle cores (guide §2.6), while
+    # the checkpoint serializes build-then-consume. Same failure mode as
+    # the reverted md5_minhash_band_candidates cut (OPTIMIZATION_r16).
+    # The subtree is cheap (~8 bytes/doc of signature state) relative to
+    # the emit-bound candidate stage, so the duplicated work is the
+    # smaller cost at every measured core count.
+    sigs = token_bitmap_table(tok, ["doc_id"])
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),

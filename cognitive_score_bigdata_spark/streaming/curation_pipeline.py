@@ -130,6 +130,9 @@ def admitted_training_splits(
         docs, threshold=SEM_THRESHOLD, index=IvfIndex(cand, None)
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
+    # §2.6 leg overlap tried and REVERTED in r17 (same finding as the
+    # batch ensemble row): the fused plan already overlaps the legs'
+    # stages — see OPTIMIZATION_r17.md.
     edges = (
         mh.unionByName(win)
         .unionByName(sem)

@@ -74,6 +74,16 @@ def _emit_transitions(
     if not state.exists or cand[:2] > tuple(state.get[:2]):
         state.update(cand)
     if len(nxt):
+        # ADVICE r16: the pandas form this kernel replaced dropped rows
+        # with a null prev_type (dropna(subset=['prev_type'])) — a null
+        # event_type arriving via the schema'd JSON source must not emit
+        # a transition out of nowhere. Restore that exact semantics
+        # vectorized; on the non-null fixtures mask.all() is True and
+        # this is one cheap vector op.
+        mask = pd.notna(prev)
+        if not mask.all():
+            prev, nxt = prev[mask], nxt[mask]
+    if len(nxt):
         yield pd.DataFrame(
             {"user_id": key[0], "prev_type": prev, "next_type": nxt}
         )

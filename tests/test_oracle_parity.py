@@ -15,6 +15,7 @@ WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
 NO_ORACLE = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 
 
+@pytest.mark.oracle_sweep
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, oracle_con, name):
     spec = REGISTRY[name]
@@ -23,6 +24,7 @@ def test_query_matches_oracle(spark, oracle_con, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
+@pytest.mark.oracle_sweep
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_query_runs(spark, name):
     spec = REGISTRY[name]
@@ -33,6 +35,7 @@ def test_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.oracle_sweep
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_not_vacuous(oracle_con, name):
     """A hash-match on 0 rows verifies nothing — every oracle must

@@ -93,6 +93,27 @@ def test_single_event_no_state_emits_nothing_but_updates_state():
     assert st.get == (10, 1, "a")
 
 
+def test_null_prev_type_is_suppressed_like_the_pandas_form():
+    # ADVICE r16: a null event_type mid-batch must not emit a transition
+    # with prev_type=null — the pandas form dropna'd those rows; the
+    # vectorized kernel must too. The null still participates as a NEXT
+    # (a->None is emitted by neither form? it was: dropna was only on
+    # prev_type, so a->None IS emitted) and still advances state.
+    st = _FakeState()
+    out = _run([_pdf([(7, "a", 10, 1), (7, None, 20, 1), (7, "b", 30, 1)])], st)
+    # pandas form: transitions (a->None), (None->b); dropna(prev) keeps
+    # only (a->None)
+    assert list(zip(out["prev_type"], out["next_type"])) == [("a", None)]
+    assert st.get == (30, 1, "b")
+
+
+def test_all_null_prev_after_mask_emits_nothing():
+    st = _FakeState((5, 1, None))  # state carries a null last type
+    out = _run([_pdf([(7, "a", 10, 1)])], st)
+    assert out.empty  # the only transition (None->a) has null prev
+    assert st.get == (10, 1, "a")
+
+
 def test_all_empty_frames_is_a_noop():
     st = _FakeState((1, 1, "a"))
     out = _run([_pdf([]).astype({"ts_us": "int64", "event_id": "int64"})], st)
